@@ -1,0 +1,412 @@
+"""Relational operator catalog (SURVEY §2.C / §2.D).
+
+The reference implements none of these natively — its engine is the bare
+map/group/reduce loop (``/root/reference/firebird.h:182-231``) and its README
+lists even splitter/partition/merge as unsupported
+(``/root/reference/README.txt:51-58``).  Each function below is the classic
+MapReduce formulation of a relational operator re-expressed directly in
+DataFrame ops so Catalyst handles pushdown / pruning / join selection.
+
+Every query callable takes ``(spark, sf_dir)`` and returns an *unordered*
+DataFrame (the reference's output contract, ``README.txt:54-58``); the
+driver's oracle compare is order-insensitive.
+
+Float discipline for oracle hash-stability: monetary/quantity sums are
+computed as DECIMAL(18,2) (exact, order-independent — a double sum's low
+bits depend on reduction order) and cast to DOUBLE at the end; averages are
+derived from the exact decimal sum divided by the count.  The DuckDB oracle
+SQL does the identical cast sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# scan / project / filter  (A1 + §2.C projection/filter rows)
+# ---------------------------------------------------------------------------
+
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection over a parquet scan.  The reference's 'scan' is a typed
+    array walk (``firebird.h:188-196``); here column pruning reaches the
+    parquet reader (ReadSchema shows only the two columns)."""
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + project; the predicate is pushed into the parquet scan
+    (PushedFilters: [GreaterThan(l_quantity,30.0)]) — at 100 TB this is the
+    difference between reading one column chunk statistics and reading
+    everything.  Conditional-emit pattern in the reference:
+    ``shortest_path/main.cpp:41-43``."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(F.col("l_quantity") > 30.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def flatmap_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-emit map (A2: one input record -> 0..n outputs,
+    ``firebird.h:239-242``) as explode(split(...)) — stays entirely in
+    whole-stage codegen, no Python in the loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation  (B1/B2 + §2.C aggregation rows)
+# ---------------------------------------------------------------------------
+
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``number_count`` sample (map emits (value,1), reduce counts:
+    ``/root/reference/sample_apps/number_count/main.cpp:8-21``) over the
+    events table.  Spark adds map-side partial aggregation the reference
+    lacks (no combiner: ``README.txt:53``)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce program: tokenize (flatMap) + count-by-key."""
+    tokens = flatmap_tokenize(spark, sf_dir)
+    return tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def group_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min-by-key — the ``shortest_path`` reduce
+    (``/root/reference/sample_apps/shortest_path/main.cpp:48-56``).  min/max
+    are order-insensitive so no decimal discipline is needed."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+
+
+def group_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate fold per key (A5).  Sums use exact
+    DECIMAL(18,2) so the result is bit-identical regardless of partition
+    count / reduction order; averages derive from the exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(price).alias("_sp"),
+        F.sum(disc_price).alias("_sdp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        (F.col("_sq").cast("double") / F.col("cnt")).alias("avg_qty"),
+        (F.col("_sp").cast("double") / F.col("cnt")).alias("avg_price"),
+        "cnt",
+    )
+
+
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — emit (record, null) / reduce-emit-once in MapReduce
+    terms; Spark plans it as a hash aggregate with partial dedup map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_custkey").distinct()
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets/rollup — the multi-emit-of-coarser-keys MapReduce
+    pattern (§2.C), native in Spark as ``rollup``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(price).alias("_sp"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sp").cast("double").alias("sum_price"),
+            "cnt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins  (§2.C join rows)
+# ---------------------------------------------------------------------------
+
+def reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic reduce-side equi-join (tag records by source, group by key,
+    pair in reduce).  Spark plans big-big joins as sort-merge / shuffled-hash
+    with AQE picking at runtime; both sides shuffle on the join key only."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side join with a replicated small table — the analogue of the
+    reference sharing the read-only ``graph`` pointer across threads
+    (``shortest_path/main.cpp:60``).  ``F.broadcast`` forces it explicitly:
+    no shuffle of the big side at all.  region is 5 rows at any SF."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi + left-anti with a tag column: customers with vs without
+    orders.  Semi/anti never materialize right-side columns, so the shuffle
+    carries keys only — the cheapest existence check at scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .withColumn("tag", F.lit("has_orders"))
+    )
+    without_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("tag", F.lit("no_orders"))
+    )
+    return with_orders.unionByName(without_orders)
+
+
+def range_join_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: pairs of events by the same user within 60 s
+    (follow-up events).  The equi component (user_id) keys the shuffle, the
+    range predicate is applied inside the join — the scale-sane shape for
+    theta joins (pure cross-range joins get bucketized first; cf. the
+    theta-join-on-MapReduce literature, PAPERS.md)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_event"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = events.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_event"),
+        F.col("ts").alias("b_ts"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
+        "inner",
+    )
+    return pairs.groupBy("a_type").agg(F.count(F.lit(1)).alias("pair_cnt"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join (latest right row with ``right_ts <= left_ts`` per
+    key) — an operator Spark lacks natively.  Implemented the scalable way:
+    union the two tagged streams, single shuffle on the key, one windowed
+    pass with ``last(..., ignorenulls)`` — O(n log n) per key and **no**
+    row explosion, unlike the naive inequality join whose intermediate is
+    |left|x|matching right|.
+
+    Right-side rows sort before left-side rows at equal timestamps so an
+    exactly-simultaneous right row is visible to the left row (<= semantics).
+    Left rows with no prior right row come back with NULL value columns.
+    """
+    lhs = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        "*",
+    )
+    rhs_cols = [F.col(c).alias(f"_v_{c}") for c in value_cols]
+    rhs = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *rhs_cols,
+    )
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+    # deterministic tiebreak inside equal (_ts, _side): last value col wins
+    order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+        F.col(f"_v_{c}").asc_nulls_first() for c in value_cols
+    ]
+    win = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(win).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1).drop(
+        "_k", "_ts", "_side", *[f"_v_{c}" for c in value_cols]
+    )
+    for c in value_cols:
+        out = out.withColumnRenamed(f"_asof_{c}", c)
+    return out
+
+
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join applied: for each 'purchase' event, the latest 'click' by
+    the same user at or before the purchase time (attribution-style lookup;
+    non-vacuous on the corpus — both streams live in the same time range)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="click_user",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_id"],
+    )
+    # match the inner-join oracle: drop purchases with no prior click
+    return joined.filter(F.col("click_id").isNotNull()).select(
+        "purchase_id", "click_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / window  (§2.C rows)
+# ---------------------------------------------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: per-partition local top-k then a single k-merge —
+    Spark's ``TakeOrderedAndProject`` does exactly the MapReduce local-top-k
+    pattern.  o_orderkey tiebreak keeps the result deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ranking: first 3 orders per customer.  MapReduce shape:
+    group by partition key, sort in reduce, scan with running state —
+    Spark's window exec does it with a single shuffle+sort.  o_orderkey
+    tiebreak removes row_number nondeterminism on date ties."""
+    orders = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(win).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def tumbling_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation — the batch-equivalent form of a streaming
+    tumbling window (same code runs under Structured Streaming, see
+    ``streaming.jobs``)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("hour_start"), "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops / scalar functions  (§2.C rows)
+# ---------------------------------------------------------------------------
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except as tagged union — customer keys that did and did
+    not place orders, via set operators (vs the join formulation in
+    ``semi_anti_join``; both are listed §2.C capabilities)."""
+    cust_keys = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    order_keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = cust_keys.intersect(order_keys).withColumn("tag", F.lit("both"))
+    only_cust = cust_keys.exceptAll(order_keys.distinct()).withColumn(
+        "tag", F.lit("customer_only")
+    )
+    return both.unionByName(only_cust)
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date/math/JSON function surface (the reference's
+    equivalent is 'arbitrary C++ in map()').  All JVM-side built-ins —
+    no Python UDFs in the hot path."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.upper(F.col("o_orderstatus")).alias("status_u"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        # decimal multiply keeps the value exact on both engines; double
+        # round() half-rule differences (HALF_UP vs round-half-away on the
+        # scaled double) would flip ~x.xx5 boundaries otherwise
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("0.1").cast("decimal(2,1)")
+        )
+        .cast("double")
+        .alias("tithe"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull a field out of a JSON string column."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct per event type.  Sketch
+    values are engine-specific, so the driver records the weaker rows-only
+    check for this one (no oracle_sql entry)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )

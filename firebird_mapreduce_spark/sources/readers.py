@@ -1,0 +1,162 @@
+"""Table readers / writers.
+
+Design notes for 100 TB:
+
+- Always go through ``spark.read`` (DataSource V2) so predicate pushdown,
+  column pruning and partition pruning stay available to Catalyst — never
+  materialize on the driver.
+- ``load_table`` returns the *unprojected* DataFrame; callers project
+  (``select``) so pruning reaches the parquet scan (verify with
+  ``plans.assert_pushed_filters``).
+- Writers default to snappy parquet; partition columns are caller-chosen
+  because a good partition key (date, tenant) is workload knowledge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# The full test corpus (TESTDATA.md): TPC-H-ish star schema + events stream
+# + LLM-pipeline tables.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot scan those
+    natively (PARQUET_TYPE_ILLEGAL), so the reader downshifts them.  Footer
+    metadata only: a driver-side read of a few KB regardless of table size."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        field.name
+        for field in schema
+        if str(field.type).startswith("timestamp[ns")
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table from ``{sf_dir}/{name}.parquet``.
+
+    Tables with nanosecond-precision timestamps are read via the
+    ``nanosAsLong`` legacy mode and converted back to TIMESTAMP at
+    microsecond precision with integer division (double division would lose
+    precision: epoch-nanos ~1.7e18 exceeds a double's 53-bit exact range).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_timestamp_cols(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in nanos_cols:
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several corpus tables at once; defaults to all of them."""
+    wanted = names or TABLES
+    return {name: load_table(spark, sf_dir, name) for name in wanted}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan.  An explicit schema skips the inference pass — mandatory at
+    scale (inference reads the data twice)."""
+    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """JSON-lines scan; explicit schema for the same reason as CSV."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_edge_list(spark: SparkSession, path: str, undirected: bool = True) -> DataFrame:
+    """Read a whitespace edge-list text file shaped like the reference's
+    graph fixtures: a ``num_nodes num_edges`` header line followed by
+    ``src dst weight`` triples (loader behavior mirrored from
+    ``/root/reference/sample_apps/shortest_path/main.cpp:68-106``).
+
+    The reference doubles every edge to make the graph undirected
+    (``main.cpp:92-93``); ``undirected=True`` reproduces that with a
+    column-swap union instead of a CSR build — joins replace offset lookups.
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.option("sep", " ")
+        .schema("src INT, dst INT, weight FLOAT")
+        .csv(path)
+    )
+    # header row parses as (num_nodes, num_edges, NULL weight) — drop it
+    edges = raw.filter(F.col("weight").isNotNull())
+    if undirected:
+        edges = edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+    return edges
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal raw-bytes source: one row per file with ``path``,
+    ``modificationTime``, ``length``, ``content:binary``.
+
+    This is the ingestion point for image/audio/video payloads — downstream
+    operators treat ``content`` as an opaque binary column with typed
+    metadata (see ``operators.multimodal``).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
