@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from firebird_mapreduce_spark.operators import graph as G
 from firebird_mapreduce_spark.operators import relational as R
 
 
@@ -54,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": R.topk_orders,
         "window_rank": R.window_rank,
         "tumbling_window_count": R.tumbling_window_count,
+        # iterative graph
+        "sssp_fixpoint": G.sssp_fixpoint,
         # set ops / scalar functions
         "set_ops_customers": R.set_ops_customers,
         "scalar_functions": R.scalar_functions,
@@ -169,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1
         """,
+        "sssp_fixpoint": G.SSSP_ORACLE_SQL,
         "set_ops_customers": """
             SELECT custkey, 'both' AS tag FROM (
                 SELECT c_custkey AS custkey FROM customer

@@ -1,0 +1,169 @@
+"""Iterative graph operators — the Spark re-derivation of the reference's
+``shortest_path`` sample app.
+
+The reference runs SSSP as repeated MapReduce rounds over a frontier: map
+relaxes out-edges of frontier nodes
+(``/root/reference/sample_apps/shortest_path/main.cpp:32-46``), reduce takes
+the min candidate distance per node (``main.cpp:48-56``), and the driver
+feeds the output back as the next frontier until it is empty
+(``main.cpp:180-188``).  Crucially it relies on a shared mutable ``dist[]``
+array (``main.cpp:59-61``) — map reads it, reduce writes it — which only
+works in shared memory.  Here that state becomes *data*: a
+``distances(node, dist)`` DataFrame carried across iterations
+(SURVEY §1.3), updated with union + groupBy-min.
+
+Scale posture: each iteration is (frontier ⋈ edges) → groupBy-min → join
+against distances.  The frontier is usually far smaller than the edge set,
+so the frontier side is broadcast when small; ``localCheckpoint`` per
+iteration truncates lineage (otherwise plan size grows linearly and the
+scheduler collapses long before data size matters).  For web-scale graphs
+the edges DataFrame would be pre-partitioned/bucketed by ``src`` so every
+iteration's join reuses the same partitioning instead of reshuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Mirror every edge, reproducing the reference loader's undirected
+    doubling (``shortest_path/main.cpp:92-93``)."""
+    return edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+
+
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Single-source shortest paths by frontier relaxation to fixpoint.
+
+    Returns ``(node INT, dist DOUBLE)`` for every reachable node.  The
+    unreached sentinel (reference uses 2^30, ``main.cpp:11``) is expressed
+    as absence — unreachable nodes simply have no row.
+
+    Per-iteration dataflow (one MapReduce round of the reference):
+      candidates = frontier ⋈ edges on node==src        (map: relax B3)
+                   → (dst, frontier.dist + weight)
+      best       = candidates groupBy dst min            (reduce: min B2)
+      improved   = best ⋈ distances, keep strictly smaller or new
+      distances  = union + groupBy-min; frontier' = improved
+    """
+    edges = edges.select(
+        F.col("src").cast("int"),
+        F.col("dst").cast("int"),
+        F.col("weight").cast("double"),
+    )
+    distances = spark.createDataFrame(
+        [(source, 0.0)], "node INT, dist DOUBLE"
+    ).localCheckpoint(eager=True)
+    frontier = distances
+
+    for _ in range(max_iterations):
+        # map phase: relax all out-edges of the frontier.  The frontier is
+        # typically tiny relative to edges — broadcast it so the big edge
+        # table never shuffles.
+        candidates = (
+            F.broadcast(frontier)
+            .join(edges, frontier.node == edges.src, "inner")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("weight")).alias("cand"),
+            )
+        )
+        # reduce phase: min candidate per node (map-side partial min free)
+        best = candidates.groupBy("node").agg(F.min("cand").alias("cand"))
+        # keep only strict improvements over current knowledge
+        improved = (
+            best.join(distances, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        distances = (
+            distances.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return distances
+
+
+def derived_nation_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic small graph derived from the ``nation`` table (the
+    corpus has no edge fixture): a ring over the 25 nation keys plus chords,
+    weights from the key — connected, hand-checkable, and expressible in
+    plain SQL for the DuckDB oracle.
+
+    edges: (n, (n+1) mod 25, (n mod 7)+1)  ring
+           (n, (n*2) mod 25, (n mod 5)+2)  chords
+    """
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n")
+    )
+    ring = nation.select(
+        F.col("n").alias("src"),
+        ((F.col("n") + 1) % 25).alias("dst"),
+        ((F.col("n") % 7) + 1).cast("double").alias("weight"),
+    )
+    chords = nation.select(
+        F.col("n").alias("src"),
+        ((F.col("n") * 2) % 25).alias("dst"),
+        ((F.col("n") % 5) + 2).cast("double").alias("weight"),
+    )
+    return undirected(ring.unionByName(chords).filter(F.col("src") != F.col("dst")))
+
+
+def sssp_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (SURVEY §2.D): SSSP from node 0 over the derived
+    nation graph.  Distances are sums of small integer-valued doubles, so
+    they are exact and hash-stable."""
+    edges = derived_nation_graph(spark, sf_dir)
+    return sssp(spark, edges, source=0).select(
+        "node", F.col("dist").cast("double").alias("dist")
+    )
+
+
+# DuckDB oracle for sssp_fixpoint: bounded-distance recursive relaxation.
+# UNION (distinct) dedups (node, dist) states; the dist < 60 bound keeps
+# cycle-extended paths finite.  Exact on integer-valued doubles.
+SSSP_ORACLE_SQL = """
+WITH RECURSIVE
+edges AS (
+    SELECT src, dst, weight FROM (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst,
+               CAST((n_nationkey % 7) + 1 AS DOUBLE) AS weight
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey AS src, (n_nationkey * 2) % 25 AS dst,
+               CAST((n_nationkey % 5) + 2 AS DOUBLE) AS weight
+        FROM nation
+    ) WHERE src <> dst
+),
+undirected AS (
+    SELECT src, dst, weight FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM edges
+),
+walk(node, dist) AS (
+    SELECT 0, CAST(0 AS DOUBLE)
+    UNION
+    SELECT u.dst, w.dist + u.weight
+    FROM walk w JOIN undirected u ON u.src = w.node
+    WHERE w.dist + u.weight < 60
+)
+SELECT CAST(node AS INT) AS node, min(dist) AS dist
+FROM walk GROUP BY node
+"""
