@@ -19,8 +19,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from firebird_mapreduce_spark.operators import dedup as D
 from firebird_mapreduce_spark.operators import graph as G
+from firebird_mapreduce_spark.operators import multimodal as M
 from firebird_mapreduce_spark.operators import relational as R
+from firebird_mapreduce_spark.operators import similarity as S
+from firebird_mapreduce_spark.operators import text as T
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -61,6 +65,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": R.set_ops_customers,
         "scalar_functions": R.scalar_functions,
         "json_extract_events": R.json_extract_events,
+        # text analysis (north star)
+        "doc_length_stats": T.doc_length_stats,
+        "token_count": T.token_count,
+        "text_quality": T.text_quality,
+        "lang_id": T.lang_id,
+        "lang_id_chargram": T.lang_id_chargram,
+        "doc_fingerprint": T.doc_fingerprint,
+        # deduplication (north star)
+        "dedup_exact_hash": D.dedup_exact_hash,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_simhash64": D.dedup_simhash64,
+        # similarity search (north star)
+        "embedding_knn": S.embedding_knn,
+        "embedding_knn_ivf": S.embedding_knn_ivf,
+        "embedding_neardup_topk": S.embedding_neardup_topk,
+        # multimodal (north star)
+        "binary_meta": M.binary_meta,
+        "image_features": M.image_features,
     }
 
 
@@ -196,5 +220,171 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
             FROM events
+        """,
+        # ---- text analysis ----
+        "doc_length_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT)
+                       AS bpe_ish_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tok,
+                       len(list_filter(toks, t -> t IN
+                           ('the','a','an','and','or','of','to','in','is','it'))) AS stop_cnt,
+                       length(lt) - length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS punct_cnt,
+                       length(lt) AS n_len
+                FROM (SELECT doc_id, n_chars, lower(text) AS lt,
+                             string_split(lower(text), ' ') AS toks
+                      FROM documents))
+            SELECT doc_id,
+                   CAST(n_tok AS INT) AS n_tokens,
+                   CAST(stop_cnt AS INT) AS stopword_cnt,
+                   round(CAST(stop_cnt AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+                   round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                         + (CAST(stop_cnt AS DOUBLE) / n_tok) * 0.4
+                         + (1.0 - CAST(punct_cnt AS DOUBLE) / n_len) * 0.2, 6)
+                       AS quality_score
+            FROM c
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CASE WHEN contains(p, ' the ') OR contains(p, ' and ') THEN 'en'
+                        WHEN contains(p, ' le ') OR contains(p, ' la ') THEN 'fr'
+                        WHEN contains(p, ' der ') OR contains(p, ' und ') THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                       list_transform(range(1, greatest(len(tk) - 1, 1)),
+                                      i -> array_to_string(tk[i:i+2], ' ')),
+                       s -> md5(s))) AS fingerprint
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
+        """,
+        # ---- deduplication (augmented corpus: original ∪ planted copies) ----
+        "dedup_exact_hash": f"""
+            WITH docs AS ({D.AUGMENTED_DOCS_SQL})
+            SELECT md5(text) AS text_hash,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS dup_cnt
+            FROM docs GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH docs AS ({D.AUGMENTED_DOCS_SQL}),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs),
+                     LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, 1))) AS i)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT a_id, b_id,
+                   round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.6
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH docs AS ({D.AUGMENTED_DOCS_SQL}),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(len(tk) - 1, 1)),
+                                      i -> array_to_string(tk[i:i+2], ' ')) AS shl
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs)),
+            mh AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16),
+                           i -> list_min(list_transform(shl,
+                                s -> md5(i::VARCHAR || '|' || s)))) AS sig
+                FROM sh),
+            banded AS (
+                SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bsig
+                FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS b))
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a
+            JOIN banded b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH docs AS ({D.AUGMENTED_DOCS_SQL}),
+            sig AS (
+                SELECT doc_id, CAST(list_sum(list_transform(range(1, 17), i ->
+                    CASE WHEN list_sum(list_transform(tk, tok ->
+                             CASE WHEN substr(md5(tok), i, 1) IN
+                                  ('8','9','a','b','c','d','e','f')
+                             THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(power(2, i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sh
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs))
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+            FROM sig a
+            JOIN sig b ON floor(a.sh / 256) = floor(b.sh / 256) AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        # ---- similarity search (double-cast is load-bearing:
+        #      list_cosine_similarity on FLOAT[] does float arithmetic and
+        #      diverges from the engine's double fold at 6 dp) ----
+        "embedding_knn": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "embedding_knn_ivf": """
+            WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+                       FROM embeddings WHERE vec_id < 10),
+            assigned AS (
+                SELECT vec_id, embedding, c_id AS bucket FROM (
+                    SELECT e.vec_id, e.embedding, c.c_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.c_vec), 6) DESC,
+                                   c.c_id ASC) AS rn
+                    FROM embeddings e, c)
+                WHERE rn = 1),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            qb AS (SELECT bucket FROM assigned WHERE vec_id = 0)
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS sim
+            FROM assigned a, q, qb
+            WHERE a.bucket = qb.bucket AND a.vec_id <> 0
+            ORDER BY sim DESC, a.vec_id LIMIT 10
+        """,
+        "embedding_neardup_topk": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            ORDER BY sim DESC, a_id, b_id LIMIT 50
+        """,
+        # ---- multimodal ----
+        "binary_meta": """
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
         """,
     }

@@ -1,0 +1,103 @@
+"""Text hashing / sketching expressions.
+
+Everything here is built from ``md5`` + array lambdas so the identical
+computation is expressible in the DuckDB oracle SQL — the sketches are
+deterministic functions of the text, not of engine RNG.  (pyspark.ml's
+MinHashLSH uses model-fitted random coefficients, which would make oracle
+parity impossible; md5-seeded hashing gives the same LSH guarantees with
+reproducibility.  Hash quality: md5's avalanche behavior over the
+``seed|shingle`` concatenation is far more than enough for Jaccard
+estimation.)
+
+Scale notes: each expression is evaluated row-at-a-time inside whole-stage
+codegen; nothing shuffles.  The MinHash array for k=16 costs k·|shingles|
+md5 calls per document — at 100 TB you'd budget k and shingle width, not
+change the algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (array<string>)."""
+    return F.split(F.lower(text), " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of space-joined strings.
+
+    Documents with fewer than ``n`` tokens yield an empty array — guarded
+    explicitly because Spark's ``sequence(1, 0)`` produces a *descending*
+    [1, 0], not an empty sequence.  Equivalent DuckDB (range is
+    exclusive-upper, so it empties naturally):
+    ``list_transform(range(1, greatest(len(t)-(n-2), 1)),
+    i -> array_to_string(t[i:i+(n-1)], ' '))``.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_array(shingle_col: Column, k: int = 16) -> Column:
+    """k MinHash values: for seed i, ``min(md5(i || '|' || shingle))``.
+
+    md5 hex strings compare lexicographically identically in Spark and
+    DuckDB, so the signature is engine-independent.  Empty shingle sets
+    yield an array of NULLs.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash16(toks: Column) -> Column:
+    """A 16-bit SimHash as a BIGINT, fully portable to ANSI SQL.
+
+    Bit i (1-based hex position i of each token's md5) is set when the
+    majority of tokens have that hex digit's high bit set — i.e. each of
+    the 16 hex positions contributes one signed vote dimension.  Production
+    width (64/128 bit) lives in ``operators.dedup.simhash64_pandas``; this
+    relational variant exists so the driver can oracle-check the operator.
+    """
+    bit_votes = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(
+                    F.md5(t).substr(i, F.lit(1)).isin(*_HIGH_HEX),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # bits -> integer: sum(bit_i * 2^(i-1))
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.transform(F.sequence(F.lit(0), F.lit(15)), lambda i: F.pow(F.lit(2.0), i)),
+            lambda bit, weight: bit.cast("double") * weight,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")

@@ -1,0 +1,247 @@
+"""Deduplication operators (north-star extension): exact hash dedup,
+MinHash-LSH, SimHash, and exact n-gram Jaccard — the standard toolkit for
+de-duplicating a pre-training corpus.
+
+The test corpus contains no natural duplicates (500 distinct texts, max
+within-label cosine 0.47), so every dedup query here runs over an
+**augmented** corpus: ``documents`` unioned with deterministic planted
+copies — an exact copy (doc_id + 200000) and a near-copy with the last 3
+tokens dropped (doc_id + 100000).  The planting is part of the query and is
+reproduced verbatim in the DuckDB oracle, so the operators demonstrably
+*find* duplicates rather than vacuously returning empty sets (a dedup
+operator that has never seen a duplicate is untested).
+
+Scale design:
+- exact dedup: hash-groupBy — one shuffle on the 32-hex md5, uniformly
+  distributed, no skew by construction.
+- MinHash-LSH: signatures are per-row expressions (no shuffle); candidate
+  generation shuffles once on (band, band_signature) — the classic
+  band-bucket join.  Cost is tuned by (k, bands): here 16 hashes / 4 bands
+  of 4 rows ⇒ pairs with Jaccard ~0.9 are caught with high probability
+  while ~0.2-similar pairs almost never collide.
+- n-gram Jaccard: *exact* verification, joined only on shared shingles
+  (candidate pruning), never all-pairs.
+- SimHash: per-row 16-bit signature + hamming-distance candidate join;
+  production width is 64 bit via the Arrow-batched variant below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_array, shingles, simhash16, tokens
+from ..sources import load_table
+
+# SQL fragment shared with the oracles in __spark_entry__.py: the augmented
+# corpus (original ∪ near-copy ∪ exact copy).
+AUGMENTED_DOCS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           array_to_string(
+               (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 3, 1)],
+               ' ')
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text FROM documents
+"""
+
+
+def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus with planted duplicates (see module docstring); must stay
+    expression-for-expression equivalent to ``AUGMENTED_DOCS_SQL``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near_copy = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+    exact_copy = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near_copy).unionByName(exact_copy)
+
+
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    surviving (min) doc_id and the duplicate count.  The planted exact
+    copies make every original's group size ≥ 2."""
+    docs = augmented_documents(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the relational form used by the
+    Jaccard join path."""
+    return docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("shingle")
+    ).distinct()
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ threshold.
+
+    Candidate pruning: only pairs sharing ≥1 shingle are ever compared
+    (a join on the shingle column), so cost is Σ_s freq(s)² — never the
+    all-pairs O(n²).  At 100 TB the further refinement is dropping
+    ultra-frequent shingles (stop-shingles) before the join; the synthetic
+    corpus's 31-word vocabulary actually makes this the skew-heavy case, so
+    the exactness matters more than in natural text.
+    """
+    pairs_src = _doc_shingles(augmented_documents(spark, sf_dir))
+    sizes = pairs_src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = pairs_src.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = pairs_src.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_sh"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_sh"))
+    jacc = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("a_sh") + F.col("b_sh") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jacc.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, minhash array<string>[k]) — per-row expression, no shuffle."""
+    return docs.select(
+        "doc_id",
+        minhash_array(shingles(tokens(F.col("text")), 3), k).alias("mh"),
+    )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the k-hash signature into
+    ``bands`` groups of k/bands rows; documents colliding on any full band
+    signature become candidates.  Output is the distinct candidate pair
+    set (dedup pipelines then verify candidates with exact Jaccard —
+    ``dedup_ngram_jaccard`` is that verifier)."""
+    rows = k // bands
+    sigs = minhash_signatures(augmented_documents(spark, sf_dir), k)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.array_join(
+                        F.slice(F.col("mh"), band * rows + 1, rows), ","
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a = banded.select(F.col("doc_id").alias("a_id"), "band", "sig")
+    b = banded.select(F.col("doc_id").alias("b_id"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: 16-bit portable signature, pairs within
+    ``max_hamming`` bit flips.  The pair join blocks on the signature's
+    high byte (near-identical docs almost always agree there), keeping the
+    comparison set far below all-pairs; the planted near-copies land at
+    hamming 0-2."""
+    docs = augmented_documents(spark, sf_dir)
+    sigs = docs.select("doc_id", simhash16(tokens(F.col("text"))).alias("sh"))
+    # floor, not cast: Spark's double->int cast truncates but DuckDB's
+    # rounds half-even; floor is identical in both (sh >= 0)
+    a = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sh").alias("a_sh"),
+        F.floor(F.col("sh") / 256).alias("blk"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("b_sh"),
+        F.floor(F.col("sh") / 256).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(
+                F.col("a_sh").bitwiseXOR(F.col("b_sh"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Production-width SimHash (Arrow-batched) — the UDF tier.
+# ---------------------------------------------------------------------------
+
+def simhash64_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash via ``mapInPandas``: token-hash sign votes per bit,
+    vectorized with numpy over Arrow batches.  This is the width you would
+    run at 100 TB (16 bits saturate: random docs collide); checked
+    rows-only by the driver since Python's hash loop is not
+    SQL-expressible."""
+    import hashlib
+
+    import numpy as np
+
+    out_schema = "doc_id bigint, simhash64 bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for row_idx, text in enumerate(pdf[text_col].astype(str)):
+                votes = np.zeros(64, dtype=np.int64)
+                for tok in text.lower().split():
+                    digest = hashlib.md5(tok.encode()).digest()[:8]
+                    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                    votes += np.where(bits == 1, 1, -1)
+                packed = np.packbits((votes > 0).astype(np.uint8)).tobytes()
+                # keep within signed int64 for the BIGINT column
+                out[row_idx] = int.from_bytes(packed, "big") & ((1 << 63) - 1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash64": out})
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper (rows-only check) for the 64-bit signatures."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64_pandas(docs)

@@ -1,0 +1,143 @@
+"""Multimodal column plumbing (north-star extension): image/audio/video
+payloads as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas functions over ``mapInPandas``.
+
+The decode step itself is STUBBED — the container has no image/audio
+codecs — behind ``decoder_available()`` / ``FakeDecoder``: the Spark-side
+plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
+and tested; swapping the fake for Pillow/ffmpeg is a one-function change
+on executors.
+
+Scale notes: binary payloads dominate row size, so (a) metadata-only
+queries must never deserialize ``content`` — keep metadata in ordinary
+columns, not inside the blob; (b) ``spark.sql.files.maxPartitionBytes``
+governs scan parallelism for ``binaryFile`` sources; (c) decode fan-out
+should run ``mapInPandas`` with small Arrow batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch``) to bound executor
+memory — 1000 × 10 MB images per batch is an OOM, not a tuning problem.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# Schema for a multimodal asset table: metadata columns first (queryable
+# without touching bytes), payload last.
+ASSET_SCHEMA = (
+    "asset_id bigint, modality string, media_type string, "
+    "width int, height int, duration_ms int, content binary"
+)
+
+
+def decoder_available(modality: str) -> bool:
+    """True when a real codec for ``modality`` is importable on executors."""
+    try:
+        if modality == "image":
+            import PIL  # noqa: F401
+            return True
+        if modality in ("audio", "video"):
+            import av  # noqa: F401
+            return True
+    except ImportError:
+        return False
+    return False
+
+
+class FakeDecoder:
+    """Deterministic stand-in decoder: derives pseudo-features from the
+    byte content so the full pipeline (schema, batching, grouping) runs and
+    is testable without codecs.  Raises for modalities it cannot fake."""
+
+    @staticmethod
+    def image_features(content: bytes) -> tuple[int, int, float]:
+        if content is None:
+            raise NotImplementedError("real image decode requires Pillow on executors")
+        # fake width/height/brightness from byte stats — deterministic
+        n = len(content)
+        width = 16 + (n % 64)
+        height = 16 + ((n // 64) % 64)
+        brightness = (sum(content[:256]) % 256) / 255.0 if n else 0.0
+        return width, height, brightness
+
+
+def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Real pipeline shape: ``mapInPandas`` so each task streams batches —
+    constant memory regardless of table size.  Uses the real decoder when
+    available, the deterministic fake otherwise.
+    """
+    out_schema = "asset_id bigint, width int, height int, brightness double"
+
+    # NOTE: the closure must be fully self-contained — cloudpickle
+    # serializes module-level classes/functions from importable modules by
+    # *reference*, and executors may not have this repo on sys.path when
+    # the driver runs from another cwd.  Nested functions serialize by
+    # value, so the decode logic is duplicated here from
+    # FakeDecoder.image_features (kept in sync by test_multimodal_*).
+    def decode(content: bytes) -> tuple[int, int, float]:
+        if content is None:
+            raise NotImplementedError(
+                "real image decode requires Pillow on executors"
+            )
+        n = len(content)
+        width = 16 + (n % 64)
+        height = 16 + ((n // 64) % 64)
+        brightness = (sum(content[:256]) % 256) / 255.0 if n else 0.0
+        return width, height, brightness
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "brightness": [f[2] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synthetic_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manufacture a multimodal asset table from ``documents`` (the corpus
+    ships no binary fixture): text bytes become the payload, metadata is
+    derived deterministically.  Exercises BinaryType end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: metadata over binary payloads — byte length and
+    content hash — computed entirely JVM-side (never deserializing into
+    Python).  md5 over the bytes equals DuckDB's md5 over the source
+    varchar (both hash the UTF-8 byte sequence)."""
+    assets = synthetic_assets(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (rows-only): the decode/extract pipeline over the
+    synthetic image subset, via the stubbed decoder."""
+    assets = synthetic_assets(spark, sf_dir).filter(F.col("modality") == "image")
+    return extract_image_features(assets)

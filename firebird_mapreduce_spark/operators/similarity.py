@@ -1,0 +1,152 @@
+"""Embedding similarity search (north-star extension): brute-force cosine
+top-k as the exact baseline, IVF-style coarse-bucketed search as the scale
+path, and blocked near-duplicate pair mining.
+
+Design for 100 TB of embeddings:
+- Brute force is the *correctness* baseline — a single pass, no shuffle
+  beyond the final top-k merge (``TakeOrderedAndProject``), but O(N·d) per
+  query.  It is the right tool for one-off queries and for validating ANN
+  recall, not for serving.
+- The IVF variant assigns every vector to its nearest coarse centroid
+  (here: deterministic seed vectors, in production k-means fitted); a query
+  probes only its own bucket — a partition-pruned scan when the table is
+  written partitioned by ``bucket``.  Recall/cost is tuned by #centroids
+  and #probes.
+- All vector math is double-precision sequential folds
+  (``functions.vectors``) rounded to 6 dp before any threshold or ordering,
+  making results reduction-order-independent and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..sources import load_table
+
+# Fixed query vector owner + result size for the declared queries.
+QUERY_VEC_ID = 0
+TOP_K = 10
+N_CENTROIDS = 10
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    The query vector is baked into the plan as an array literal (the
+    broadcast-a-scalar pattern); ordering ties broken by id so the result
+    is deterministic."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """Fetch one embedding to use as the query (driver-side, one row)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return list(row["embedding"])
+
+
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: exact top-10 most-similar vectors to vec_id 0's
+    embedding (excluding itself)."""
+    query = _query_vector(spark, sf_dir, QUERY_VEC_ID)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    return cosine_topk(emb, query, TOP_K)
+
+
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: centroids are the embeddings of vec_id 0..9
+    (deterministic stand-in for k-means — same plumbing, reproducible for
+    the oracle).  Every vector is assigned to its max-cosine centroid; the
+    query probes only the bucket its own nearest centroid owns.
+
+    At scale: the assignment is a broadcast join against the (tiny)
+    centroid set + per-row argmax — no shuffle; the probe is a
+    partition-pruned scan if data is laid out bucketed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    # broadcast the centroid set; argmax by (sim, -c_id) via max_by struct
+    assigned = (
+        emb.join(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "c_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("c_vec")), 6).alias(
+                "c_sim"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("c_id"), F.struct(F.col("c_sim"), (-F.col("c_id")).alias("nid"))
+            ).alias("bucket"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    query_vec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    query_bucket = (
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select("bucket").first()[0]
+    )
+    probed = assigned.filter(
+        (F.col("bucket") == query_bucket) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    return (
+        probed.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked near-duplicate mining: the 50 most-similar vector pairs
+    within each ``label`` block would be all-pairs at corpus scale; the
+    label acts as the coarse partition (IVF bucket / LSH band stand-in), so
+    comparisons stay within blocks — Σ_b |b|² instead of N²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+    )
+    b = emb.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity(F.col("a_vec"), F.col("b_vec")), 6).alias("sim"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("sim").desc(), F.col("a_id").asc(), F.col("b_id").asc()
+    ).limit(50)

@@ -1,0 +1,171 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension, SURVEY §2.C): length/quality statistics, token counting,
+language identification, document fingerprinting.
+
+The reference's only text-adjacent surface is "arbitrary C++ in map()";
+the canonical MapReduce word_count is its integer twin ``number_count``
+(``/root/reference/sample_apps/number_count/main.cpp:8-21``).  Everything
+here is expressed with built-in string/array functions so it runs inside
+whole-stage codegen — at 100 TB a row-at-a-time Python UDF on a text column
+is the single most common pipeline mistake, costing 10-100× (see
+``lang_id_chargram_pandas`` for the sanctioned Arrow-batched escape hatch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import shingles, tokens
+from ..sources import load_table
+
+# Small stopword list shared by quality scoring and the oracle SQL.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (count, exact char sums/averages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("_sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("_sum_chars").alias("sum_chars"),
+        (F.col("_sum_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+        "min_chars",
+        "max_chars",
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per document: whitespace tokens plus a BPE-ish
+    regex token count (letter runs / digit runs / single punctuation — the
+    pre-merge word-split BPE tokenizers start from)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(lowered, " ")).alias("ws_tokens"),
+        F.regexp_count(lowered, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document from length / stopword /
+    punctuation signals (the classic pre-training corpus filter shape).
+
+    All inputs to the score are exact integers; the score itself is a fixed
+    arithmetic expression over them evaluated in identical order on the
+    oracle side, then rounded to 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    lowered = F.lower(F.col("text"))
+    punct_cnt = F.length(lowered) - F.length(
+        F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    )
+    stop_ratio = stop_cnt.cast("double") / n_tok
+    punct_ratio = punct_cnt.cast("double") / F.length(lowered)
+    length_score = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
+    score = F.round(
+        length_score * 0.4 + stop_ratio * 0.4 + (F.lit(1.0) - punct_ratio) * 0.2, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_cnt.alias("stopword_cnt"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (SQL-expressible tier): predicts from
+    function-word presence.  The synthetic corpus is English-ish regardless
+    of its ``lang`` label, so the interesting output is the deterministic
+    prediction, not label recovery.  The real-world-grade char-n-gram
+    classifier is ``lang_id_chargram_pandas`` below (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    pred = (
+        F.when(padded.contains(" the ") | padded.contains(" and "), "en")
+        .when(padded.contains(" le ") | padded.contains(" la "), "fr")
+        .when(padded.contains(" der ") | padded.contains(" und "), "de")
+        .otherwise("und")
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over word
+    3-gram shingles — a content-defined signature stable under reordering
+    of unrelated documents and usable as a cheap near-dup prefilter
+    (full scheme: keep the min hash per sliding window; the global min is
+    its 1-window degenerate form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), 3)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched escape hatch (the engine's `map()` equivalent for logic that
+# genuinely needs Python) — char-n-gram language scoring.
+# ---------------------------------------------------------------------------
+
+_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of "),
+    "fr": (" le", "le ", " de", "de ", "es ", " la", "la ", "ent"),
+    "de": (" de", "der", "er ", " un", "und", "nd ", "ich", "ein"),
+}
+
+
+def lang_id_chargram_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Char-trigram profile scoring via ``mapInPandas`` (Arrow batches;
+    vectorized pandas ``str.count`` — never row-at-a-time Python).
+
+    Demonstrates the sanctioned UDF tier for logic beyond SQL expressions;
+    checked rows-only by the driver since the scoring loop is not
+    SQL-expressible.
+    """
+    out_schema = "doc_id bigint, lang_pred string, score double"
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            padded = " " + pdf[text_col].str.lower() + " "
+            best_lang = pd.Series("und", index=pdf.index)
+            best_score = pd.Series(0.0, index=pdf.index)
+            for lang, grams in _PROFILES.items():
+                score = sum(padded.str.count(g) for g in grams).astype("float64")
+                better = score > best_score
+                best_lang = best_lang.where(~better, lang)
+                best_score = best_score.where(~better, score)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang_pred": best_lang,
+                    "score": best_score,
+                }
+            )
+
+    return df.mapInPandas(score_batches, schema=out_schema)
+
+
+def lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper for the pandas char-n-gram classifier."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_id_chargram_pandas(docs)

@@ -1,0 +1,111 @@
+"""Unit tests for the LLM-pipeline operators (dedup / similarity / text /
+multimodal) beyond the driver's oracle checks: planted-duplicate recall,
+signature properties, and the stubbed multimodal pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firebird_mapreduce_spark.functions.hashing import shingles, tokens
+from firebird_mapreduce_spark.operators import dedup as D
+from firebird_mapreduce_spark.operators import multimodal as M
+from firebird_mapreduce_spark.operators import similarity as S
+from firebird_mapreduce_spark.operators import text as T
+from tests.conftest import SF_SMOKE
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",)], "text string"
+    ).select(shingles(tokens(F.col("text")), 3).alias("sh"))
+    rows = [r["sh"] for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []  # fewer than n tokens -> empty, not [1,0]-descending
+    assert rows[2] == []
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    result = D.dedup_exact_hash(spark, SF_SMOKE)
+    counts = result.groupBy("dup_cnt").count().collect()
+    by_cnt = {r["dup_cnt"]: r["count"] for r in counts}
+    # every original has an exact copy planted, so exactly 500 groups have
+    # dup_cnt >= 2 (one group reaches 3: a near-copy that happens to equal
+    # another document's text); near-copies otherwise hash alone
+    assert sum(n for cnt, n in by_cnt.items() if cnt >= 2) == 500
+    assert all(r["keep_id"] < 200000 for r in result.collect())
+
+
+def test_jaccard_finds_near_copies(spark):
+    pairs = D.dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    found = {(r["a_id"], r["b_id"]) for r in pairs}
+    # original <-> exact copy is jaccard 1.0; original <-> near copy high
+    assert (0, 200000) in found
+    exact_pairs = [p for p in pairs if p["b_id"] == p["a_id"] + 200000]
+    assert all(p["jaccard"] == 1.0 for p in exact_pairs)
+    near_pairs = [p for p in pairs if p["b_id"] == p["a_id"] + 100000]
+    assert len(near_pairs) >= 450  # dropped-3-token copies stay above 0.6
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark):
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in D.dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    # exact copies have identical signatures -> always candidates
+    exact_recall = sum(1 for d in range(500) if (d, d + 200000) in cands) / 500
+    assert exact_recall == 1.0
+    # near copies: high jaccard -> banding should catch a strong majority
+    near_recall = sum(1 for d in range(500) if (d, d + 100000) in cands) / 500
+    assert near_recall > 0.6
+
+
+def test_simhash_planted_dups_zero_hamming(spark):
+    pairs = D.dedup_simhash(spark, SF_SMOKE).collect()
+    ham = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs}
+    assert ham.get((0, 200000)) == 0  # identical text -> identical signature
+    near_hits = [h for (a, b), h in ham.items() if b == a + 100000]
+    assert len(near_hits) >= 400  # near copies mostly within hamming 3
+
+
+def test_simhash64_properties(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz qqq xxx www")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["simhash64"] for r in D.simhash64_pandas(docs).collect()}
+    assert rows[1] == rows[2]  # deterministic: same text -> same signature
+    assert rows[1] != rows[3]
+    assert all(0 <= v < 2**63 for v in rows.values())
+
+
+def test_knn_vs_ivf_same_bucket_consistency(spark):
+    exact = [r["vec_id"] for r in S.embedding_knn(spark, SF_SMOKE).collect()]
+    ivf = [r["vec_id"] for r in S.embedding_knn_ivf(spark, SF_SMOKE).collect()]
+    assert len(exact) == 10
+    # IVF probes one bucket: its results are a subset of the full corpus
+    # ranking restricted to that bucket — every IVF hit must appear in the
+    # exact ranking of its own bucket; sanity: both contain vec_id>0 only
+    assert all(v != 0 for v in exact + ivf)
+
+
+def test_lang_id_chargram_runs_vectorized(spark):
+    out = T.lang_id_chargram(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert {r["lang_pred"] for r in rows} <= {"en", "fr", "de", "und"}
+
+
+def test_multimodal_pipeline_stub(spark):
+    feats = M.image_features(spark, SF_SMOKE).collect()
+    assert len(feats) > 100
+    assert all(16 <= r["width"] < 80 and 16 <= r["height"] < 80 for r in feats)
+    # deterministic fake: same input -> same features
+    feats2 = M.image_features(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_multimodal_decoder_gate():
+    assert M.decoder_available("image") is False  # no PIL in container
+    with pytest.raises(NotImplementedError):
+        M.FakeDecoder.image_features(None)
