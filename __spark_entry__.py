@@ -308,12 +308,18 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(range(1, greatest(len(tk) - 1, 1)),
                                       i -> array_to_string(tk[i:i+2], ' ')) AS shl
                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs)),
+            hs AS (
+                SELECT doc_id,
+                       list_transform(shl, s ->
+                           md5('0|' || s) || md5('1|' || s)
+                           || md5('2|' || s) || md5('3|' || s)) AS hm
+                FROM sh),
             mh AS (
                 SELECT doc_id,
                        list_transform(range(0, 16),
-                           i -> list_min(list_transform(shl,
-                                s -> md5(i::VARCHAR || '|' || s)))) AS sig
-                FROM sh),
+                           j -> list_min(list_transform(hm,
+                                h -> substr(h, j * 8 + 1, 8)))) AS sig
+                FROM hs),
             banded AS (
                 SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bsig
                 FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS b))

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries execute to a ``noop`` sink — full computation, no driver
+materialization cost — after an untimed warmup query that absorbs JVM/
+codegen startup.  Per-query seconds are wall-clock medians of ``RUNS``
+runs (default 1; the driver wants cheap rounds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from firebird_mapreduce_spark.session import get_session  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Headline set: one per operator family — scan+agg, joins (shuffle,
+# broadcast, range, as-of), window, top-k, text/flatMap, dedup (hash, LSH,
+# jaccard), similarity, iteration, time bucketing.
+HEADLINE = [
+    "group_sum_avg",
+    "group_count",
+    "filter_predicate",
+    "reduce_side_join",
+    "broadcast_join",
+    "semi_anti_join",
+    "range_join_sessionize",
+    "asof_purchase_prior_click",
+    "window_rank",
+    "topk_orders",
+    "tumbling_window_count",
+    "word_count",
+    "doc_fingerprint",
+    "text_quality",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_knn",
+    "embedding_neardup_topk",
+    "sssp_fixpoint",
+]
+
+
+def run_query(df) -> None:
+    """Force full execution without collecting to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_session("firebird-mapreduce-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # warmup: spin up executors + codegen on a small query (untimed)
+    run_query(queries["group_count"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        samples = []
+        for _ in range(runs):
+            start = time.perf_counter()
+            run_query(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - start)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5,13 +5,12 @@ UDFs in hot paths).
 - ``vectors`` — double-precision cosine/dot/norm over ``array<float>``.
 """
 
-from .hashing import minhash_array, shingles, simhash16, tokens
+from .hashing import shingles, simhash16, tokens
 from .vectors import cosine_similarity, dot, l2_norm
 
 __all__ = [
     "tokens",
     "shingles",
-    "minhash_array",
     "simhash16",
     "dot",
     "l2_norm",

@@ -45,22 +45,14 @@ def shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_array(shingle_col: Column, k: int = 16) -> Column:
-    """k MinHash values: for seed i, ``min(md5(i || '|' || shingle))``.
-
-    md5 hex strings compare lexicographically identically in Spark and
-    DuckDB, so the signature is engine-independent.  Empty shingle sets
-    yield an array of NULLs.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
-        ),
-    )
+# NOTE on MinHash: the signature computation lives in
+# ``operators.dedup.minhash_signatures`` as a relational explode -> md5
+# projection -> groupBy-min pipeline rather than an array-lambda expression
+# here.  Reason: md5 inside a higher-order function runs on the interpreted
+# expression path (HOFs never enter whole-stage codegen) and Catalyst
+# re-inlines lambda-referenced projections, which made the expression form
+# 5-10x slower at sf0.1.  Lexicographic min over 8-hex slices is
+# engine-portable (identical in DuckDB SQL).
 
 
 _HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")

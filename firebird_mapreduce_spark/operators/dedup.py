@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import minhash_array, shingles, simhash16, tokens
+from ..functions.hashing import shingles, simhash16, tokens
 from ..sources import load_table
 
 # SQL fragment shared with the oracles in __spark_entry__.py: the augmented
@@ -131,10 +131,36 @@ def dedup_ngram_jaccard(
 
 
 def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
-    """(doc_id, minhash array<string>[k]) — per-row expression, no shuffle."""
-    return docs.select(
+    """(doc_id, minhash array<string>[k]).
+
+    Shape chosen for codegen, not elegance: md5 inside an array lambda runs
+    on the *interpreted* expression path (higher-order functions never enter
+    whole-stage codegen) and Catalyst re-inlines multi-referenced lambda
+    projections, so the per-seed-lambda formulation cost 28-70 s at sf0.1.
+    Exploding shingles first makes the ``k/4`` md5 calls a flat projection
+    (codegen, ~10x faster) and the per-seed mins a partially-aggregated
+    groupBy — each doc is reduced map-side before the one shuffle.
+    """
+    n_md5 = k // 4
+    exploded = docs.select(
         "doc_id",
-        minhash_array(shingles(tokens(F.col("text")), 3), k).alias("mh"),
+        F.explode_outer(shingles(tokens(F.col("text")), 3)).alias("s"),
+    )
+    # one row per (doc, shingle): n_md5 seeded md5s -> 32*n_md5 hex chars
+    material = exploded.select(
+        "doc_id",
+        F.concat(
+            *[F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))) for i in range(n_md5)]
+        ).alias("hm"),
+    )
+    mins = material.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("hm"), j * 8 + 1, 8)).alias(f"_h{j}")
+            for j in range(k)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"_h{j}" for j in range(k)]).alias("mh")
     )
 
 
@@ -147,6 +173,9 @@ def dedup_minhash_lsh(
     set (dedup pipelines then verify candidates with exact Jaccard —
     ``dedup_ngram_jaccard`` is that verifier)."""
     rows = k // bands
+    # the groupBy inside minhash_signatures is a natural materialization
+    # barrier, so the band slices below reference the tiny signature array,
+    # never the md5 computation
     sigs = minhash_signatures(augmented_documents(spark, sf_dir), k)
     banded = sigs.select(
         "doc_id",

@@ -63,12 +63,19 @@ def sssp(
         F.col("dst").cast("int"),
         F.col("weight").cast("double"),
     )
-    distances = spark.createDataFrame(
-        [(source, 0.0)], "node INT, dist DOUBLE"
+    # single state DataFrame: (node, dist, improved-last-iteration).  One
+    # eager checkpoint per iteration materializes the new state AND truncates
+    # lineage; the frontier is just a filter over it, so each iteration costs
+    # two Spark jobs (state materialization + emptiness probe) instead of the
+    # three a separate frontier/distances design needs.
+    state = spark.createDataFrame(
+        [(source, 0.0, True)], "node INT, dist DOUBLE, improved BOOLEAN"
     ).localCheckpoint(eager=True)
-    frontier = distances
 
     for _ in range(max_iterations):
+        frontier = state.filter("improved").select("node", "dist")
+        if frontier.isEmpty():
+            break
         # map phase: relax all out-edges of the frontier.  The frontier is
         # typically tiny relative to edges — broadcast it so the big edge
         # table never shuffles.
@@ -82,23 +89,22 @@ def sssp(
         )
         # reduce phase: min candidate per node (map-side partial min free)
         best = candidates.groupBy("node").agg(F.min("cand").alias("cand"))
-        # keep only strict improvements over current knowledge
-        improved = (
-            best.join(distances, "node", "left")
-            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
-            .select("node", F.col("cand").alias("dist"))
+        # merge candidates into the state; least() skips NULLs, so nodes
+        # without candidates keep their distance and fresh nodes adopt cand
+        state = (
+            state.select("node", "dist")
+            .join(best, "node", "full")
+            .select(
+                "node",
+                F.least("dist", "cand").alias("dist"),
+                (
+                    F.col("cand").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+                ).alias("improved"),
+            )
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
-            break
-        distances = (
-            distances.unionByName(improved)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        frontier = improved
-    return distances
+    return state.select("node", "dist")
 
 
 def derived_nation_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,129 @@
+"""Streaming jobs: file-source event stream, windowed aggregations, and a
+custom stateful operator via ``applyInPandasWithState`` (the streaming
+analogue of the reference's user-defined ``reduce``,
+``/root/reference/firebird.h:249``).
+
+Scale notes: these jobs run identically against Kafka/file sources on a
+cluster; watermarks bound state (an unwatermarked windowed agg leaks state
+forever), ``availableNow`` gives the batch-replay mode used in tests, and
+state-heavy operators should run on RocksDB state store in production
+(``spark.sql.streaming.stateStore.providerClass``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events schema as stored (ts is nanos-int64 in the parquet; converted on
+# read exactly like sources.readers.load_table does for batch)
+_EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file stream — same rows the batch path sees,
+    same nanos→timestamp conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a *directory*; glob-filter the one
+    # table out of the corpus dir instead of pointing at the file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def group_count_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``relational.group_count`` — byte-for-byte the
+    same transformation, now over an unbounded source."""
+    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def tumbling_window_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``relational.tumbling_window_count``; the
+    watermark lets Spark drop state for windows more than 2 hours behind
+    the max seen event time (late data beyond that is discarded)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("hour_start"), "cnt")
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows: activity bursts per user separated by ``gap`` of
+    silence — the dynamic-window shape tumbling windows can't express."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def user_running_counts_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user event counter carried across micro-batches — arbitrary user
+    state the built-in aggregations can't hold (the streaming form of the
+    reference's mutable per-key reduce state, re-expressed as explicit
+    managed state instead of shared memory)."""
+    out_schema = "user_id bigint, total_events bigint"
+    state_schema = "total bigint"
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in batches:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+    return (
+        events.select("user_id", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the available data
+    (``availableNow`` trigger) into an in-memory table and return it as a
+    batch DataFrame — the test/replay harness for streaming jobs."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,59 @@
+"""Scale-posture plan audits: assert Catalyst actually produces the plans
+the operators were designed for (pushdown, pruning, broadcast, bounded
+shuffles).  A silently de-optimized plan is a 10x regression at 100 TB."""
+
+from __future__ import annotations
+
+from firebird_mapreduce_spark.operators import relational as R
+from firebird_mapreduce_spark.plans import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    has_pushed_filter,
+    plan_string,
+    read_schema_columns,
+    wholestage_codegen_count,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = R.filter_predicate(spark, SF_SMOKE)
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = R.scan_project(spark, SF_SMOKE)
+    schemas = read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"r_regionkey", "r_name"}
+    # Q1 shape reads only the 7 needed columns of lineitem's 11
+    q1 = R.group_sum_avg(spark, SF_SMOKE)
+    (q1_cols,) = read_schema_columns(q1)
+    assert "l_orderkey" not in q1_cols and "l_shipdate" not in q1_cols
+
+
+def test_small_dim_join_broadcasts(spark):
+    df = R.broadcast_join(spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+    assert count_exchanges(df) == 0  # no shuffle of either side
+
+
+def test_aggregate_is_partial_then_final(spark):
+    df = R.group_count(spark, SF_SMOKE)
+    plan = plan_string(df, "simple")
+    # two HashAggregates around one exchange = map-side combine present
+    # (the upgrade over the reference's no-combiner design, firebird.h:42)
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) == 1
+
+
+def test_q1_single_shuffle_and_codegen(spark):
+    df = R.group_sum_avg(spark, SF_SMOKE)
+    assert count_exchanges(df) == 1  # groupBy only; no extra repartitions
+    # AQE shows codegen spans only on the finalized plan — execute first
+    df.collect()
+    assert wholestage_codegen_count(df) >= 1
+
+
+def test_topk_uses_take_ordered(spark):
+    df = R.topk_orders(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
