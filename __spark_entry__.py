@@ -19,11 +19,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from firebird_mapreduce_spark.mapreduce import mapreduce_group_count
 from firebird_mapreduce_spark.operators import dedup as D
 from firebird_mapreduce_spark.operators import graph as G
 from firebird_mapreduce_spark.operators import multimodal as M
 from firebird_mapreduce_spark.operators import relational as R
 from firebird_mapreduce_spark.operators import similarity as S
+from firebird_mapreduce_spark.operators import skew as K
 from firebird_mapreduce_spark.operators import text as T
 
 
@@ -49,15 +51,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": R.distinct_dedup,
         "rollup_revenue": R.rollup_revenue,
         "approx_distinct_users": R.approx_distinct_users,
+        # user-defined map/reduce escape hatch + skew mitigation
+        "mapreduce_group_count": mapreduce_group_count,
+        "salted_group_count": K.salted_group_count,
         # joins
         "reduce_side_join": R.reduce_side_join,
+        "left_outer_join": R.left_outer_join,
+        "full_outer_join": R.full_outer_join,
         "broadcast_join": R.broadcast_join,
         "semi_anti_join": R.semi_anti_join,
         "range_join_sessionize": R.range_join_sessionize,
         "asof_purchase_prior_click": R.asof_purchase_prior_click,
         # sort / top-k / window / time bucketing
         "topk_orders": R.topk_orders,
+        "argmax_order_per_cust": R.argmax_order_per_cust,
         "window_rank": R.window_rank,
+        "window_lag_lead": R.window_lag_lead,
+        "window_moving_avg": R.window_moving_avg,
         "tumbling_window_count": R.tumbling_window_count,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
@@ -142,9 +152,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cnt
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "mapreduce_group_count": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type
+        """,
+        "salted_group_count": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type
+        """,
         "reduce_side_join": """
             SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "left_outer_join": """
+            SELECT c_custkey, o_orderkey, o_totalprice
+            FROM customer LEFT JOIN
+                 (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+              ON o.o_custkey = c_custkey
+        """,
+        "full_outer_join": """
+            WITH e AS (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY user_id),
+                 o AS (SELECT o_custkey AS uid, CAST(count(*) AS BIGINT) AS n_orders
+                       FROM orders GROUP BY o_custkey)
+            SELECT COALESCE(e.uid, o.uid) AS uid, n_events, n_orders
+            FROM e FULL OUTER JOIN o ON e.uid = o.uid
         """,
         "broadcast_join": """
             SELECT n_nationkey, n_name, r_name
@@ -181,6 +213,30 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "argmax_order_per_cust": """
+            SELECT o_custkey, top_orderkey, top_price FROM (
+                SELECT o_custkey, o_orderkey AS top_orderkey,
+                       max(o_totalprice) OVER (PARTITION BY o_custkey) AS top_price,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                FROM orders)
+            WHERE rn = 1
+        """,
+        "window_lag_lead": """
+            SELECT event_id, user_id,
+                   lag(event_type, 1) OVER w AS prev_type,
+                   lead(event_type, 1) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "window_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+            FROM events
         """,
         "window_rank": """
             SELECT o_custkey, o_orderkey, rn FROM (

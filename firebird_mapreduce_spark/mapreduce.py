@@ -131,6 +131,38 @@ def map_only(
     return df.mapInPandas(_map, schema=map_schema)
 
 
+def mapreduce_group_count(spark, sf_dir: str) -> DataFrame:
+    """Declared query: the reference's ``number_count`` program written
+    against the user-defined map/reduce API (not the relational shortcut),
+    proving the escape hatch end-to-end — map multi-emits ``(key, 1)``
+    records from each Arrow chunk (the ``emit_intermediate`` pattern,
+    ``/root/reference/firebird.h:239-242``), reduce folds one key's group
+    and emits a single count row (``number_count/main.cpp:15-20``).
+
+    ``count()`` here counts the grouped rows exactly as the reference
+    counts its value list (``sum++`` per element), not a sum of values.
+    """
+    from .sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+
+    def map_fn(chunk: pd.DataFrame):
+        for value in chunk["event_type"]:
+            yield {"event_type": value, "one": 1}
+
+    def reduce_fn(key: tuple, group: pd.DataFrame):
+        yield {"event_type": key[0], "cnt": len(group)}
+
+    return map_reduce(
+        events.select("event_type"),
+        map_fn,
+        "event_type string, one int",
+        ["event_type"],
+        reduce_fn,
+        "event_type string, cnt long",
+    )
+
+
 def count_by_key(df: DataFrame, *key_cols: str) -> DataFrame:
     """The reference's ``number_count`` sample as a one-liner: map emits
     ``(value, 1)`` and reduce counts the group

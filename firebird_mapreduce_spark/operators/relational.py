@@ -305,6 +305,85 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort / top-k / window  (§2.C rows)
 # ---------------------------------------------------------------------------
 
+def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with empty-side handling (§2.C outer-join row):
+    every customer with their high-value orders (> 300k), order columns
+    NULL for customers that have none — the reduce-side join variant where
+    an empty right bucket still emits.  (Restricted to high-value orders
+    because at every SF all customers have *some* order; unrestricted,
+    the NULL path would never execute and the query would not actually
+    test outer semantics.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two aggregated views: per-user event activity
+    vs per-customer order totals — rows survive from either side."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return events.join(orders, "uid", "full").select("uid", "n_events", "n_orders")
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window functions: previous and next event type per user in
+    time order (deterministic via the event_id tiebreak)."""
+    events = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type", 1).over(win).alias("prev_type"),
+        F.lead("event_type", 1).over(win).alias("next_type"),
+    )
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate: average of the last 3 event values per user
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), the running-state-in-reduce
+    MapReduce pattern as a one-shuffle window."""
+    events = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(win), 6).alias("moving_avg"),
+    )
+
+
+def argmax_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max without a self-join: each customer's most expensive order
+    via ``max_by`` over a (price, key) struct — one aggregation, no window,
+    no join; the struct tiebreak keeps it deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by(
+            F.col("o_orderkey"),
+            F.struct(F.col("o_totalprice"), F.col("o_orderkey")),
+        ).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: per-partition local top-k then a single k-merge —
     Spark's ``TakeOrderedAndProject`` does exactly the MapReduce local-top-k

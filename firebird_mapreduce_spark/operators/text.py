@@ -115,10 +115,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full scheme: keep the min hash per sliding window; the global min is
     its 1-window degenerate form)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(tokens(F.col("text")), 3)
-    return docs.select(
-        "doc_id",
-        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    # explode -> flat md5 projection -> groupBy-min: keeps md5 inside
+    # whole-stage codegen; md5 inside an array lambda runs interpreted
+    # (see operators.dedup.minhash_signatures for the measured difference)
+    exploded = docs.select(
+        "doc_id", F.explode_outer(shingles(tokens(F.col("text")), 3)).alias("s")
+    )
+    return exploded.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("s"))).alias("fingerprint")
     )
 
 

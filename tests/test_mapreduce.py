@@ -1,0 +1,113 @@
+"""Tests for the user-defined map/reduce escape hatch — the engine's
+successor to the reference's virtual-function API (firebird.h:248-249)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firebird_mapreduce_spark.mapreduce import (
+    count_by_key,
+    iterate_until_fixpoint,
+    map_only,
+    map_reduce,
+)
+from firebird_mapreduce_spark.operators import skew as K
+from tests.conftest import SF_SMOKE
+
+
+def test_map_reduce_multi_emit_wordcount(spark):
+    """flatMap-style multi-emit map (A2) + multi-row reduce (A5)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id bigint, text string"
+    )
+
+    def map_fn(chunk):
+        for text in chunk["text"]:
+            for tok in text.split():
+                yield {"token": tok, "one": 1}
+
+    def reduce_fn(key, group):
+        yield {"token": key[0], "cnt": len(group)}
+
+    out = map_reduce(
+        docs, map_fn, "token string, one int", ["token"], reduce_fn,
+        "token string, cnt long",
+    )
+    assert {(r["token"], r["cnt"]) for r in out.collect()} == {
+        ("a", 2), ("b", 2), ("c", 1),
+    }
+
+
+def test_map_reduce_empty_emit(spark):
+    """A map that emits nothing for some chunks must not break batching."""
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int").repartition(8)
+
+    def map_fn(chunk):
+        for v in chunk["v"]:
+            if v % 50 == 0:
+                yield {"k": v % 2, "v": v}
+
+    def reduce_fn(key, group):
+        yield {"k": key[0], "total": int(group["v"].sum())}
+
+    out = map_reduce(df, map_fn, "k int, v int", ["k"], reduce_fn, "k int, total long")
+    assert {(r["k"], r["total"]) for r in out.collect()} == {(0, 50)}
+
+
+def test_map_only_flatmap(spark):
+    df = spark.createDataFrame([("x y",)], "s string")
+    out = map_only(
+        df,
+        lambda chunk: (
+            {"tok": t} for s in chunk["s"] for t in s.split()
+        ),
+        "tok string",
+    )
+    assert sorted(r["tok"] for r in out.collect()) == ["x", "y"]
+
+
+def test_count_by_key_matches_sql(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    out = {(r["k"], r["count"]) for r in count_by_key(df, "k").collect()}
+    assert out == {(1, 2), (2, 1)}
+
+
+def test_iterate_until_fixpoint_terminates(spark):
+    """Halving working set: 64 -> 32 -> ... -> empty."""
+    init = spark.createDataFrame([(i,) for i in range(64)], "v int")
+
+    def step(df):
+        return df.filter(F.col("v") % 2 == 0).select((F.col("v") / 2).cast("int").alias("v"))
+
+    final = iterate_until_fixpoint(step, init, max_iterations=20)
+    assert final.count() >= 1  # last non-empty set is returned
+
+
+def test_salted_agg_equals_plain(spark):
+    from firebird_mapreduce_spark.sources import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r["event_type"], r["cnt"], r["vmin"])
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("value").alias("vmin"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"], r["cnt"], r["vmin"])
+        for r in K.salted_agg(
+            events.select("event_type", "value"),
+            ["event_type"],
+            {"cnt": ("event_type", "count"), "vmin": ("value", "min")},
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_collect_list_complete(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", 1)], "k string, v int"
+    )
+    out = {r["k"]: sorted(r["v_list"]) for r in K.salted_collect_list(df, ["k"], "v").collect()}
+    assert out["a"] == list(range(100))
+    assert out["b"] == [1]
