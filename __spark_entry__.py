@@ -71,6 +71,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_count": R.tumbling_window_count,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
+        "connected_components": G.connected_components_query,
+        # grouping lattice / theta join / UDAF
+        "cube_revenue": R.cube_revenue,
+        "bucketed_theta_join": R.bucketed_theta_join,
+        "grouped_agg_udaf": R.grouped_agg_udaf,
         # set ops / scalar functions
         "set_ops_customers": R.set_ops_customers,
         "scalar_functions": R.scalar_functions,
@@ -253,6 +258,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "sssp_fixpoint": G.SSSP_ORACLE_SQL,
+        "connected_components": G.CONNECTED_COMPONENTS_ORACLE_SQL,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "bucketed_theta_join": """
+            SELECT DISTINCT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+             AND abs(a.s_acctbal - b.s_acctbal) <= 250.0
+        """,
+        "grouped_agg_udaf": """
+            SELECT e.event_type, round(avg(abs(e.value - m.mv)), 6) AS value_mad
+            FROM events e
+            JOIN (SELECT event_type, avg(value) AS mv
+                  FROM events GROUP BY event_type) m USING (event_type)
+            GROUP BY e.event_type
+        """,
         "set_ops_customers": """
             SELECT custkey, 'both' AS tag FROM (
                 SELECT c_custkey AS custkey FROM customer

@@ -142,6 +142,92 @@ def sssp_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    spark: SparkSession, edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint — the
+    second consumer of the iterative harness (same state-with-improved-flag
+    shape as ``sssp``): every node starts labeled with itself; each round
+    nodes adopt the smallest label among themselves and their neighbors;
+    converged when no label changes.  Returns ``(node, component)`` where
+    component is the smallest node id in the component.
+
+    Rounds needed = graph diameter; the large-graph refinement is
+    large-star/small-star (alternating pointer-doubling), which cuts rounds
+    to O(log n) — same dataflow primitives, so the harness carries over.
+    """
+    edges = edges.select(F.col("src").cast("int"), F.col("dst").cast("int"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    state = nodes.select(
+        "node", F.col("node").alias("lbl"), F.lit(True).alias("improved")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        frontier = state.filter("improved").select("node", "lbl")
+        if frontier.isEmpty():
+            break
+        msgs = (
+            F.broadcast(frontier)
+            .join(edges, frontier.node == edges.src, "inner")
+            .select(F.col("dst").alias("node"), F.col("lbl").alias("cand"))
+        )
+        best = msgs.groupBy("node").agg(F.min("cand").alias("cand"))
+        state = (
+            state.select("node", "lbl")
+            .join(best, "node", "left")
+            .select(
+                "node",
+                F.least("lbl", "cand").alias("lbl"),
+                (F.col("cand").isNotNull() & (F.col("cand") < F.col("lbl"))).alias(
+                    "improved"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", F.col("lbl").alias("component"))
+
+
+def derived_component_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately *disconnected* graph from the nation table: edges
+    ``(n, (n+5) mod 25)`` link only nations of equal residue mod 5 — five
+    5-cycles, so the expected components are the residue classes.  (The
+    SSSP ring graph is connected, which would make a components query
+    vacuous: one giant component proves nothing.)"""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n")
+    )
+    edges = nation.select(
+        F.col("n").alias("src"), ((F.col("n") + 5) % 25).alias("dst")
+    )
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: components of the residue-class graph."""
+    return connected_components(spark, derived_component_graph(spark, sf_dir))
+
+
+CONNECTED_COMPONENTS_ORACLE_SQL = """
+WITH RECURSIVE
+edges AS (
+    SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation),
+und AS (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT CAST(node AS INT) AS node, CAST(min(lbl) AS INT) AS component
+FROM reach GROUP BY node
+"""
+
+
 # DuckDB oracle for sssp_fixpoint: bounded-distance recursive relaxation.
 # UNION (distinct) dedups (node, dist) states; the dist < 60 bound keeps
 # cycle-extended paths finite.  Exact on integer-valued doubles.

@@ -20,6 +20,7 @@ SQL does the identical cast sequence.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (module-level so pandas_udf type hints resolve under `from __future__ import annotations`)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -144,6 +145,81 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # joins  (§2.C join rows)
 # ---------------------------------------------------------------------------
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations in
+    one pass — the multi-emit-of-coarser-keys MapReduce pattern taken to
+    its full lattice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(price).alias("_sp"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sp").cast("double").alias("sum_price"),
+            "cnt",
+        )
+    )
+
+
+def bucketed_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (band) join via bucketization — the classic MapReduce
+    theta-join technique (map each row to coarse buckets, verify the exact
+    predicate reduce-side).  Pairs of suppliers whose account balances are
+    within 250.0 of each other: bucket by floor(bal/250); a pair within the
+    band is always in the same or adjacent bucket, so joining each left row
+    to buckets {b-1, b, b+1} (explode of 3) + exact verify finds every pair
+    while the shuffle stays keyed — never a cartesian product.  At 100 TB
+    the bucket width trades replication factor against verify selectivity.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    width = 250.0
+    a = supplier.select(
+        F.col("s_suppkey").alias("a_id"),
+        F.col("s_acctbal").alias("a_bal"),
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / width) - 1,
+                F.floor(F.col("s_acctbal") / width),
+                F.floor(F.col("s_acctbal") / width) + 1,
+            )
+        ).alias("bkt"),
+    )
+    b = supplier.select(
+        F.col("s_suppkey").alias("b_id"),
+        F.col("s_acctbal").alias("b_bal"),
+        F.floor(F.col("s_acctbal") / width).alias("bkt"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_bal") - F.col("b_bal")) <= width)
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate (UDAF tier): per-event-type mean absolute
+    deviation of ``value``, via a pandas GROUPED_AGG UDF — an aggregate the
+    built-in catalog lacks.  Arrow-batched; one value per group.  Rounded
+    to 6 dp so numpy's pairwise summation and the oracle's sequential sum
+    agree."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(values: pd.Series) -> float:
+        return float((values - values.mean()).abs().mean())
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(mad("value"), 6).alias("value_mad")
+    )
+
 
 def reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic reduce-side equi-join (tag records by source, group by key,
