@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sum_avg": R.group_sum_avg,
         "distinct_dedup": R.distinct_dedup,
         "rollup_revenue": R.rollup_revenue,
+        "percentile_stats": R.percentile_stats,
         "approx_distinct_users": R.approx_distinct_users,
         # user-defined map/reduce escape hatch + skew mitigation
         "mapreduce_group_count": mapreduce_group_count,
@@ -156,6 +157,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "percentile_stats": """
+            SELECT event_type, median(value) AS med,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         "mapreduce_group_count": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS cnt

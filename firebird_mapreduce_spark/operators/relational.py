@@ -557,6 +557,20 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p90 per key.  Exact percentiles need the full sorted
+    value set per key (not map-side combinable) — the aggregation class
+    where skew salting does NOT apply and memory per key is the limit; at
+    100 TB you reach for ``approx_percentile`` (t-digest, combinable)
+    instead, kept here as the exactness baseline.  Spark's interpolation
+    matches DuckDB's ``quantile_cont`` bit-for-bit."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.median("value").alias("med"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate count-distinct per event type.  Sketch
     values are engine-specific, so the driver records the weaker rows-only

@@ -11,6 +11,8 @@ from .jobs import (
     run_stream_to_memory,
     session_window_stream,
     stream_events,
+    stream_stream_join,
+    streaming_dedup,
     tumbling_window_stream,
     user_running_counts_stream,
 )
@@ -21,5 +23,7 @@ __all__ = [
     "tumbling_window_stream",
     "session_window_stream",
     "user_running_counts_stream",
+    "streaming_dedup",
+    "stream_stream_join",
     "run_stream_to_memory",
 ]

@@ -110,6 +110,52 @@ def user_running_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(events: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of ``relational.distinct_dedup``.  The watermark bounds
+    the dedup state: at 100 TB/day of events an unbounded ``dropDuplicates``
+    state grows forever; within-watermark semantics trade exactness beyond
+    the horizon for bounded memory."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        subset or ["user_id", "event_type"]
+    )
+
+
+def stream_stream_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks from the preceding 30 minutes — the streaming form of
+    ``relational.range_join_sessionize``.  Both sides carry watermarks and
+    the join condition bounds event-time distance, so each side's buffered
+    state is evictable; an unbounded-interval stream-stream join never
+    frees state."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("purchase_id", "click_id")
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,
