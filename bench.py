@@ -64,8 +64,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # warmup: spin up executors + codegen on a small query (untimed)
+    # warmup (untimed): JVM/codegen spin-up plus one scan of each heavy
+    # table so first-read costs don't land on whichever query runs first
     run_query(queries["group_count"](spark, sf_dir))
+    run_query(queries["group_min"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

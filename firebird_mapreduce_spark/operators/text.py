@@ -115,15 +115,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full scheme: keep the min hash per sliding window; the global min is
     its 1-window degenerate form)."""
     docs = load_table(spark, sf_dir, "documents")
-    # explode -> flat md5 projection -> groupBy-min: keeps md5 inside
-    # whole-stage codegen; md5 inside an array lambda runs interpreted
-    # (see operators.dedup.minhash_signatures for the measured difference)
-    exploded = docs.select(
-        "doc_id", F.explode_outer(shingles(tokens(F.col("text")), 3)).alias("s")
-    )
-    return exploded.groupBy("doc_id").agg(
-        F.min(F.md5(F.col("s"))).alias("fingerprint")
-    )
+    # window-lead shingles -> flat md5 projection -> groupBy-min: both the
+    # shingle construction and md5 stay in whole-stage codegen (array-lambda
+    # forms run interpreted; see operators.dedup.minhash_signatures).  The
+    # left join reintroduces sub-3-token docs with NULL fingerprints,
+    # matching the oracle's list_min-of-empty semantics.
+    from ..functions.hashing import exploded_word_shingles
+
+    sh = exploded_word_shingles(docs, "doc_id", "text", 3)
+    fps = sh.groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+    return docs.select("doc_id").join(fps, "doc_id", "left")
 
 
 # ---------------------------------------------------------------------------
