@@ -33,12 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (
-    exploded_word_shingles,
-    shingles,
-    simhash16,
-    tokens,
-)
+from ..functions.hashing import exploded_word_shingles, simhash16, tokens
 from ..sources import load_table
 
 # SQL fragment shared with the oracles in __spark_entry__.py: the augmented
@@ -146,15 +141,17 @@ def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
     groupBy — each doc is reduced map-side before the one shuffle.
     """
     n_md5 = k // 4
-    exploded = docs.select(
-        "doc_id",
-        F.explode_outer(shingles(tokens(F.col("text")), 3)).alias("s"),
-    )
+    # window-lead shingles (codegen; see functions.hashing) — another 4x
+    # over exploding the array expression
+    sh = exploded_word_shingles(docs, "doc_id", "text", 3)
     # one row per (doc, shingle): n_md5 seeded md5s -> 32*n_md5 hex chars
-    material = exploded.select(
+    material = sh.select(
         "doc_id",
         F.concat(
-            *[F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))) for i in range(n_md5)]
+            *[
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+                for i in range(n_md5)
+            ]
         ).alias("hm"),
     )
     mins = material.groupBy("doc_id").agg(
@@ -163,8 +160,17 @@ def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
             for j in range(k)
         ]
     )
-    return mins.select(
+    sigs = mins.select(
         "doc_id", F.array(*[f"_h{j}" for j in range(k)]).alias("mh")
+    )
+    # docs with < 3 tokens emit no shingle rows; reintroduce them with an
+    # array of k NULLs (NOT a NULL array) — the oracle's list_min-over-empty
+    # yields k NULLs, and the banded join treats those alike on both sides
+    null_sig = F.array(*[F.lit(None).cast("string") for _ in range(k)])
+    return (
+        docs.select("doc_id")
+        .join(sigs, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("mh"), null_sig).alias("mh"))
     )
 
 

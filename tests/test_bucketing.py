@@ -1,0 +1,76 @@
+"""Bucketed co-located join: the pre-shuffle layout strategy for repeated
+big-big joins at scale.  Writing both sides bucketed by the join key into
+the warehouse lets Spark join them with ZERO exchanges — the shuffle is
+paid once at write time and amortized over every subsequent join.  This
+test proves the engine's layout path produces that plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firebird_mapreduce_spark.plans import count_exchanges, plan_string
+from firebird_mapreduce_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    # spark.sql.warehouse.dir is a static conf (cannot change on a live
+    # session); tables land in ./spark-warehouse, which is gitignored and
+    # dropped below
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+    )
+    (
+        customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    orders = spark.table("orders_bkt")
+    customer = spark.table("customer_bkt")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_name")
+    plan = plan_string(joined, "simple")
+    # co-located: both sides read pre-bucketed, no shuffle at all
+    assert count_exchanges(joined) == 0, plan
+    # and the result is still correct
+    plain = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .count()
+    )
+    assert joined.count() == plain
+
+
+def test_unbucketed_join_does_exchange(spark):
+    """Control: the same join over plain parquet shuffles both sides."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    # disable auto-broadcast so the control shows the shuffle path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "inner"
+        ).select("o_orderkey", "c_name")
+        assert count_exchanges(joined) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
