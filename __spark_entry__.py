@@ -27,6 +27,7 @@ from firebird_mapreduce_spark.operators import relational as R
 from firebird_mapreduce_spark.operators import similarity as S
 from firebird_mapreduce_spark.operators import skew as K
 from firebird_mapreduce_spark.operators import text as T
+from firebird_mapreduce_spark.streaming import jobs as SJ
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_lead": R.window_lag_lead,
         "window_moving_avg": R.window_moving_avg,
         "tumbling_window_count": R.tumbling_window_count,
+        # streaming replays (same oracles as their batch twins:
+        # batch-stream parity IS the correctness claim)
+        "stream_group_count": SJ.stream_group_count_query,
+        "stream_tumbling_window": SJ.stream_tumbling_window_query,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -87,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": T.text_quality,
         "lang_id": T.lang_id,
         "lang_id_chargram": T.lang_id_chargram,
+        "udtf_chunk_documents": T.udtf_chunk_documents,
         "doc_fingerprint": T.doc_fingerprint,
         # deduplication (north star)
         "dedup_exact_hash": D.dedup_exact_hash,
@@ -263,6 +269,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1
         """,
+        "stream_group_count": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type
+        """,
+        "stream_tumbling_window": """
+            SELECT date_trunc('hour', ts) AS hour_start,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+        """,
         "sssp_fixpoint": G.SSSP_ORACLE_SQL,
         "connected_components": G.CONNECTED_COMPONENTS_ORACLE_SQL,
         "cube_revenue": """
@@ -361,6 +376,13 @@ def oracle_sql() -> dict[str, str]:
                                       i -> array_to_string(tk[i:i+2], ' ')),
                        s -> md5(s))) AS fingerprint
             FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
+        """,
+        "udtf_chunk_documents": """
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(tk[i*20+1 : i*20+20], ' ') AS chunk_text
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+                 LATERAL (SELECT unnest(range(0,
+                     CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS i)
         """,
         # ---- deduplication (augmented corpus: original ∪ planted copies) ----
         "dedup_exact_hash": f"""

@@ -170,6 +170,35 @@ def lang_id_chargram_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.mapInPandas(score_batches, schema=out_schema)
 
 
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF tier (one input row -> n output rows with arbitrary
+    logic): split each document into 20-token chunks — the
+    context-window chunking step of an LLM data pipeline.  The chunking
+    itself is SQL-expressible (the oracle does it relationally); the point
+    here is exercising the table-function surface end-to-end.
+
+    The UDTF class is defined inside this function on purpose: classes
+    defined at module level are cloudpickled by reference and break
+    executors that don't have this repo on sys.path.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_text string")
+    class ChunkDocs:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = text.split(" ")
+            for i in range(0, len(toks), 20):
+                yield doc_id, i // 20, " ".join(toks[i : i + 20])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    view = "_udtf_chunk_docs_src"
+    docs.createOrReplaceTempView(view)
+    spark.udtf.register("chunk_docs", ChunkDocs)
+    return spark.sql(
+        f"SELECT c.* FROM {view}, LATERAL chunk_docs(doc_id, text) c"
+    )
+
+
 def lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing wrapper for the pandas char-n-gram classifier."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

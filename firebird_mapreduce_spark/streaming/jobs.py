@@ -156,6 +156,31 @@ def stream_stream_join(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id")
 
 
+_REPLAY_COUNTER = 0
+
+
+def stream_group_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the streaming group-count replayed to completion —
+    must equal the batch ``group_count`` exactly (same oracle SQL)."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    return run_stream_to_memory(
+        group_count_stream(stream_events(spark, sf_dir)),
+        f"q_stream_group_count_{_REPLAY_COUNTER}",
+    )
+
+
+def stream_tumbling_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: streaming tumbling-window counts replayed to
+    completion — equals batch ``tumbling_window_count``."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    return run_stream_to_memory(
+        tumbling_window_stream(stream_events(spark, sf_dir)),
+        f"q_stream_tumbling_{_REPLAY_COUNTER}",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

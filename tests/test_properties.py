@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): the engine's operators against naive
+reference implementations on adversarial random inputs — generalizing the
+reference's differential-oracle habit beyond fixed fixtures."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from firebird_mapreduce_spark.mapreduce import map_reduce
+from firebird_mapreduce_spark.operators.relational import asof_join
+
+SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+records = st.lists(st.tuples(keys, st.integers(-100, 100)), min_size=0, max_size=60)
+
+
+@SPARK_SETTINGS
+@given(data=records)
+def test_map_reduce_count_matches_python(spark, data):
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k int, v int")
+
+    def map_fn(chunk):
+        for k in chunk["k"]:
+            yield {"k": int(k), "one": 1}
+
+    def reduce_fn(key, group):
+        yield {"k": key[0], "cnt": len(group)}
+
+    out = map_reduce(df, map_fn, "k int, one int", ["k"], reduce_fn, "k int, cnt long")
+    got = {(r["k"], r["cnt"]) for r in out.collect()}
+    want = {(k, c) for k, c in Counter(k for k, _ in data).items()}
+    assert got == want
+
+
+# as-of: left rows pick the latest right value at-or-before their ts
+asof_inputs = st.tuples(
+    st.lists(st.tuples(keys, st.integers(0, 50)), min_size=1, max_size=25),  # left (key, ts)
+    st.lists(st.tuples(keys, st.integers(0, 50)), min_size=0, max_size=25),  # right (key, ts)
+)
+
+
+@SPARK_SETTINGS
+@given(data=asof_inputs)
+def test_asof_join_matches_naive(spark, data):
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right_rows)], "rid int, rk int, rts int"
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="rk", left_ts="ts", right_ts="rts",
+        value_cols=["rid"],
+    )
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+
+    # naive: max (rts, rid) among right rows with same key and rts <= ts
+    want = set()
+    for lid, (k, t) in enumerate(left_rows):
+        cands = [
+            (rts, rid)
+            for rid, (rk, rts) in enumerate(right_rows)
+            if rk == k and rts <= t
+        ]
+        want.add((lid, max(cands)[1] if cands else None))
+    assert got == want
