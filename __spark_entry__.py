@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
+        "triangle_count": G.triangle_count,
         # grouping lattice / theta join / UDAF
         "cube_revenue": R.cube_revenue,
         "bucketed_theta_join": R.bucketed_theta_join,
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sssp_fixpoint": G.SSSP_ORACLE_SQL,
         "connected_components": G.CONNECTED_COMPONENTS_ORACLE_SQL,
+        "triangle_count": G.TRIANGLE_COUNT_ORACLE_SQL,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -209,6 +209,45 @@ def connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, derived_component_graph(spark, sf_dir))
 
 
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the SSSP ring+chord graph: the canonical
+    multi-way self-join graph analytic.  Edges are canonicalized to
+    ``src < dst`` and deduplicated, then two joins enumerate wedges and
+    close them.  At scale the standard refinement is degree-ordering
+    (orient edges from low- to high-degree node) so high-degree vertices
+    never fan out — same join structure."""
+    edges = derived_nation_graph(spark, sf_dir)
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    triangles = wedges.join(e3, ["x", "z"])
+    return triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+TRIANGLE_COUNT_ORACLE_SQL = """
+WITH edges AS (
+    SELECT src, dst FROM (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+        UNION ALL
+        SELECT n_nationkey AS src, (n_nationkey * 2) % 25 AS dst FROM nation
+    ) WHERE src <> dst),
+canon AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM canon e1
+JOIN canon e2 ON e2.a = e1.b
+JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 CONNECTED_COMPONENTS_ORACLE_SQL = """
 WITH RECURSIVE
 edges AS (
