@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatmap_tokenize": R.flatmap_tokenize,
         # aggregation
         "group_count": R.group_count,
+        "numbercount_10m": R.numbercount_10m,
         "word_count": R.word_count,
         "group_min": R.group_min,
         "group_sum_avg": R.group_sum_avg,
@@ -130,6 +131,12 @@ def oracle_sql() -> dict[str, str]:
         "group_count": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY event_type
+        """,
+        "numbercount_10m": """
+            SELECT CAST(((id * 2654435761) % 4294967296) % 100 AS INT) AS value,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM range(10000000) t(id)
+            GROUP BY 1
         """,
         "word_count": """
             SELECT token, CAST(count(*) AS BIGINT) AS cnt

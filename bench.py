@@ -28,6 +28,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 # broadcast, range, as-of), window, top-k, text/flatMap, dedup (hash, LSH,
 # jaccard), similarity, iteration, time bucketing.
 HEADLINE = [
+    "numbercount_10m",  # the reference's own benchmark workload (10M ints, 100 keys)
     "group_sum_avg",
     "group_count",
     "filter_predicate",

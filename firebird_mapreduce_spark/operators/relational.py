@@ -64,6 +64,21 @@ def flatmap_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregation  (B1/B2 + §2.C aggregation rows)
 # ---------------------------------------------------------------------------
 
+def numbercount_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``number_count`` benchmark workload at its exact
+    published scale: 10,000,000 ints over 100 keys
+    (``/root/reference/sample_apps/number_count/main.cpp:23-29``; BASELINE
+    row 1).  The reference seeds ``rand()``; here the values come from a
+    Knuth multiplicative hash of the row id so Spark and the DuckDB oracle
+    generate identical data with a pseudo-random key distribution.
+    Ignores ``sf_dir`` — the workload is self-generating by design."""
+    ids = spark.range(10_000_000)
+    value = ((F.col("id") * 2654435761) % 4294967296) % 100
+    return ids.select(value.cast("int").alias("value")).groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``number_count`` sample (map emits (value,1), reduce counts:
     ``/root/reference/sample_apps/number_count/main.cpp:8-21``) over the
