@@ -1,0 +1,28 @@
+"""Docs must not drift from the registry: COVERAGE.md / README.md quote
+query counts that have gone stale three times already this round."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+
+def test_coverage_counts_match_registry():
+    n_queries = len(entrymod.queries())
+    n_oracle = len(entrymod.oracle_sql())
+    text = open("/root/repo/COVERAGE.md").read()
+    match = re.search(r"(\d+) queries in `queries\(\)`; (\d+) oracle-backed", text)
+    assert match, "COVERAGE.md totals line missing"
+    assert int(match.group(1)) == n_queries, "COVERAGE.md query count stale"
+    assert int(match.group(2)) == n_oracle, "COVERAGE.md oracle count stale"
+    readme = open("/root/repo/README.md").read()
+    match = re.search(r"\((\d+) registered queries, (\d+) oracle-backed", readme)
+    assert match and int(match.group(1)) == n_queries, "README count stale"
+    assert int(match.group(2)) == n_oracle
+
+
+def test_every_oracle_has_a_query():
+    queries = entrymod.queries()
+    for name in entrymod.oracle_sql():
+        assert name in queries, f"oracle_sql has {name} but queries() does not"
