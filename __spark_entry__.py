@@ -214,24 +214,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, 'no_orders' AS tag FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
+        # NOTE on date_trunc('microseconds', ...): events.ts is stored with
+        # true NANOsecond precision, which Spark cannot represent (the
+        # reader truncates to microseconds).  Any oracle predicate or sort
+        # comparing raw ts must truncate the DuckDB side identically or a
+        # value within 1us of a boundary flips between engines.
         "range_join_sessionize": """
             SELECT a.event_type AS a_type, CAST(count(*) AS BIGINT) AS pair_cnt
-            FROM events a JOIN events b
+            FROM (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+                  FROM events) a
+            JOIN (SELECT user_id, date_trunc('microseconds', ts) AS ts
+                  FROM events) b
               ON a.user_id = b.user_id
              AND b.ts > a.ts
              AND b.ts <= a.ts + INTERVAL 60 SECOND
             GROUP BY a.event_type
         """,
         "asof_purchase_prior_click": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              date_trunc('microseconds', ts) AS ts
+                       FROM events)
             SELECT purchase_id, click_id FROM (
                 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
                        row_number() OVER (
                            PARTITION BY p.event_id
                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
-                FROM events p
-                JOIN events c ON c.user_id = p.user_id
-                             AND c.event_type = 'click'
-                             AND c.ts <= p.ts
+                FROM e p
+                JOIN e c ON c.user_id = p.user_id
+                        AND c.event_type = 'click'
+                        AND c.ts <= p.ts
                 WHERE p.event_type = 'purchase')
             WHERE rn = 1
         """,
@@ -254,12 +265,14 @@ def oracle_sql() -> dict[str, str]:
                    lag(event_type, 1) OVER w AS prev_type,
                    lead(event_type, 1) OVER w AS next_type
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY date_trunc('microseconds', ts), event_id)
         """,
         "window_moving_avg": """
             SELECT event_id, user_id,
                    round(avg(value) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
+                       PARTITION BY user_id
+                       ORDER BY date_trunc('microseconds', ts), event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
             FROM events
         """,
