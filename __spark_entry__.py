@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": R.distinct_dedup,
         "rollup_revenue": R.rollup_revenue,
         "percentile_stats": R.percentile_stats,
+        "pivot_events": R.pivot_events,
+        "unpivot_lineitem": R.unpivot_lineitem,
         "approx_distinct_users": R.approx_distinct_users,
         # user-defined map/reduce escape hatch + skew mitigation
         "mapreduce_group_count": mapreduce_group_count,
@@ -176,6 +178,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, median(value) AS med,
                    quantile_cont(value, 0.9) AS p90
             FROM events GROUP BY event_type
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY user_id
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         """,
         "mapreduce_group_count": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS cnt

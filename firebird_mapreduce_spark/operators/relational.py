@@ -572,6 +572,38 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts, one column per event
+    type.  The explicit category list keeps the plan single-pass (without
+    it Spark first runs a distinct-values job) and makes the output schema
+    static — a requirement at scale where a surprise category would change
+    the schema mid-pipeline."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # absent combinations pivot to NULL; the oracle's FILTER counts give 0
+    return pivoted.na.fill(0, subset=list(EVENT_TYPES))
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): lineitem measure columns into
+    (metric, value) rows — the inverse transform, 4x row expansion with no
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median / p90 per key.  Exact percentiles need the full sorted
     value set per key (not map-side combinable) — the aggregation class
