@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": R.rollup_revenue,
         "percentile_stats": R.percentile_stats,
         "pivot_events": R.pivot_events,
+        "string_agg_nations": R.string_agg_nations,
+        "ntile_ranks": R.ntile_ranks,
         "unpivot_lineitem": R.unpivot_lineitem,
         "approx_distinct_users": R.approx_distinct_users,
         # user-defined map/reduce escape hatch + skew mitigation
@@ -178,6 +180,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, median(value) AS med,
                    quantile_cont(value, 0.9) AS p90
             FROM events GROUP BY event_type
+        """,
+        "string_agg_nations": """
+            SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey
+        """,
+        "ntile_ranks": """
+            WITH t AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+                FROM orders GROUP BY o_custkey)
+            SELECT o_custkey, spend,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank
+            FROM t
+            WINDOW w AS (ORDER BY spend DESC, o_custkey ASC)
         """,
         "pivot_events": """
             SELECT user_id,

@@ -604,6 +604,37 @@ def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): nation names per
+    region, sorted then joined.  Expressed as
+    ``array_join(array_sort(collect_list(...)))`` — the explicit sort makes
+    the result deterministic despite ``collect_list``'s unspecified order
+    (the same reason the reference's output is unordered,
+    ``README.txt:54-58``)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+def ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucket (NTILE) and
+    percent_rank of each customer by total order spend."""
+    orders = load_table(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    win = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    return totals.select(
+        "o_custkey",
+        "spend",
+        F.ntile(4).over(win).alias("quartile"),
+        F.round(F.percent_rank().over(win), 6).alias("pct_rank"),
+    )
+
+
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median / p90 per key.  Exact percentiles need the full sorted
     value set per key (not map-side combinable) — the aggregation class
