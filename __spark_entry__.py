@@ -453,16 +453,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS dup_cnt
             FROM docs GROUP BY md5(text)
         """,
+        # stop-shingle pruning in lockstep with the Spark side: shingles
+        # with document frequency > max(5, n_docs div 600) are dropped
+        # before the self-join AND before the per-doc size counts (integer
+        # `div` arithmetic on both engines — a float 0.01-style fraction
+        # would diverge: DuckDB treats the literal as DECIMAL, Spark as
+        # DOUBLE).
         "dedup_ngram_jaccard": f"""
             WITH docs AS ({D.AUGMENTED_DOCS_SQL}),
             sh AS (
                 SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs),
                      LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, 1))) AS i)),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs FROM docs),
+            dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            keep AS (SELECT shingle FROM dfreq, stats
+                     WHERE df <= greatest(5, n_docs // 600)),
+            shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id)
             SELECT a_id, b_id,
                    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
@@ -497,6 +508,11 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a
             JOIN banded b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
         """,
+        # the oracle states the CLEAN semantics (every pair within hamming
+        # 3, no blocking restriction): the Spark side's multi-band
+        # multi-probe blocking is lossless, so it must reproduce this
+        # all-pairs definition exactly.  All-pairs is fine for the oracle
+        # at sf0.01 (DuckDB, 1500 docs).
         "dedup_simhash": f"""
             WITH docs AS ({D.AUGMENTED_DOCS_SQL}),
             sig AS (
@@ -510,7 +526,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
             FROM sig a
-            JOIN sig b ON floor(a.sh / 256) = floor(b.sh / 256) AND a.doc_id < b.doc_id
+            JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         # ---- similarity search (double-cast is load-bearing:

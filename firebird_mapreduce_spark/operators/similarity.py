@@ -72,6 +72,33 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, query, TOP_K)
 
 
+def _py_round6(x: float) -> float:
+    """Round-half-away-from-zero at 6 dp — the same rule Spark's
+    ``F.round`` (HALF_UP) applies, replicated for the driver-side
+    centroid argmax so its tie-breaks agree with the distributed path.
+    (Python's builtin ``round`` is half-even and would disagree on exact
+    .5e-6 boundaries.)"""
+    import math
+
+    scaled = x * 1e6
+    return (math.floor(scaled + 0.5) if x >= 0 else math.ceil(scaled - 0.5)) / 1e6
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Sequential-left-fold double cosine — op-for-op the arithmetic of
+    ``functions.vectors.cosine_similarity``, so the driver-side result is
+    bit-identical to what the executors would compute for the same pair."""
+    import math
+
+    dot_ab = dot_aa = dot_bb = 0.0
+    for x, y in zip(a, b):
+        dot_aa += x * x
+        dot_bb += y * y
+        dot_ab += x * y
+    denom = math.sqrt(dot_aa) * math.sqrt(dot_bb)
+    return dot_ab / denom if denom > 0 else float("-inf")
+
+
 def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: centroids are the embeddings of vec_id 0..9
     (deterministic stand-in for k-means — same plumbing, reproducible for
@@ -80,8 +107,29 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale: the assignment is a broadcast join against the (tiny)
     centroid set + per-row argmax — no shuffle; the probe is a
-    partition-pruned scan if data is laid out bucketed."""
+    partition-pruned scan if data is laid out bucketed.  The query's own
+    bucket is derived ON THE DRIVER from the collected centroid set
+    (N_CENTROIDS cosine evaluations against an already-driver-resident
+    query vector) — probing it through ``assigned.first()`` would
+    materialize the full assignment of every vector just to read one
+    scalar, then recompute it for the probe: two complete passes where
+    this plan does one."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # one tiny driver fetch: the centroid set, which includes the query
+    # vector itself (QUERY_VEC_ID < N_CENTROIDS)
+    centroid_rows = {
+        row["vec_id"]: list(row["embedding"])
+        for row in emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    query_vec = centroid_rows[QUERY_VEC_ID]
+    # same argmax rule as the distributed assignment below:
+    # max by (rounded sim, -c_id)
+    query_bucket = max(
+        centroid_rows,
+        key=lambda c_id: (_py_round6(_py_cosine(query_vec, centroid_rows[c_id])), -c_id),
+    )
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
@@ -104,13 +152,10 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("embedding").alias("embedding"),
         )
     )
-    query_vec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    query_bucket = (
-        assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select("bucket").first()[0]
-    )
     probed = assigned.filter(
-        (F.col("bucket") == query_bucket) & (F.col("vec_id") != QUERY_VEC_ID)
+        (F.col("bucket") == F.lit(int(query_bucket)))
+        & (F.col("vec_id") != QUERY_VEC_ID)
     )
     return (
         probed.select(

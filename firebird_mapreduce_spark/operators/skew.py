@@ -27,7 +27,12 @@ from ..sources import load_table
 
 
 def _salt(df: DataFrame, salt_buckets: int) -> Column:
-    """Uniform deterministic salt from the full row content."""
+    """Uniform deterministic salt from the full row content.
+
+    The caller MUST keep at least one row-unique column in ``df``: hashing
+    only the group key makes the salt constant per key and the whole
+    mitigation a silent no-op (every hot key still lands in one bucket,
+    and the output is identical so no correctness check catches it)."""
     return F.pmod(F.hash(*df.columns), F.lit(salt_buckets))
 
 
@@ -91,8 +96,14 @@ def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result is identical to the unsalted ``group_count`` — the oracle
     checks exactly that."""
     events = load_table(spark, sf_dir, "events")
+    # event_id is kept in the projection ONLY to feed the salt: hashing
+    # just the group key would make _salt constant per key (each hot key
+    # still in exactly one stage-1 bucket — a no-op mitigation).  With the
+    # row-unique event_id in the hash, every key spreads across all
+    # salt_buckets stage-1 groups; test_properties asserts the stage-1
+    # group count actually exceeds the key cardinality.
     return salted_agg(
-        events.select("event_type"),
+        events.select("event_type", "event_id"),
         ["event_type"],
         {"cnt": ("event_type", "count")},
         salt_buckets=16,

@@ -58,12 +58,16 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle boundaries in the plan (excluding broadcast
-    exchanges, which move only the small side)."""
+    """Number of shuffle boundaries in the plan.
+
+    Counts only nodes whose operator name is exactly ``Exchange`` (a
+    shuffle): the negative lookbehind excludes ``BroadcastExchange`` (moves
+    only the small side) and ``ReusedExchange`` (re-reads an existing
+    shuffle's output — no new data movement), both of which contain the
+    substring.  ``Exchange SinglePartition`` (final single-row collapses)
+    is excluded as before."""
     plan = plan_string(df, "simple")
-    return len(re.findall(r"Exchange (?!SinglePartition)", plan)) - plan.count(
-        "BroadcastExchange"
-    )
+    return len(re.findall(r"(?<![A-Za-z])Exchange (?!SinglePartition)", plan))
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:

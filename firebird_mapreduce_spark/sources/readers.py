@@ -38,13 +38,31 @@ TABLES: tuple[str, ...] = (
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot scan those
     natively (PARQUET_TYPE_ILLEGAL), so the reader downshifts them.  Footer
-    metadata only: a driver-side read of a few KB regardless of table size."""
-    try:
-        import pyarrow.parquet as pq
+    metadata only: a driver-side read of a few KB regardless of table size.
 
-        schema = pq.read_schema(path)
-    except Exception:
-        return []
+    ``path`` may be a single file or a directory of part-files (the normal
+    Spark output layout, possibly with partition subdirectories): for a
+    directory the first part-file's footer is read — all parts of one table
+    share a schema.  Schema-read failures propagate rather than being
+    swallowed: silently returning [] would scan a nanos table as raw LONG
+    and change column types without warning."""
+    import pyarrow.parquet as pq
+
+    candidate = path
+    if os.path.isdir(path):
+        candidate = None
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            parts = sorted(
+                f for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if parts:
+                candidate = os.path.join(root, parts[0])
+                break
+        if candidate is None:
+            return []
+    schema = pq.read_schema(candidate)
     return [
         field.name
         for field in schema
@@ -66,11 +84,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.parquet(path)
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for col in nanos_cols:
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    # nanosAsLong is a session conf with no per-read option; schema
+    # inference consults it eagerly when the DataFrame is created, so it is
+    # flipped only around this read and then restored — a reader must not
+    # permanently mutate session-global state (later unrelated reads in the
+    # same session would silently see nanos columns as LONG).
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+        for col in nanos_cols:
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+        return df
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -104,6 +104,32 @@ def test_salted_agg_equals_plain(spark):
     assert salted == plain
 
 
+def test_salt_spreads_hot_keys(spark):
+    """The mitigation must actually mitigate: with a row-unique column in
+    the projection, stage-1 (key, salt) group count far exceeds the key
+    cardinality — a constant-per-key salt (the silent no-op failure mode)
+    would make them equal."""
+    from firebird_mapreduce_spark.sources import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    projected = events.select("event_type", "event_id")  # as salted_group_count does
+    n_keys = projected.select("event_type").distinct().count()
+    stage1_groups = (
+        projected.withColumn("_salt", K._salt(projected, 16))
+        .groupBy("event_type", "_salt")
+        .count()
+    )
+    assert stage1_groups.count() > 2 * n_keys
+    # and every hot key individually spreads across multiple salt buckets
+    per_key = {
+        r["event_type"]: r["n_buckets"]
+        for r in stage1_groups.groupBy("event_type")
+        .agg(F.countDistinct("_salt").alias("n_buckets"))
+        .collect()
+    }
+    assert all(n > 1 for n in per_key.values()), per_key
+
+
 def test_salted_collect_list_complete(spark):
     df = spark.createDataFrame(
         [("a", i) for i in range(100)] + [("b", 1)], "k string, v int"
