@@ -19,6 +19,7 @@ memory — 1000 × 10 MB images per batch is an OOM, not a tuning problem.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..sources.readers import read_binary_dir
 
 # Schema for a multimodal asset table: metadata columns first (queryable
 # without touching bytes), payload last.
@@ -131,6 +133,56 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select(
         "asset_id",
         "modality",
+        F.length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+def _binary_fixture_dir(spark: SparkSession, sf_dir: str, n_assets: int = 64) -> str:
+    """Materialize a deterministic on-disk binary fixture: one ``.bin``
+    file per document with ``doc_id < n_assets``, bytes = the UTF-8 text.
+    Idempotent and derived purely from the corpus, so the DuckDB oracle can
+    reproduce every file's length and md5 from the ``documents`` table.
+    Written under the repo (never into the read-only test data)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"binary_{tag}",
+    )
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_assets)
+        .select("doc_id", "text")
+        .collect()  # n_assets tiny rows — fixture setup, not a data path
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for row in rows:
+        path = os.path.join(out_dir, f"asset_{int(row['doc_id']):05d}.bin")
+        payload = row["text"].encode("utf-8")
+        if not (os.path.exists(path) and os.path.getsize(path) == len(payload)):
+            with open(path, "wb") as fh:
+                fh.write(payload)
+    return out_dir
+
+
+def binary_file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: metadata over REAL files read through Spark's
+    ``binaryFile`` source (``sources.read_binary_dir``) — the actual
+    multimodal ingestion point, not bytes manufactured in-plan.  The asset
+    id is parsed from the file name; length and md5 are computed JVM-side
+    on the ``content`` column.  At scale the same plan reads an object
+    store prefix; ``spark.sql.files.maxPartitionBytes`` governs split
+    parallelism and the ``path``/``length`` metadata columns are readable
+    without fetching payload bytes."""
+    fixture = _binary_fixture_dir(spark, sf_dir)
+    files = read_binary_dir(spark, fixture, glob="*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"asset_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("asset_id"),
         F.length(F.col("content")).alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )

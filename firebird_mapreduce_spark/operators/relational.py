@@ -649,6 +649,102 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median / p90 per key — the 100 TB percentile path.
+
+    ``percentile_approx`` maintains a bounded quantile sketch
+    (Greenwald-Khanna style) that is map-side combinable: memory per key is
+    O(accuracy), independent of group size, where the exact twin
+    (``percentile_stats``) must buffer every value of a key on one task.
+    Sketch outputs are engine-specific, so the driver records the weaker
+    rows-only check; ``tests/test_properties.py`` asserts the approximation
+    lands within the exact answer's neighborhood at accuracy=10000."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("med_approx"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general grouping lattice of which
+    rollup/cube are special cases: here the two one-dimension marginals
+    plus the grand total, WITHOUT the (flag, status) detail rows a cube
+    would add.  Spark expands the sets into one pass with a grouping-id
+    (single Expand + aggregate, no union of scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure global sort with a dense global rank, computed scalably.
+
+    ``row_number() OVER (ORDER BY ...)`` forces every row through ONE task
+    — the non-scalable spelling.  This plan instead:
+    1. range-repartitions + sorts within partitions on the full sort key
+       (Spark's distributed sort: sampled range boundaries, disjoint
+       ordered partitions);
+    2. counts rows per partition (one cheap job over ≤ #partitions rows of
+       metadata);
+    3. adds ``rank = offset[partition] + local_index`` via ``mapInPandas``
+       — zero additional shuffles, constant memory.
+    The key (o_totalprice DESC, o_orderkey ASC) is a total order, so the
+    rank is well-defined regardless of where sampling places partition
+    boundaries.  The rank column also makes the driver's order-insensitive
+    hash compare actually verify the ORDER — a sorted output alone would
+    hash identically in any order (the vacuous-match trap)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # localCheckpoint: the sorted layout is consumed twice (count job +
+    # rank job); materializing it once also pins the sampled range
+    # boundaries so both jobs see identical partitioning.
+    arranged = (
+        orders.repartitionByRange(
+            32, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .sortWithinPartitions(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in arranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = {}
+    running = 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+
+    def add_rank(batches):
+        seen = 0
+        part_offset = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if part_offset is None:
+                part_offset = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf = pdf.copy()
+            pdf["rnk"] = range(part_offset + seen + 1, part_offset + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf[["o_orderkey", "o_totalprice", "rnk"]]
+
+    return arranged.mapInPandas(
+        add_rank, schema="o_orderkey bigint, o_totalprice double, rnk bigint"
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate count-distinct per event type.  Sketch
     values are engine-specific, so the driver records the weaker rows-only

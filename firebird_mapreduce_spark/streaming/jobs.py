@@ -181,6 +181,41 @@ def stream_tumbling_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 10-minute-gap session windows per user, replayed to
+    completion.  The oracle reproduces Spark's session semantics
+    relationally: a new session starts when the gap since the previous
+    event of the same user is >= 10 minutes (Spark merges an event into a
+    session only while its time is strictly inside [start, last+gap)), and
+    ``session_end = last event + gap``."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    return run_stream_to_memory(
+        session_window_stream(stream_events(spark, sf_dir), gap="10 minutes"),
+        f"q_stream_sessions_{_REPLAY_COUNTER}",
+    )
+
+
+def stateful_running_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the ``applyInPandasWithState`` per-user running
+    counter replayed over the corpus.  availableNow reads the single
+    parquet file as one micro-batch, so the emitted update per user IS the
+    final state — equal to the batch per-user count (that equality is the
+    oracle)."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    result = run_stream_to_memory(
+        user_running_counts_stream(stream_events(spark, sf_dir)),
+        f"q_stream_running_{_REPLAY_COUNTER}",
+        output_mode="update",
+    )
+    # defensive final-state reduction: if the source ever splits into
+    # multiple micro-batches, the last (max) update per user is the total
+    return result.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events")
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

@@ -10,6 +10,7 @@ import pytest
 from firebird_mapreduce_spark.operators.graph import (
     derived_nation_graph,
     sssp,
+    synthetic_edges,
     undirected,
 )
 from tests.conftest import SF_SMOKE
@@ -56,34 +57,14 @@ def test_sssp_small_graph(spark, source):
     assert result == dijkstra(SMALL_GRAPH_EDGES, source)
 
 
-def synthetic_syn_graph(spark):
-    """A graph with the reference's syn.graph published shape — 18,263
-    nodes, 23,797 directed edges, integer weights 1..99
-    (``/root/reference/sample_apps/shortest_path/syn.graph`` header;
-    BASELINE row 'shortest_path graph (syn)') — generated deterministically
-    from Knuth-hash formulas instead of the checked-in file."""
-    from pyspark.sql import functions as F
-
-    n_nodes, n_edges = 18263, 23797
-    # distinct odd multipliers per field: a shared multiplier with different
-    # salts makes src/dst differ by a near-constant offset (a ring, not a
-    # random graph) and the giant component collapses
-    def h(mult):
-        return (F.col("id") * mult) % 4294967296
-
-    return spark.range(n_edges).select(
-        (h(2654435761) % n_nodes).cast("int").alias("src"),
-        (h(2246822519) % n_nodes).cast("int").alias("dst"),
-        ((h(3266489917) % 99) + 1).cast("double").alias("weight"),
-    )
-
-
 def test_sssp_syn_scale_vs_dijkstra(spark):
     """The reference's own end-to-end test at its exact scale: SSSP over a
-    syn.graph-shaped 18 K-node graph, differential-checked against serial
-    Dijkstra (mirroring ``shortest_path/main.cpp:200-209``)."""
-    edges_df = undirected(synthetic_syn_graph(spark))
-    edge_rows = [(r.src, r.dst, r.weight) for r in synthetic_syn_graph(spark).collect()]
+    syn.graph-shaped 18 K-node graph (the canonical generator in
+    ``operators.graph.synthetic_edges``, also the bench headline workload
+    via ``sssp_syn18k``), differential-checked against serial Dijkstra
+    (mirroring ``shortest_path/main.cpp:200-209``)."""
+    edges_df = undirected(synthetic_edges(spark))
+    edge_rows = [(r.src, r.dst, r.weight) for r in synthetic_edges(spark).collect()]
     result = {
         r["node"]: r["dist"]
         for r in sssp(spark, edges_df, source=0, max_iterations=100).collect()

@@ -139,6 +139,30 @@ def test_multimodal_pipeline_stub(spark):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
 
 
+def test_binary_file_source_reads_real_files(spark):
+    """binary_file_meta must go through the actual binaryFile source over
+    files on disk (not bytes manufactured in-plan): fixture files exist,
+    every asset id maps to a document, and md5(content) equals md5 of the
+    source text."""
+    import hashlib
+    import os
+
+    out = {r["asset_id"]: r for r in M.binary_file_meta(spark, SF_SMOKE).collect()}
+    assert len(out) == 64 and set(out) == set(range(64))
+    fixture = M._binary_fixture_dir(spark, SF_SMOKE)
+    assert os.path.isdir(fixture)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in M.load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 64)
+        .collect()
+    }
+    for aid, row in out.items():
+        payload = docs[aid].encode("utf-8")
+        assert row["n_bytes"] == len(payload)
+        assert row["content_md5"] == hashlib.md5(payload).hexdigest()
+
+
 def test_multimodal_decoder_gate():
     assert M.decoder_available("image") is False  # no PIL in container
     with pytest.raises(NotImplementedError):

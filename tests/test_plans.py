@@ -57,3 +57,30 @@ def test_q1_single_shuffle_and_codegen(spark):
 def test_topk_uses_take_ordered(spark):
     df = R.topk_orders(spark, SF_SMOKE)
     assert "TakeOrderedAndProject" in plan_string(df, "simple")
+
+
+def test_global_sort_rank_avoids_single_partition_window(spark):
+    """The scalable global-rank plan must NOT be the row_number()-over-
+    empty-partition spelling (every row through one task): no Window node
+    anywhere, and the rank must still be the exact global order."""
+    df = R.global_sort_rank(spark, SF_SMOKE)
+    plan = plan_string(df, "simple")
+    assert "Window" not in plan
+    rows = df.collect()
+    assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    for prev, cur in zip(by_rank, by_rank[1:]):
+        assert (-prev["o_totalprice"], prev["o_orderkey"]) < (
+            -cur["o_totalprice"],
+            cur["o_orderkey"],
+        )
+
+
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS expands in one read (Expand + aggregate), not a union
+    of per-set scans."""
+    df = R.grouping_sets_revenue(spark, SF_SMOKE)
+    plan = plan_string(df, "simple")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+    assert "Union" not in plan

@@ -76,3 +76,29 @@ def test_asof_join_matches_naive(spark, data):
         ]
         want.add((lid, max(cands)[1] if cands else None))
     assert got == want
+
+
+def test_approx_percentile_within_epsilon(spark):
+    """The t-digest-style approx percentiles must land within the exact
+    answer's neighborhood: at accuracy=10000 on ~2k values per key the
+    rank error bound (1/accuracy) means the approx value sits between the
+    exact neighbors of the target rank — asserted as a small relative
+    error vs the exact median/p90."""
+    from firebird_mapreduce_spark.operators.relational import (
+        approx_percentile_stats,
+        percentile_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        r["event_type"]: (r["med"], r["p90"])
+        for r in percentile_stats(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r["event_type"]: (r["med_approx"], r["p90_approx"])
+        for r in approx_percentile_stats(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for key in exact:
+        for got, want in zip(approx[key], exact[key]):
+            assert abs(got - want) <= max(0.05, 0.05 * abs(want)), (key, got, want)
