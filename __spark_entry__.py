@@ -68,14 +68,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": R.pivot_events,
         "string_agg_nations": R.string_agg_nations,
         # window / rank / sort / top-k
-        "ntile_ranks": R.ntile_ranks,
         "global_sort_rank": R.global_sort_rank,
         "topk_orders": R.topk_orders,
         "argmax_order_per_cust": R.argmax_order_per_cust,
         "window_rank": R.window_rank,
         "window_lag_lead": R.window_lag_lead,
-        "window_moving_avg": R.window_moving_avg,
         "tumbling_window_count": R.tumbling_window_count,
+        # composite flagship (TPC-H Q5 shape: 5-table join + decimal agg)
+        "tpch_revenue_by_nation": R.tpch_revenue_by_nation,
         # joins
         "reduce_side_join": R.reduce_side_join,
         "left_outer_join": R.left_outer_join,
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_simhash": D.dedup_simhash,
+        "dedup_cluster_cc": D.dedup_cluster_cc,
         # similarity search (north star)
         "embedding_knn": S.embedding_knn,
         "embedding_knn_ivf": S.embedding_knn_ivf,
@@ -116,13 +117,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": M.binary_meta,
         "binary_file_meta": M.binary_file_meta,
         # ---- positions 51+: past the driver window (see docstring) ----
-        # round-1-verified relational variants (oracle near-twins)
+        # oracle-backed additions & round-1-verified variants (all under
+        # the local full-registry gate)
+        "stats_moments": R.stats_moments,
+        "conditional_agg": R.conditional_agg,
+        "vector_stats": S.vector_stats,
+        "bigram_topk": T.bigram_topk,
+        "stream_dedup": SJ.stream_dedup_query,
+        "stream_stream_join": SJ.stream_stream_join_query,
         "scan_project": R.scan_project,
         "word_count": R.word_count,
         "distinct_dedup": R.distinct_dedup,
         "cube_revenue": R.cube_revenue,
         "unpivot_lineitem": R.unpivot_lineitem,
         "json_extract_events": R.json_extract_events,
+        "ntile_ranks": R.ntile_ranks,
+        "window_moving_avg": R.window_moving_avg,
         # oracle-duplicate twins (re-check group_count / tumbling oracles)
         "mapreduce_group_count": mapreduce_group_count,
         "salted_group_count": K.salted_group_count,
@@ -137,6 +147,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": D.dedup_simhash64,
         "image_features": M.image_features,
     }
+
+
+# MinHash-LSH signature/banding CTE chain, shared verbatim by the
+# ``dedup_minhash_lsh`` (pair) and ``dedup_cluster_cc`` (component) oracles
+# so the two stay in exact lockstep with each other and with
+# ``operators.dedup.minhash_signatures``.
+_MINHASH_CTES = """docs AS ({docs}),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(len(tk) - 1, 1)),
+                                      i -> array_to_string(tk[i:i+2], ' ')) AS shl
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs)),
+            hs AS (
+                SELECT doc_id,
+                       list_transform(shl, s ->
+                           md5('0|' || s) || md5('1|' || s)
+                           || md5('2|' || s) || md5('3|' || s)) AS hm
+                FROM sh),
+            mh AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16),
+                           j -> list_min(list_transform(hm,
+                                h -> substr(h, j * 8 + 1, 8)))) AS sig
+                FROM hs),
+            banded AS (
+                SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bsig
+                FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS b))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -379,6 +416,68 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
+        # derived-statistics discipline: exact decimal moment sums, then ONE
+        # identical double expression on each engine (module docstring of
+        # operators/relational.py; built-ins verified against this in
+        # tests/test_properties.py)
+        "stats_moments": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                     * CAST(l_quantity AS DECIMAL(18,2))
+                                     AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * CAST(l_extendedprice AS DECIMAL(18,2))
+                                     AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                     * CAST(l_extendedprice AS DECIMAL(18,2))
+                                     AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   n AS cnt,
+                   round(sx / CAST(n AS DOUBLE), 6) AS mean_qty,
+                   round((sxx - sx * sx / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0), 6) AS var_qty,
+                   round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0)), 6) AS std_qty,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                       AS corr_qty_price
+            FROM s
+        """,
+        "conditional_agg": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                        AS BIGINT) AS n_open,
+                   CAST(count(CASE WHEN o_totalprice > 200000 THEN 1 END)
+                        AS BIGINT) AS n_high_value,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                        AS DOUBLE) AS open_revenue
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "tpch_revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (CAST(1 AS DECIMAL(18,2))
+                                    - CAST(l_discount AS DECIMAL(4,2)))
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
         # the rank column makes the order itself hash-verifiable (the
         # driver compare is order-insensitive, so a bare sorted output
         # would vacuously match in any order)
@@ -523,6 +622,36 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT unnest(range(0,
                      CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS i)
         """,
+        # surviving-key set of the within-watermark streaming dedup (the
+        # kept representative row is arrival-order-dependent; the key set
+        # is the deterministic contract)
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # one availableNow micro-batch => watermarks never drop a row, so
+        # the streamed interval join equals the batch interval join
+        "stream_stream_join": """
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id
+            FROM (SELECT event_id, user_id,
+                         date_trunc('microseconds', ts) AS ts
+                  FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT event_id, user_id,
+                         date_trunc('microseconds', ts) AS ts
+                  FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        """,
+        # per-occurrence bigrams (no DISTINCT — frequency counting), ties at
+        # the top-25 cut broken lexicographically on both engines
+        "bigram_topk": """
+            SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT array_to_string(tk[i:i+1], ' ') AS bigram
+                  FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+                       LATERAL (SELECT unnest(range(1, greatest(len(tk), 1))) AS i))
+            GROUP BY bigram
+            ORDER BY cnt DESC, bigram ASC LIMIT 25
+        """,
         # ---- deduplication (augmented corpus: original ∪ planted copies) ----
         "dedup_exact_hash": f"""
             WITH docs AS ({D.AUGMENTED_DOCS_SQL})
@@ -561,30 +690,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.6
         """,
         "dedup_minhash_lsh": f"""
-            WITH docs AS ({D.AUGMENTED_DOCS_SQL}),
-            sh AS (
-                SELECT doc_id,
-                       list_transform(range(1, greatest(len(tk) - 1, 1)),
-                                      i -> array_to_string(tk[i:i+2], ' ')) AS shl
-                FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs)),
-            hs AS (
-                SELECT doc_id,
-                       list_transform(shl, s ->
-                           md5('0|' || s) || md5('1|' || s)
-                           || md5('2|' || s) || md5('3|' || s)) AS hm
-                FROM sh),
-            mh AS (
-                SELECT doc_id,
-                       list_transform(range(0, 16),
-                           j -> list_min(list_transform(hm,
-                                h -> substr(h, j * 8 + 1, 8)))) AS sig
-                FROM hs),
-            banded AS (
-                SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bsig
-                FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS b))
+            WITH {_MINHASH_CTES.format(docs=D.AUGMENTED_DOCS_SQL)}
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM banded a
             JOIN banded b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        """,
+        # cluster semantics: reachability over the LSH candidate-pair graph
+        # (identical pair CTEs as dedup_minhash_lsh), cluster_id = min
+        # reachable doc_id including self; singletons keep their own id.
+        # The recursive walk is the oracle-side transitive closure — fine at
+        # sf0.01 where clusters are the planted triples; the Spark side is
+        # the scalable min-label-propagation fixpoint.
+        "dedup_cluster_cc": f"""
+            WITH RECURSIVE {_MINHASH_CTES.format(docs=D.AUGMENTED_DOCS_SQL)},
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM banded a
+                JOIN banded b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+            edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+                      UNION SELECT b_id, a_id FROM pairs),
+            walk(src, dst) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT w.src, e.d FROM walk w JOIN edges e ON w.dst = e.s)
+            SELECT docs.doc_id,
+                   least(docs.doc_id, coalesce(min(w.dst), docs.doc_id)) AS cluster_id
+            FROM docs LEFT JOIN walk w ON w.src = docs.doc_id
+            GROUP BY docs.doc_id
         """,
         # the oracle states the CLEAN semantics (every pair within hamming
         # 3, no blocking restriction): the Spark side's multi-band
@@ -646,6 +778,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             ORDER BY sim DESC, a_id, b_id LIMIT 50
+        """,
+        "vector_stats": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS n_dims,
+                   round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+                   round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+                   round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS vmean,
+                   round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 6) AS l2
+            FROM embeddings
         """,
         # ---- multimodal ----
         "binary_meta": """

@@ -353,3 +353,40 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing wrapper (rows-only check) for the 64-bit signatures."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash64_pandas(docs)
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup clustering: MinHash-LSH candidate pairs treated as
+    an undirected graph, resolved into duplicate CLUSTERS by connected
+    components, every document assigned ``cluster_id`` = the smallest
+    doc_id it can reach (itself for singletons).  This is the step an
+    actual corpus-dedup pipeline runs after pair mining — "keep one doc
+    per cluster" needs clusters, not pairs, and pair transitivity
+    (A~B, B~C ⇒ {A,B,C} together) only falls out of a component pass.
+
+    Composition of two north-star pillars: the LSH banded join produces
+    the edge list (never all-pairs), ``operators.graph.connected_components``
+    propagates min-labels to fixpoint (broadcast frontier ⋈ edges, rounds
+    ≈ cluster diameter — planted-duplicate clusters have diameter ≤ 2, and
+    real dedup clusters stay small, so convergence is fast at any corpus
+    size).  The final left join reattaches singleton documents without
+    densifying: only pair-connected docs enter the iteration."""
+    from .graph import connected_components
+
+    docs = augmented_documents(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = connected_components(spark, edges)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )

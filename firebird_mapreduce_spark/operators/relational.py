@@ -753,3 +753,110 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: variance, stddev, and the
+    quantity↔price correlation, derived from EXACT decimal moment sums.
+
+    Spark has the built-ins (``stddev_samp`` / ``var_samp`` / ``corr`` /
+    ``covar_samp`` — single-pass co-moment merges, the right call in a
+    normal pipeline), but their double accumulators are reduction-order
+    dependent: the last bits drift with partition count, so a cross-engine
+    hash compare on them is a coin flip.  The engine's float discipline
+    (module header) applies: accumulate the raw moments Σx, Σx², Σxy as
+    DECIMAL — exact and order-independent, since 2-dp inputs make x² and
+    x·y exact 4-dp values — then derive the statistics with one identical
+    double-arithmetic expression on each engine.  A property test pins the
+    derived values to Spark's built-ins within 1e-9, so the built-in path
+    is verified too.
+
+    Map-side partial aggregation applies to the decimal sums exactly as to
+    any algebraic fold — this is also the *scalable* spelling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum((q * q).cast("decimal(28,4)")).alias("sxx"),
+        F.sum(p).alias("sy"),
+        F.sum((p * p).cast("decimal(28,4)")).alias("syy"),
+        F.sum((q * p).cast("decimal(28,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_qty = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").alias("cnt"),
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(var_qty, 6).alias("var_qty"),
+        F.round(F.sqrt(var_qty), 6).alias("std_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / filtered aggregation — SQL's ``FILTER (WHERE ...)`` and
+    ``count_if``: per order priority, how many orders are open, how many are
+    high-value, and the revenue of only the open ones.  Expressed as
+    aggregates over ``CASE WHEN`` projections, which Catalyst folds into the
+    same partial-aggregate pipeline as unconditional sums (one scan, one
+    shuffle — a FILTER clause never justifies a second pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_open = F.col("o_orderstatus") == "O"
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(is_open, 1)).alias("n_open"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_high_value"),
+        F.sum(F.when(is_open, price)).cast("double").alias("open_revenue"),
+    )
+
+
+def tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite query (TPC-H Q5 shape, minus supplier): revenue
+    by nation for one region and one order-date year across a 5-table join
+    — the end-to-end plan the single operators audit in isolation.
+
+    Declared star-shaped and left to Catalyst: the two big tables
+    (lineitem ⋈ orders) hash-join on the shuffled order key; customer
+    arrives via its own key shuffle; nation and region are broadcast
+    (plan-asserted in tests/test_plans.py) so the dimension filters prune
+    rows BEFORE the expensive joins — predicate pushdown moves
+    ``r_name = 'ASIA'`` and the date range into the scans.  Revenue uses
+    exact decimal arithmetic: price (2 dp) × (1 − discount (2 dp)) is an
+    exact 4-dp product, summed as DECIMAL(28,4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -212,3 +212,30 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("sim").desc(), F.col("a_id").asc(), F.col("b_id").asc()
     ).limit(50)
+
+
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/vector column functions over the embedding table: dimension
+    count, element min/max, mean, and L2 norm — the metadata scan a vector
+    pipeline runs before any indexing (dimension sanity, zero-vector and
+    outlier detection).
+
+    Everything is built-in array lambdas on the JVM (``functions.vectors``
+    double folds + ``array_min``/``array_max`` on a double-cast copy);
+    elementwise ``transform`` keeps Catalyst able to prune other columns,
+    and no UDF means no Arrow round-trip for what is pure arithmetic.
+    Folds are rounded at 6 dp like every vector query (module header)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.array_min(vec), 6).alias("vmin"),
+        F.round(F.array_max(vec), 6).alias("vmax"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size("embedding"),
+            6,
+        ).alias("vmean"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2"),
+    )

@@ -203,3 +203,26 @@ def lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing wrapper for the pandas char-n-gram classifier."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return lang_id_chargram_pandas(docs)
+
+
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 word bigrams with counts — the n-gram frequency
+    sweep every LM-data pipeline runs (vocabulary stats, boilerplate
+    detection, contamination screens).
+
+    Shape for scale: window-lead bigram generation (codegen — see
+    ``functions.hashing.exploded_word_shingles``) → flat projection →
+    one partial-aggregated groupBy → ``TakeOrderedAndProject`` for the
+    top-k, so the full bigram universe is never sorted and never leaves
+    the executors except as k rows.  Ties broken lexicographically to keep
+    the cut deterministic."""
+    from ..functions.hashing import exploded_word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = exploded_word_shingles(docs, "doc_id", "text", 2)
+    return (
+        grams.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(25)
+    )

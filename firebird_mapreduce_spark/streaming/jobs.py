@@ -216,6 +216,39 @@ def stateful_running_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: streaming within-watermark dedup replayed to
+    completion, projected to the KEY COLUMNS ONLY — the representative row
+    ``dropDuplicatesWithinWatermark`` keeps per key is arbitrary (first
+    arrival wins, which varies with partitioning), so the deterministic,
+    oracle-comparable statement is the surviving key set: exactly
+    ``SELECT DISTINCT user_id, event_type`` over the corpus when the whole
+    corpus fits one micro-batch."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    deduped = streaming_dedup(stream_events(spark, sf_dir))
+    return run_stream_to_memory(
+        deduped.select("user_id", "event_type"),
+        f"q_stream_dedup_{_REPLAY_COUNTER}",
+        output_mode="append",
+    )
+
+
+def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the purchase⋈click interval join replayed to
+    completion.  One availableNow micro-batch means no row is ever behind
+    the watermark, so the emitted pair set equals the batch interval join —
+    that equality is the oracle (micros-truncated timestamps on the DuckDB
+    side, matching the nanos→micros source conversion)."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    return run_stream_to_memory(
+        stream_stream_join(stream_events(spark, sf_dir)),
+        f"q_stream_ssjoin_{_REPLAY_COUNTER}",
+        output_mode="append",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

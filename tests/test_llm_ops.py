@@ -167,3 +167,19 @@ def test_multimodal_decoder_gate():
     assert M.decoder_available("image") is False  # no PIL in container
     with pytest.raises(NotImplementedError):
         M.FakeDecoder.image_features(None)
+
+
+def test_dedup_cluster_groups_planted_copies(spark):
+    """Cluster semantics: every planted EXACT copy (identical signature)
+    must land in its original's cluster; near-copies usually do (LSH
+    recall); cluster_id is always the component minimum (≤ doc_id)."""
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_cluster_cc(spark, SF_SMOKE).collect()
+    }
+    originals = [d for d in clusters if d < 100000]
+    assert originals and all(clusters[d] <= d for d in clusters)
+    for d in originals:
+        assert clusters[d + 200000] == clusters[d], d
+    near_hits = sum(clusters[d + 100000] == clusters[d] for d in originals)
+    assert near_hits >= 0.9 * len(originals)

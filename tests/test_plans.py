@@ -84,3 +84,21 @@ def test_grouping_sets_single_pass(spark):
     assert "Expand" in plan
     assert plan.count("FileScan") == 1
     assert "Union" not in plan
+
+
+def test_tpch_flagship_broadcasts_dims(spark):
+    """The 5-table flagship must hash-join the two big tables and
+    BROADCAST nation/region (no shuffle of a 25-row dim), with the region
+    filter reaching its scan."""
+    from firebird_mapreduce_spark.plans.audit import (
+        count_exchanges,
+        has_pushed_filter,
+    )
+
+    df = R.tpch_revenue_by_nation(spark, SF_SMOKE)
+    plan = plan_string(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert has_pushed_filter(df, "r_name")
+    # lineitem⋈orders key shuffle (2) + customer key shuffle (1) + final
+    # groupBy (1): anything above means a dim got shuffle-joined
+    assert count_exchanges(df) <= 4, plan

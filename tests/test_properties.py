@@ -102,3 +102,39 @@ def test_approx_percentile_within_epsilon(spark):
     for key in exact:
         for got, want in zip(approx[key], exact[key]):
             assert abs(got - want) <= max(0.05, 0.05 * abs(want)), (key, got, want)
+
+
+def test_stats_moments_pin_builtin_aggregates(spark):
+    """The decimal-moment-derived statistics must agree with Spark's
+    built-in var_samp/stddev_samp/corr to 1e-9 relative — proving the
+    derivation is the same statistic, just reduction-order-exact."""
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.operators.relational import stats_moments
+    from firebird_mapreduce_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {r["l_returnflag"]: r for r in stats_moments(spark, SF_SMOKE).collect()}
+    ref = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.var_samp("l_quantity").alias("v"),
+            F.stddev_samp("l_quantity").alias("s"),
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for flag in got:
+        for mine, builtin in [
+            (got[flag]["var_qty"], ref[flag]["v"]),
+            (got[flag]["std_qty"], ref[flag]["s"]),
+            (got[flag]["corr_qty_price"], ref[flag]["c"]),
+        ]:
+            # query output is rounded at 6 dp: allow the half-quantum plus
+            # a relative sliver for the built-in's reduction-order noise
+            assert (
+                abs(mine - builtin) <= 5.1e-7 + 1e-9 * abs(builtin)
+            ), (flag, mine, builtin)
