@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_topk": T.bigram_topk,
         "stream_dedup": SJ.stream_dedup_query,
         "stream_stream_join": SJ.stream_stream_join_query,
+        "window_range_interval": R.window_range_interval,
+        "text_repetition": T.text_repetition,
+        "embedding_lsh_ann": S.embedding_lsh_ann,
         "scan_project": R.scan_project,
         "word_count": R.word_count,
         "distinct_dedup": R.distinct_dedup,
@@ -141,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design (sketches / Python-only signatures / scale
         # workloads whose oracle would be a serial graph algorithm)
         "sssp_syn18k": G.sssp_syn18k,
+        "pagerank_nations": G.pagerank_nations,
         "approx_percentile_stats": R.approx_percentile_stats,
         "approx_distinct_users": R.approx_distinct_users,
         "lang_id_chargram": T.lang_id_chargram,
@@ -778,6 +782,77 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             ORDER BY sim DESC, a_id, b_id LIMIT 50
+        """,
+        # RANGE frame over epoch-microseconds on both engines (a seconds
+        # cast would widen the frame for sub-second neighbors); selection
+        # aggregates only, so within-frame order is irrelevant
+        "window_range_interval": """
+            WITH e AS (SELECT event_id, user_id, value,
+                              date_trunc('microseconds', ts) AS ts
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trailing_30m,
+                   max(value) OVER w AS max_val_30m
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "text_repetition": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+            ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                          count(*) AS n_distinct_tokens, max(c) AS top_tok
+                   FROM tc GROUP BY doc_id),
+            grams AS (
+                SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                      FROM documents),
+                     LATERAL (SELECT unnest(range(1, greatest(len(tk), 1))) AS i)),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+            gs AS (SELECT doc_id, sum(c) AS n_bigrams,
+                          count(*) AS n_distinct_bigrams
+                   FROM gc GROUP BY doc_id)
+            SELECT ts.doc_id, ts.n_tokens,
+                   round(CAST(ts.n_distinct_tokens AS DOUBLE) / ts.n_tokens, 6)
+                       AS distinct_tok_ratio,
+                   round(CAST(ts.top_tok AS DOUBLE) / ts.n_tokens, 6)
+                       AS top_tok_frac,
+                   round(CAST(gs.n_distinct_bigrams AS DOUBLE) / gs.n_bigrams, 6)
+                       AS distinct_bigram_ratio
+            FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+        """,
+        # ±1 hyperplanes regenerated from md5 parity; projections rounded
+        # at 6 dp before the sign test on both engines; multi-probe =
+        # exact bucket + 8 hamming-1 neighbors
+        "embedding_lsh_ann": """
+            WITH sigs AS (
+                SELECT vec_id, embedding,
+                       CAST(list_sum(list_transform(range(0, 8), p ->
+                           CASE WHEN round(list_sum(list_transform(range(0, 64),
+                               j -> embedding[j+1]::DOUBLE *
+                                    (CASE WHEN substr(md5(p::VARCHAR || '|'
+                                                        || j::VARCHAR), 1, 1)
+                                          IN ('8','9','a','b','c','d','e','f')
+                                     THEN 1.0 ELSE -1.0 END))), 6) > 0
+                           THEN CAST(power(2, p) AS BIGINT) ELSE 0 END))
+                           AS BIGINT) AS sig
+                FROM embeddings),
+            q AS (SELECT sig AS qsig, embedding::DOUBLE[] AS qv
+                  FROM sigs WHERE vec_id = 0),
+            probes AS (
+                SELECT qsig AS s FROM q
+                UNION ALL
+                SELECT CAST(xor(qsig, CAST(power(2, i) AS BIGINT)) AS BIGINT)
+                FROM q, range(0, 8) t(i))
+            SELECT s.vec_id,
+                   round(list_cosine_similarity(s.embedding::DOUBLE[], q.qv), 6)
+                       AS sim
+            FROM sigs s, q
+            WHERE s.sig IN (SELECT s FROM probes) AND s.vec_id <> 0
+            ORDER BY sim DESC, s.vec_id LIMIT 10
         """,
         "vector_stats": """
             SELECT vec_id,

@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
+    "tpch_revenue_by_nation",
     "dedup_ngram_jaccard",
     "embedding_knn",
     "embedding_neardup_topk",

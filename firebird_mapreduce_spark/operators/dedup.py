@@ -224,10 +224,14 @@ def dedup_minhash_lsh(
     set (dedup pipelines then verify candidates with exact Jaccard —
     ``dedup_ngram_jaccard`` is that verifier)."""
     rows = k // bands
-    # the groupBy inside minhash_signatures is a natural materialization
-    # barrier, so the band slices below reference the tiny signature array,
-    # never the md5 computation
-    sigs = minhash_signatures(augmented_documents(spark, sf_dir), k)
+    # the signature table is consumed twice (both sides of the band
+    # self-join); Catalyst's ReuseExchange recovers the groupBy shuffle
+    # but still replays the banding explode and join-side projections from
+    # it twice — a lazy localCheckpoint pins the tiny (doc_id, sig[16])
+    # table once instead (measured 4.6 s -> 3.7 s at sf0.1)
+    sigs = minhash_signatures(augmented_documents(spark, sf_dir), k).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         "doc_id",
         F.explode(

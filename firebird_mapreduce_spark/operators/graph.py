@@ -351,3 +351,64 @@ walk(node, dist) AS (
 SELECT CAST(node AS INT) AS node, min(dist) AS dist
 FROM walk GROUP BY node
 """
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank with a fixed iteration count — the third consumer of the
+    iterative harness, and the canonical 'big sparse matvec per round'
+    workload: contribs = ranks ⋈ edges (rank/outdegree to each neighbor),
+    partial-aggregated sum per dst, affine update.
+
+    Formula per round: rank'(v) = (1-d)/N + d·Σ_{u→v} rank(u)/outdeg(u);
+    dangling-node mass is dropped (every node of the corpus graphs has
+    out-edges, and the serial differential in tests/test_graph.py applies
+    the identical rule).  At scale the edge table is the big operand —
+    pre-partitioned/bucketed by src it never reshuffles; ranks (one row
+    per node) shuffle once per round on the dst aggregation.  Lineage is
+    truncated on the same every-k lazy-checkpoint cadence as SSSP/CC, but
+    with NO emptiness probe (fixed iterations ⇒ no convergence job at
+    all).  Float sums make the result reduction-order-dependent at the
+    last ulp, so the declared query is rows-only; the differential test
+    pins it to a serial implementation at 1e-9."""
+    edges = edges.select(F.col("src").cast("int"), F.col("dst").cast("int"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg): static per-round operand, materialized once
+    adj = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for it in range(iterations):
+        contribs = (
+            F.broadcast(ranks)
+            .join(adj, ranks.node == adj.src)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            sums, nodes.node == sums.dst, "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (rows-only): 10 PageRank rounds over the derived
+    nation ring+chord graph."""
+    return pagerank(spark, derived_nation_graph(spark, sf_dir))

@@ -860,3 +860,30 @@ def tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, how many events (and the max
+    value seen) in the trailing 30 minutes INCLUDING the current row — the
+    event-time sliding statistic (rate limiting, burst detection) where a
+    ROWS frame is wrong because event spacing is irregular.
+
+    The frame is declared over epoch MICROSECONDS (``unix_micros``), not a
+    seconds cast: the source timestamps are nanosecond-precision, and a
+    truncating seconds cast would put sub-second neighbors at distance 0,
+    silently widening the frame.  Selection aggregates (count, max) keep
+    the result independent of within-frame evaluation order; the window
+    shuffles once on user_id like any partitioned window."""
+    events = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(win).alias("n_trailing_30m"),
+        F.max("value").over(win).alias("max_val_30m"),
+    )

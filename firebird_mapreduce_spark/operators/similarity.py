@@ -239,3 +239,81 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vmean"),
         F.round(l2_norm(F.col("embedding")), 6).alias("l2"),
     )
+
+
+# Sign-random-projection LSH: planes × dims of ±1 weights derived from
+# md5 parity (first hex digit high ⇒ +1), reproducible on any engine
+# that has md5 — the bucketing analogue of the SimHash token trick.
+N_PLANES = 8
+N_DIMS = 64
+
+
+def _srp_weights() -> list[list[float]]:
+    """±1 hyperplane matrix [N_PLANES][N_DIMS].  Derived from md5, not a
+    PRNG, so the DuckDB oracle regenerates it bit-identically in SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{p}|{j}".encode()).hexdigest()[0] in "89abcdef"
+            else -1.0
+            for j in range(N_DIMS)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the second scale family next to IVF: an 8-bit
+    sign-random-projection signature buckets the corpus (expected bucket
+    population N/256); the query probes its own bucket plus the 8
+    hamming-1 neighbors (multi-probe), then ranks candidates by exact
+    cosine.  At 100 TB the signature is a per-row projection (no shuffle,
+    no training step unlike IVF/k-means), the table is written
+    ``partitionBy(bucket)``, and a query touches 9/256 of the data;
+    recall tunes with planes and probe radius.
+
+    Projections are rounded at 6 dp before the sign test (both engines),
+    so bucket assignment is reduction-order-stable; the ±1 planes come
+    from md5 parity and are regenerated identically by the oracle."""
+    weights = _srp_weights()
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sig_col(vec):
+        bits = []
+        for p in range(N_PLANES):
+            w = F.array(*[F.lit(x) for x in weights[p]])
+            proj = F.round(dot(vec, w), 6)
+            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    tagged = emb.select(
+        "vec_id", "embedding", sig_col(F.col("embedding")).alias("sig")
+    ).localCheckpoint(eager=False)
+    query_vec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
+    # driver-side signature of the query: same ±1 weights, same sequential
+    # double fold, same half-up 6 dp rounding as the distributed column
+    qsig = 0
+    for p in range(N_PLANES):
+        proj = 0.0
+        for x, w in zip(query_vec, weights[p]):
+            proj += float(x) * w
+        if _py_round6(proj) > 0:
+            qsig |= 1 << p
+    probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(N_PLANES)]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        tagged.filter(
+            F.col("sig").isin(probe_sigs) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

@@ -226,3 +226,53 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
         .limit(25)
     )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics per document — the Gopher-style quality signals
+    that catch degenerate/boilerplate text: distinct-token ratio, the
+    fraction of the document covered by its single most frequent token,
+    and the distinct-bigram ratio (near 1.0 = varied prose, low = loops).
+
+    One explode per signal family, partial-aggregated counts, and a final
+    per-doc reduce — all counts are exact integers so the derived ratios
+    (rounded at 6 dp) are reduction-order-independent.  At corpus scale
+    each groupBy is uniform in doc_id (no hot keys by construction)."""
+    from ..functions.hashing import exploded_word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").alias("top_tok"),
+    )
+    grams = exploded_word_shingles(docs, "doc_id", "text", 2)
+    gram_stats = (
+        grams.groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("distinct_tok_ratio"),
+            F.round(
+                F.col("top_tok").cast("double") / F.col("n_tokens"), 6
+            ).alias("top_tok_frac"),
+            F.round(
+                F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"), 6
+            ).alias("distinct_bigram_ratio"),
+        )
+    )

@@ -169,6 +169,25 @@ def read_edge_list(spark: SparkSession, path: str, undirected: bool = True) -> D
     return edges
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same DataSource V2 path as parquet (predicate pushdown,
+    column pruning, split by stripe); the second columnar format a lake
+    migration typically has to read in place."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Multimodal raw-bytes source: one row per file with ``path``,
     ``modificationTime``, ``length``, ``content:binary``.

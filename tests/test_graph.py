@@ -86,3 +86,35 @@ def test_sssp_nation_graph_vs_dijkstra(spark):
     assert result == expected
     # connected ring ⇒ all 25 nations reached
     assert len(result) == 25
+
+
+def test_pagerank_matches_serial(spark):
+    """PageRank differential: the distributed matvec rounds must agree
+    with a serial implementation of the identical formula at 1e-9 (float
+    reduction order is the only difference)."""
+    from collections import defaultdict
+
+    from firebird_mapreduce_spark.operators.graph import (
+        derived_nation_graph,
+        pagerank,
+    )
+
+    edges_df = derived_nation_graph(spark, SF_SMOKE)
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    n, d = len(nodes), 0.85
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        sums = defaultdict(float)
+        for s, t in edges:
+            sums[t] += ranks[s] / outdeg[s]
+        ranks = {v: (1 - d) / n + d * sums[v] for v in nodes}
+    got = {r["node"]: r["rank"] for r in pagerank(spark, edges_df).collect()}
+    assert set(got) == set(ranks)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, v
+    # ranks are a probability vector (no dangling nodes in this graph)
+    assert abs(sum(got.values()) - 1.0) < 1e-9

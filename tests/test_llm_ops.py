@@ -183,3 +183,21 @@ def test_dedup_cluster_groups_planted_copies(spark):
         assert clusters[d + 200000] == clusters[d], d
     near_hits = sum(clusters[d + 100000] == clusters[d] for d in originals)
     assert near_hits >= 0.9 * len(originals)
+
+
+def test_lsh_ann_results_are_true_neighbors(spark):
+    """LSH-ANN sanity: every returned similarity must equal the brute-force
+    cosine for that vec (same arithmetic), results are a subset of the
+    corpus, and the probe returns a non-trivial candidate set."""
+    ann = S.embedding_lsh_ann(spark, SF_SMOKE).collect()
+    assert 1 <= len(ann) <= 10
+    brute = {
+        r["vec_id"]: r["sim"]
+        for r in S.cosine_topk(
+            S.load_table(spark, SF_SMOKE, "embeddings").filter("vec_id <> 0"),
+            S._query_vector(spark, SF_SMOKE, 0),
+            k=10_000,
+        ).collect()
+    }
+    for r in ann:
+        assert r["sim"] == brute[r["vec_id"]], r

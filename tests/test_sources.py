@@ -70,3 +70,22 @@ def test_partitioned_parquet_write(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3
     assert {r["v"] for r in back.filter(F.col("part") == "a").collect()} == {10.0, 30.0}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC sink → ORC scan reproduces the table (the second columnar
+    format; same V2 reader path as parquet)."""
+    from firebird_mapreduce_spark.sources.readers import read_orc, write_orc
+
+    src = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("tag"),
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(src, path, partition_by=["grp"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    want = {(r["id"], r["tag"]) for r in src.collect()}
+    got = {(r["id"], r["tag"]) for r in back.collect()}
+    assert got == want
