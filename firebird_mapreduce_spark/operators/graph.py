@@ -44,7 +44,7 @@ def sssp(
     edges: DataFrame,
     source: int,
     max_iterations: int = 100,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Single-source shortest paths by frontier relaxation to fixpoint.
 
@@ -66,12 +66,13 @@ def sssp(
     instead of two per round.  Extra rounds past convergence are no-ops
     (empty frontier produces no candidates), so the fixpoint is unchanged;
     lineage depth is bounded by ``checkpoint_every``, keeping plan size
-    O(1) in iteration count.  Swept on the 18k-node synthetic graph (warm
-    JVM, fresh process per config): 15.7 s @2, 12.1 s @3, **11.3 s @4**,
-    13.6 s @5, 16.5 s @6 — below 4 the blocking probes dominate, above it
-    each probe's lineage (2 shuffles/round deep) makes planning heavier;
+    O(1) in iteration count.  Swept on the 18k-node synthetic graph, fresh
+    process per config, first (cold) and second (warm) runs: cold
+    19.7/17.9/20.5 s and warm 15.7/12.1/11.3 s at cadence 2/3/4 — low
+    cadence pays for blocking probes, high cadence pays cold-start codegen
+    for the deeper per-probe plans.  Default 3 is the cold+warm balance;
     broadcasting the per-round ``best`` into the state join was also tried
-    and is NOT faster (12.8 s @4).
+    and is NOT faster.
     """
     edges = edges.select(
         F.col("src").cast("int"),

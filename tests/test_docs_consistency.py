@@ -20,6 +20,10 @@ def test_coverage_counts_match_registry():
     match = re.search(r"\((\d+) registered queries, (\d+) oracle-backed", readme)
     assert match and int(match.group(1)) == n_queries, "README count stale"
     assert int(match.group(2)) == n_oracle
+    survey = open("/root/repo/SURVEY.md").read()
+    match = re.search(r"(\d+) queries, (\d+) oracle-backed", survey)
+    assert match and int(match.group(1)) == n_queries, "SURVEY count stale"
+    assert int(match.group(2)) == n_oracle, "SURVEY oracle count stale"
 
 
 def test_every_oracle_has_a_query():
