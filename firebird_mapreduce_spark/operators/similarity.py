@@ -276,7 +276,19 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Projections are rounded at 6 dp before the sign test (both engines),
     so bucket assignment is reduction-order-stable; the ±1 planes come
-    from md5 parity and are regenerated identically by the oracle."""
+    from md5 parity and are regenerated identically by the oracle.
+
+    Measured recall@10 vs brute force on the synthetic corpus: 0.10 at
+    sf0.01 / 0.20 at sf0.1 (radius-2 probing: 0.2/0.4) — and that is the
+    *expected* value, not a bug: the corpus' nearest neighbors sit at
+    cosine ≈ 0.45, where an SRP bit agrees only with p = 1−θ/π ≈ 0.66,
+    giving P(≤1 of 8 bits flips) ≈ 0.13.  On a real near-dup workload
+    (neighbors at cosine ≥ 0.9, p ≈ 0.86) the same table yields ≈ 0.68
+    single-probe and the standard fix for the rest is L independent
+    tables (union of L such plans, 1−(1−P)^L).  IVF (`embedding_knn_ivf`,
+    measured recall 0.9-1.0 here) is the better family when neighbors are
+    this weak; both are kept because their scale profiles differ (LSH:
+    no training pass, pure per-row projection; IVF: centroid fit)."""
     weights = _srp_weights()
     emb = load_table(spark, sf_dir, "embeddings")
 
