@@ -44,7 +44,7 @@ def sssp(
     edges: DataFrame,
     source: int,
     max_iterations: int = 100,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Single-source shortest paths by frontier relaxation to fixpoint.
 
@@ -66,13 +66,14 @@ def sssp(
     instead of two per round.  Extra rounds past convergence are no-ops
     (empty frontier produces no candidates), so the fixpoint is unchanged;
     lineage depth is bounded by ``checkpoint_every``, keeping plan size
-    O(1) in iteration count.  Swept on the 18k-node synthetic graph, fresh
-    process per config, first (cold) and second (warm) runs: cold
-    19.7/17.9/20.5 s and warm 15.7/12.1/11.3 s at cadence 2/3/4 — low
-    cadence pays for blocking probes, high cadence pays cold-start codegen
-    for the deeper per-probe plans.  Default 3 is the cold+warm balance;
-    broadcasting the per-round ``best`` into the state join was also tried
-    and is NOT faster.
+    O(1) in iteration count.  Cadence swept on the 18k-node synthetic
+    graph: isolated warm re-runs mildly favor 3-4 (15.7/12.1/11.3 s at
+    2/3/4 — fewer blocking probes), while cold/in-bench runs show no
+    repeatable difference above host noise (~±15%).  The default stays 2:
+    lowest convergence-detection latency (at most 1 wasted no-op round),
+    shallowest per-probe plans, and the alternatives buy nothing robust.
+    Broadcasting the per-round ``best`` into the state join was also
+    tried and is NOT faster.
     """
     edges = edges.select(
         F.col("src").cast("int"),
