@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": SJ.stream_dedup_query,
         "stream_stream_join": SJ.stream_stream_join_query,
         "window_range_interval": R.window_range_interval,
+        "merge_upsert_orders": R.merge_upsert_orders,
         "text_repetition": T.text_repetition,
         "embedding_lsh_ann": S.embedding_lsh_ann,
         "scan_project": R.scan_project,
@@ -782,6 +783,30 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             ORDER BY sim DESC, a_id, b_id LIMIT 50
+        """,
+        # MERGE outcomes: matched rows take the update's values, unmatched
+        # base rows pass through, update-only keys insert
+        "merge_upsert_orders": """
+            WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                          FROM orders),
+            changes AS (
+                SELECT o_orderkey, 'F' AS o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10
+                            AS DOUBLE) AS o_totalprice
+                FROM base WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT -1, 'O', 100.0),
+            merged AS (
+                SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+                       CASE WHEN c.o_orderkey IS NOT NULL
+                            THEN c.o_orderstatus ELSE b.o_orderstatus
+                       END AS o_orderstatus,
+                       CASE WHEN c.o_orderkey IS NOT NULL
+                            THEN c.o_totalprice ELSE b.o_totalprice
+                       END AS o_totalprice
+                FROM base b FULL OUTER JOIN changes c
+                  ON b.o_orderkey = c.o_orderkey)
+            SELECT * FROM merged
         """,
         # RANGE frame over epoch-microseconds on both engines (a seconds
         # cast would widen the frame for sub-second neighbors); selection

@@ -887,3 +887,68 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(win).alias("n_trailing_30m"),
         F.max("value").over(win).alias("max_val_30m"),
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """MERGE/upsert without a table format: update-wins full-outer merge of
+    ``updates`` into ``base`` on ``key_cols`` — the CDC apply step a
+    lakehouse runs per batch.  Non-key columns must match by name; for each
+    key present in both, the update's row wins; keys only in one side pass
+    through.
+
+    Plan shape: ONE full-outer shuffle join on the key (both sides
+    hash-partitioned; at scale, bucketing both tables by the merge key
+    makes this a zero-exchange sort-merge), then a coalesce projection —
+    no window, no union-distinct.  With a transactional format (Delta/
+    Iceberg) this same plan is what MERGE INTO compiles to; here the
+    result is returned for the caller to write atomically."""
+    value_cols = [c for c in base.columns if c not in key_cols]
+    u = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_uv_{c}") for c in value_cols],
+    )
+    cond = None
+    for k in key_cols:
+        clause = base[k].eqNullSafe(F.col(f"_u_{k}"))
+        cond = clause if cond is None else cond & clause
+    merged = base.join(u, cond, "full_outer")
+    return merged.select(
+        *[
+            F.coalesce(base[k], F.col(f"_u_{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[
+            F.when(F.col(f"_u_{key_cols[0]}").isNotNull(), F.col(f"_uv_{c}"))
+            .otherwise(base[c])
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: apply a deterministic change batch to ``orders`` —
+    every third order arrives re-priced (+10, exact decimal) and
+    force-closed, and a synthetic late-arriving order (key -1) is
+    inserted.  Exercises all three MERGE outcomes: matched-update,
+    unmatched-passthrough, and insert."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("F").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(10))
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    late = spark.createDataFrame(
+        [(-1, "O", 100.0)], "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    )
+    return merge_upsert(
+        orders, changes.unionByName(late), ["o_orderkey"]
+    )

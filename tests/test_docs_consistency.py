@@ -30,3 +30,12 @@ def test_every_oracle_has_a_query():
     queries = entrymod.queries()
     for name in entrymod.oracle_sql():
         assert name in queries, f"oracle_sql has {name} but queries() does not"
+
+
+def test_every_query_named_in_coverage():
+    """COVERAGE.md is the inventory→query map: every registered query name
+    must literally appear in it (backticked), so the map cannot silently
+    omit an operator."""
+    text = open("/root/repo/COVERAGE.md").read()
+    for name in entrymod.queries():
+        assert f"`{name}`" in text, f"COVERAGE.md does not mention `{name}`"

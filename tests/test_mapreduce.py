@@ -137,3 +137,18 @@ def test_salted_collect_list_complete(spark):
     out = {r["k"]: sorted(r["v_list"]) for r in K.salted_collect_list(df, ["k"], "v").collect()}
     assert out["a"] == list(range(100))
     assert out["b"] == [1]
+
+
+def test_merge_upsert_three_outcomes(spark):
+    """MERGE semantics: matched keys take update values, unmatched base
+    rows pass through untouched, update-only keys insert."""
+    from firebird_mapreduce_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (9, "new", 1.0)], "k INT, s STRING, v DOUBLE"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 9: ("new", 1.0)}

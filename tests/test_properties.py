@@ -138,3 +138,30 @@ def test_stats_moments_pin_builtin_aggregates(spark):
             assert (
                 abs(mine - builtin) <= 5.1e-7 + 1e-9 * abs(builtin)
             ), (flag, mine, builtin)
+
+
+@SPARK_SETTINGS
+@given(
+    base=st.lists(st.tuples(keys, st.integers(-9, 9)), max_size=30),
+    upd=st.lists(st.tuples(keys, st.integers(-9, 9)), max_size=12),
+)
+def test_merge_upsert_matches_dict_semantics(spark, base, upd):
+    """merge_upsert vs the naive dict model: start from base keyed by k
+    (last row per duplicate key unspecified — dedupe inputs first), apply
+    updates, updates win."""
+    from firebird_mapreduce_spark.operators.relational import merge_upsert
+
+    base = list({k: (k, v) for k, v in base}.values())
+    upd = list({k: (k, v) for k, v in upd}.values())
+    if not base and not upd:
+        return
+    want = {k: v for k, v in base}
+    want.update({k: v for k, v in upd})
+    base_df = spark.createDataFrame(base or [(None, None)], "k INT, v INT").filter(
+        "k IS NOT NULL" if not base else "1=1"
+    )
+    upd_df = spark.createDataFrame(upd or [(None, None)], "k INT, v INT").filter(
+        "k IS NOT NULL" if not upd else "1=1"
+    )
+    got = {r["k"]: r["v"] for r in merge_upsert(base_df, upd_df, ["k"]).collect()}
+    assert got == want
