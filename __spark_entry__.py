@@ -128,7 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_interval": R.window_range_interval,
         "merge_upsert_orders": R.merge_upsert_orders,
         "text_repetition": T.text_repetition,
+        "deterministic_split": T.deterministic_split,
         "embedding_lsh_ann": S.embedding_lsh_ann,
+        "frame_sample": M.frame_sample,
         "scan_project": R.scan_project,
         "word_count": R.word_count,
         "distinct_dedup": R.distinct_dedup,
@@ -141,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapreduce_group_count": mapreduce_group_count,
         "salted_group_count": K.salted_group_count,
         "stream_group_count": SJ.stream_group_count_query,
+        "connected_components_star": G.connected_components_star_query,
         "stream_tumbling_window": SJ.stream_tumbling_window_query,
         # rows-only by design (sketches / Python-only signatures / scale
         # workloads whose oracle would be a serial graph algorithm)
@@ -407,6 +410,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sssp_fixpoint": G.SSSP_ORACLE_SQL,
         "connected_components": G.CONNECTED_COMPONENTS_ORACLE_SQL,
+        # the star-contraction implementation must reproduce the identical
+        # component map (its equality to label propagation is the claim)
+        "connected_components_star": G.CONNECTED_COMPONENTS_ORACLE_SQL,
         "triangle_count": G.TRIANGLE_COUNT_ORACLE_SQL,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,
@@ -823,6 +829,17 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
                                AND CURRENT ROW)
         """,
+        "deterministic_split": """
+            SELECT lang,
+                   CASE WHEN substr(md5('split1|' || doc_id), 1, 2) < 'cc'
+                        THEN 'train'
+                        WHEN substr(md5('split1|' || doc_id), 1, 2) < 'e6'
+                        THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc,
+                   CAST(max(doc_id) AS BIGINT) AS max_doc
+            FROM documents GROUP BY 1, 2
+        """,
         "text_repetition": """
             WITH toks AS (
                 SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
@@ -888,6 +905,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_dot_product(embedding::DOUBLE[],
                                                embedding::DOUBLE[])), 6) AS l2
             FROM embeddings
+        """,
+        # frames = byte windows (offset i*256, length 64) of the UTF-8
+        # payload; corpus is pure ASCII so substr-by-char == slice-by-byte
+        "frame_sample": """
+            SELECT doc_id AS asset_id,
+                   CAST(i AS INT) AS frame_idx,
+                   md5(substr(text, i * 256 + 1, 64)) AS frame_md5
+            FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+                 LATERAL (SELECT unnest(range(0,
+                     CASE WHEN octet_length(encode(text)) >= 64
+                          THEN (octet_length(encode(text)) - 64) // 256 + 1
+                          ELSE 0 END)) AS i)
         """,
         # ---- multimodal ----
         "binary_meta": """

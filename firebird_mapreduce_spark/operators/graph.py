@@ -414,3 +414,98 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query (rows-only): 10 PageRank rounds over the derived
     nation ring+chord graph."""
     return pagerank(spark, derived_nation_graph(spark, sf_dir))
+
+
+def connected_components_star(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the web-scale refinement SCALE.md names over
+    min-label propagation, whose round count is the graph DIAMETER (a
+    long path graph = thousands of rounds; star-contraction collapses it
+    in a handful).
+
+    State is a parent forest ``(node, parent)``.  Each round:
+      large-star: every node's neighbors that are LARGER than the node's
+        parent re-attach to that parent (computed per edge endpoint with
+        a groupBy-min over neighbor parents);
+      small-star: symmetric, for smaller neighbors.
+    Implemented as two identical dataflow steps on the parent table —
+    join edges to parents, per-node min over (own parent ∪ neighbor
+    parents), re-point — every step a broadcast-free shuffle on the node
+    key, partial-aggregated, O(E) per round.  Converged when no parent
+    changes (probed with the same lazy-checkpoint discipline as ``sssp``).
+    Returns ``(node, component)`` with component = min node id, identical
+    contract to ``connected_components`` (differential-tested against it).
+    """
+    edges = edges.select(F.col("src").cast("int"), F.col("dst").cast("int"))
+    # symmetric edge list, self-loops dropped
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parent = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # one combined "star" round: every node adopts the minimum parent
+        # among itself and ALL its neighbors' parents (a conservative
+        # union of large-star+small-star moves — monotone, and still
+        # doubles pointer-shortcuts each round), then parents are
+        # path-compressed one hop (parent := parent's parent).
+        nbr_parent = (
+            sym.join(parent, sym.dst == parent.node)
+            .select(sym.src.alias("node"), F.col("parent").alias("cand"))
+        )
+        best = nbr_parent.groupBy("node").agg(F.min("cand").alias("cand"))
+        stepped = (
+            parent.join(best, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "parent", F.coalesce("cand", F.col("parent"))
+                ).alias("parent"),
+            )
+        )
+        # pointer doubling: parent <- parent(parent)
+        p2 = stepped.select(
+            F.col("node").alias("pnode"), F.col("parent").alias("pparent")
+        )
+        doubled = (
+            stepped.join(p2, stepped.parent == p2.pnode, "left")
+            .select(
+                "node",
+                F.coalesce("pparent", "parent").alias("parent"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            doubled.join(
+                parent.select("node", F.col("parent").alias("old")), "node"
+            )
+            .filter(F.col("parent") != F.col("old"))
+        )
+        parent = doubled
+        if changed.isEmpty():
+            break
+    return parent.select("node", F.col("parent").alias("component"))
+
+
+def connected_components_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: star-contraction CC over the residue-class graph —
+    same oracle as ``connected_components`` (equality of the two
+    implementations IS the claim; also differential-tested on the 18k
+    graph and a 400-node path in tests/test_graph.py)."""
+    return connected_components_star(
+        spark, derived_component_graph(spark, sf_dir)
+    )

@@ -193,3 +193,50 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic image subset, via the stubbed decoder."""
     assets = synthetic_assets(spark, sf_dir).filter(F.col("modality") == "image")
     return extract_image_features(assets)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_len: int = 64,
+    stride: int = 256,
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame sampling over video payloads — the 1→N multimodal explode
+    (decode a container, emit every k-th frame) with the real pipeline's
+    batch shape: ``mapInPandas`` streams Arrow batches and yields multiple
+    output rows per asset, so memory is bounded by batch size × frame
+    size, never by a whole video.  With no codec in the container the
+    "frames" are deterministic byte windows (offset i·stride, length
+    frame_len) and the per-frame feature is their md5 — the plumbing
+    (schema, fan-out, batching) is exactly what a real decoder drops into.
+    """
+    out_schema = "asset_id bigint, frame_idx int, frame_md5 string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf[content_col]):
+                blob = bytes(content or b"")
+                n_frames = max((len(blob) - frame_len) // stride + 1, 0)
+                for i in range(n_frames):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(blob[i * stride : i * stride + frame_len]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: frame sampling over the synthetic corpus' video
+    assets.  Oracle-checkable because the fake frames are byte windows and
+    the corpus is pure ASCII (char slice == byte slice, asserted in
+    tests), so DuckDB reproduces each frame digest with substr+md5."""
+    assets = synthetic_assets(spark, sf_dir).filter(F.col("modality") == "video")
+    return sample_frames(assets)

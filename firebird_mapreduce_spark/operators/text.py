@@ -276,3 +276,34 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_bigram_ratio"),
         )
     )
+
+
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment — the split step of every
+    training-data pipeline, done WITHOUT an RNG: the first hex bytes of
+    md5(salt || doc_id) pick the split by LEXICOGRAPHIC comparison (hex
+    strings order identically on every engine; no hex->int builtin
+    needed): prefix < 'cc' (204/256 = 79.7%) train, < 'e6' (230/256 =
+    89.8%) val, else test.  Hash-based splits are the production practice (stable under
+    reruns, appends, and engine changes — a seeded ``sample()`` is none of
+    those), and they make the assignment itself oracle-checkable.
+    Returns per (lang, split) counts plus the min/max doc_id as a spot
+    check that membership, not just counts, agrees."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("split1|"), F.col("doc_id"))), 1, 2
+    )
+    split = (
+        F.when(prefix < "cc", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

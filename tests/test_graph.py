@@ -118,3 +118,46 @@ def test_pagerank_matches_serial(spark):
         assert abs(got[v] - ranks[v]) < 1e-9, v
     # ranks are a probability vector (no dangling nodes in this graph)
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_star_cc_matches_label_prop_and_converges_log_rounds(spark):
+    """The O(log n) star-contraction CC must agree with min-label
+    propagation on the 18k syn graph, and must converge on a 400-node
+    PATH graph within its 50-round budget — the workload where
+    diameter-bound label propagation (rounds = 399) cannot finish."""
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        synthetic_edges,
+    )
+
+    syn = synthetic_edges(spark).select("src", "dst")
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(spark, syn).collect()
+    }
+    # label propagation walks src->dst only; symmetrize to compare on
+    # undirected semantics (star symmetrizes internally)
+    sym = syn.unionByName(
+        syn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    label = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark, sym.withColumn("weight", F.lit(1.0))
+        ).collect()
+    }
+    assert star == label
+
+    path = spark.range(399).select(
+        F.col("id").cast("int").alias("src"),
+        (F.col("id") + 1).cast("int").alias("dst"),
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components_star(spark, path).collect()
+    }
+    assert set(out) == set(range(400))
+    assert set(out.values()) == {0}

@@ -201,3 +201,32 @@ def test_lsh_ann_results_are_true_neighbors(spark):
     }
     for r in ann:
         assert r["sim"] == brute[r["vec_id"]], r
+
+
+def test_frame_sample_ascii_precondition_and_fanout(spark):
+    """frame_sample's oracle equates char-substr with byte-slice, which
+    requires a pure-ASCII corpus — assert that precondition, and the 1→N
+    fan-out: every video asset with ≥64 payload bytes emits
+    (len-64)//256 + 1 frames, each digest the md5 of its byte window."""
+    import hashlib
+
+    docs = M.load_table(spark, SF_SMOKE, "documents")
+    non_ascii = docs.filter(
+        F.length(F.encode(F.col("text"), "UTF-8")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
+    frames = M.frame_sample(spark, SF_SMOKE).collect()
+    texts = {
+        r["doc_id"]: r["text"].encode()
+        for r in docs.filter(F.col("doc_id") % 3 == 2).collect()
+    }
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, blob in texts.items():
+        want = max((len(blob) - 64) // 256 + 1, 0) if len(blob) >= 64 else 0
+        got = by_asset.get(aid, [])
+        assert len(got) == want, aid
+        for r in got:
+            window = blob[r["frame_idx"] * 256 : r["frame_idx"] * 256 + 64]
+            assert r["frame_md5"] == hashlib.md5(window).hexdigest()
