@@ -48,7 +48,7 @@ def sssp(
 ) -> DataFrame:
     """Single-source shortest paths by frontier relaxation to fixpoint.
 
-    Returns ``(node INT, dist DOUBLE)`` for every reachable node.  The
+    Returns ``(node BIGINT, dist DOUBLE)`` for every reachable node.  The
     unreached sentinel (reference uses 2^30, ``main.cpp:11``) is expressed
     as absence — unreachable nodes simply have no row.
 
@@ -76,12 +76,12 @@ def sssp(
     tried and is NOT faster.
     """
     edges = edges.select(
-        F.col("src").cast("int"),
-        F.col("dst").cast("int"),
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
         F.col("weight").cast("double"),
     )
     state = spark.createDataFrame(
-        [(source, 0.0, True)], "node INT, dist DOUBLE, improved BOOLEAN"
+        [(source, 0.0, True)], "node LONG, dist DOUBLE, improved BOOLEAN"
     ).localCheckpoint(eager=True)
 
     for it in range(max_iterations):
@@ -210,7 +210,7 @@ def connected_components(
     large-star/small-star (alternating pointer-doubling), which cuts rounds
     to O(log n) — same dataflow primitives, so the harness carries over.
     """
-    edges = edges.select(F.col("src").cast("int"), F.col("dst").cast("int"))
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     state = nodes.select(
         "node", F.col("node").alias("lbl"), F.lit(True).alias("improved")
@@ -317,7 +317,7 @@ reach(node, lbl) AS (
     UNION
     SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
 )
-SELECT CAST(node AS INT) AS node, CAST(min(lbl) AS INT) AS component
+SELECT CAST(node AS BIGINT) AS node, CAST(min(lbl) AS BIGINT) AS component
 FROM reach GROUP BY node
 """
 
@@ -350,7 +350,7 @@ walk(node, dist) AS (
     FROM walk w JOIN undirected u ON u.src = w.node
     WHERE w.dist + u.weight < 60
 )
-SELECT CAST(node AS INT) AS node, min(dist) AS dist
+SELECT CAST(node AS BIGINT) AS node, min(dist) AS dist
 FROM walk GROUP BY node
 """
 
@@ -378,7 +378,7 @@ def pagerank(
     all).  Float sums make the result reduction-order-dependent at the
     last ulp, so the declared query is rows-only; the differential test
     pins it to a serial implementation at 1e-9."""
-    edges = edges.select(F.col("src").cast("int"), F.col("dst").cast("int"))
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -391,10 +391,13 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for it in range(iterations):
-        contribs = (
-            F.broadcast(ranks)
-            .join(adj, ranks.node == adj.src)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        # NO broadcast hint on ranks: unlike SSSP's shrinking frontier,
+        # the rank vector is one row per node forever — at web scale it
+        # must shuffle-join (co-located for free when adj is bucketed by
+        # src); Catalyst still auto-broadcasts small graphs under the
+        # threshold.
+        contribs = ranks.join(adj, ranks.node == adj.src).select(
+            "dst", (F.col("rank") / F.col("deg")).alias("c")
         )
         sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = nodes.join(
@@ -441,7 +444,7 @@ def connected_components_star(
     Returns ``(node, component)`` with component = min node id, identical
     contract to ``connected_components`` (differential-tested against it).
     """
-    edges = edges.select(F.col("src").cast("int"), F.col("dst").cast("int"))
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     # symmetric edge list, self-loops dropped
     sym = (
         edges.filter(F.col("src") != F.col("dst"))

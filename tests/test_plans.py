@@ -102,3 +102,33 @@ def test_tpch_flagship_broadcasts_dims(spark):
     # lineitem⋈orders key shuffle (2) + customer key shuffle (1) + final
     # groupBy (1): anything above means a dim got shuffle-joined
     assert count_exchanges(df) <= 4, plan
+
+
+def test_bigram_topk_take_ordered_single_shuffle(spark):
+    """Top-k n-gram sweep: partial-aggregated groupBy (one Exchange) and
+    TakeOrderedAndProject — the full bigram universe is never globally
+    sorted."""
+    from firebird_mapreduce_spark.operators.text import bigram_topk
+    from firebird_mapreduce_spark.plans.audit import count_exchanges
+
+    df = bigram_topk(spark, SF_SMOKE)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_stats_moments_single_exchange(spark):
+    """Decimal moment sums must ride one partial→final aggregate pair —
+    a second shuffle would mean the moments didn't combine map-side."""
+    from firebird_mapreduce_spark.plans.audit import count_exchanges
+
+    assert count_exchanges(R.stats_moments(spark, SF_SMOKE)) == 1
+
+
+def test_merge_upsert_no_window_no_union(spark):
+    """The CDC merge is ONE full-outer join + projection: no Window, no
+    union-distinct spelling."""
+    df = R.merge_upsert_orders(spark, SF_SMOKE)
+    plan = plan_string(df, "simple")
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "Window" not in plan
