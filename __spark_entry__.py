@@ -23,6 +23,7 @@ from firebird_mapreduce_spark.mapreduce import mapreduce_group_count
 from firebird_mapreduce_spark.operators import dedup as D
 from firebird_mapreduce_spark.operators import graph as G
 from firebird_mapreduce_spark.operators import multimodal as M
+from firebird_mapreduce_spark.operators import pipeline as P
 from firebird_mapreduce_spark.operators import relational as R
 from firebird_mapreduce_spark.operators import similarity as S
 from firebird_mapreduce_spark.operators import skew as K
@@ -127,6 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": SJ.stream_stream_join_query,
         "window_range_interval": R.window_range_interval,
         "merge_upsert_orders": R.merge_upsert_orders,
+        "pii_redact": P.pii_redact,
+        "contamination_check": P.contamination_check,
+        "inverted_index": P.inverted_index,
+        "tfidf_top_terms": P.tfidf_top_terms,
+        "stratified_sample": P.stratified_sample,
+        "quality_topk_per_lang": P.quality_topk_per_lang,
         "text_repetition": T.text_repetition,
         "deterministic_split": T.deterministic_split,
         "embedding_lsh_ann": S.embedding_lsh_ann,
@@ -927,5 +934,123 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        # ---- training-data pipeline (operators/pipeline.py) ----
+        # Planted-positive constructions are mirrored exactly from the
+        # Spark side (see the module docstring on vacuity).
+        "pii_redact": f"""
+            WITH aug AS (
+                SELECT doc_id, text
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || doc_id || '@example.com now'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0
+                            THEN ' ssn 123-45-6789 on file' ELSE '' END AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '{{EMAIL}}', '[EMAIL]', 'g'),
+                                  '{{SSN}}', '[ID]', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text, '{{EMAIL}}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{{SSN}}')) AS BIGINT) AS n_id
+            FROM aug
+        """.replace("{EMAIL}", P.EMAIL_RE).replace("{SSN}", P.SSN_RE),
+        "contamination_check": """
+            WITH probe AS (SELECT text FROM documents WHERE doc_id = 0),
+            corpus AS (
+                SELECT d.doc_id,
+                       CASE WHEN d.doc_id % 13 = 0
+                            THEN d.text || ' ' || substr(p.text, 1, 80)
+                            ELSE d.text END AS text
+                FROM documents d CROSS JOIN probe p
+                WHERE d.doc_id > 0),
+            pg AS (
+                SELECT DISTINCT g AS shingle FROM (
+                    SELECT unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                               i -> array_to_string(t[i:i+7], ' '))) AS g
+                    FROM (SELECT string_split(lower(text), ' ') AS t FROM probe))),
+            cg AS (
+                SELECT DISTINCT doc_id, g AS shingle FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                               i -> array_to_string(t[i:i+7], ' '))) AS g
+                    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                          FROM corpus)))
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+            FROM cg c JOIN pg USING (shingle)
+            GROUP BY c.doc_id
+        """,
+        "inverted_index": """
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                    FROM documents)
+                WHERE tok <> '')
+            SELECT tok AS term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY tok
+        """,
+        "tfidf_top_terms": """
+            WITH pairs AS (
+                SELECT doc_id, tok AS term FROM (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                    FROM documents)
+                WHERE tok <> ''),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM pairs GROUP BY doc_id, term),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM (SELECT DISTINCT doc_id, term FROM pairs)
+                      GROUP BY term),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                  FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS tfidf
+                FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, df, tfidf FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+                FROM scored)
+            WHERE rn = 1
+        """,
+        "stratified_sample": """
+            WITH s AS (
+                SELECT lang, doc_id,
+                       substr(md5('samp|' || doc_id), 1, 2) AS pfx,
+                       CASE WHEN lang = 'en' THEN '33'
+                            WHEN lang = 'de' THEN '80'
+                            ELSE 'cc' END AS cut
+                FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN pfx < cut THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sampled,
+                   min(CASE WHEN pfx < cut THEN doc_id END) AS min_kept,
+                   max(CASE WHEN pfx < cut THEN doc_id END) AS max_kept
+            FROM s GROUP BY lang
+        """,
+        "quality_topk_per_lang": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tok,
+                       len(list_filter(toks, t -> t IN
+                           ('the','a','an','and','or','of','to','in','is','it'))) AS stop_cnt,
+                       length(lt) - length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS punct_cnt,
+                       length(lt) AS n_len
+                FROM (SELECT doc_id, n_chars, lower(text) AS lt,
+                             string_split(lower(text), ' ') AS toks
+                      FROM documents)),
+            q AS (
+                SELECT doc_id,
+                       round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                             + (CAST(stop_cnt AS DOUBLE) / n_tok) * 0.4
+                             + (1.0 - CAST(punct_cnt AS DOUBLE) / n_len) * 0.2, 6)
+                           AS quality_score
+                FROM c),
+            j AS (SELECT d.lang, q.doc_id, q.quality_score
+                  FROM q JOIN documents d USING (doc_id))
+            SELECT lang, doc_id, quality_score, CAST(rn AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC) AS rn
+                FROM j)
+            WHERE rn <= 3
         """,
     }

@@ -1,0 +1,225 @@
+"""Training-data pipeline operators over the ``documents`` table
+(north-star extension, SURVEY §2.C): PII redaction, benchmark-contamination
+checking, inverted-index construction, TF-IDF term weighting, deterministic
+stratified sampling, and per-group quality filtering.
+
+These are the curation steps a pre-training corpus passes through between
+raw crawl and tokenizer — the operations a user of the reference engine
+(whose surface is "arbitrary C++ in map()/reduce()",
+``/root/reference/firebird.h:54-88``) would hand-write as map/reduce jobs.
+Here each is a declarative DataFrame plan: string/regexp work stays inside
+whole-stage codegen, joins are broadcast where one side is provably tiny
+(the probe document), and every aggregation partial-aggregates map-side.
+
+The synthetic corpus contains no natural PII or benchmark overlap, so both
+queries PLANT their positives deterministically in-query (same construction
+in the DuckDB oracle) — an oracle match on an empty result would be
+vacuous (see tests/test_pipeline_ops.py for the non-vacuity assertions).
+
+Scale notes (100 TB):
+- ``pii_redact`` is a pure per-row projection — embarrassingly parallel,
+  no shuffle, regexp evaluated in codegen.
+- ``contamination_check`` joins corpus n-grams against a benchmark n-gram
+  set.  The benchmark side (every eval suite ever published) is millions
+  of n-grams at most — always the broadcast side; corpus n-grams stream
+  through map-side hash lookups and the only shuffle is the per-doc count.
+- ``inverted_index`` is the canonical MapReduce application; the groupBy
+  on term partial-aggregates, but posting lists for stop-words are
+  unbounded at corpus scale — real deployments cap or shard them (the
+  document-frequency cutoff here is the cap's relational form).
+- ``tfidf_top_terms`` reuses one exploded (doc, term) pass for both tf and
+  df; the document count joins in as a broadcast single row, never a
+  driver round-trip.
+- ``stratified_sample`` / ``quality_topk_per_lang`` are hash-filter and
+  windowed top-k shapes — one shuffle each, no RNG (hash-based sampling is
+  stable under reruns and appends; a seeded ``sample()`` is neither).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import exploded_word_shingles, tokens
+from ..sources import load_table
+
+# Shared regexes — Java (Spark) and RE2 (DuckDB) read these identically:
+# character classes, bounded repetition, no backrefs/lookaround.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def _planted_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII into a known subset (doc_id % 7 / % 11)
+    so the redactor's match path is exercised; mirrored in the oracle."""
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789 on file")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: scrub emails and SSN-shaped ids from document text,
+    reporting per-doc redaction counts — the PII-removal step of a corpus
+    cleaning pipeline.  Pure projection: no shuffle, fully codegen."""
+    docs = _planted_pii(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"), SSN_RE, "[ID]"
+        ).alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(SSN_RE)).cast("long").alias("n_id"),
+    )
+
+
+def contamination_check(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """Declared query: benchmark-contamination detection — count, per
+    corpus document, the distinct word ``n``-grams it shares with a probe
+    (benchmark) document.  The standard decontamination step before
+    training (e.g. 8-13-gram overlap against eval suites).
+
+    Probe = doc 0; corpus docs with doc_id % 13 == 0 get a probe snippet
+    appended (planted contamination, mirrored in the oracle).  The probe
+    n-gram set is broadcast — at scale the benchmark side is always the
+    small side — so corpus n-grams never shuffle; the one exchange is the
+    per-doc hit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") == 0).select(
+        F.col("text").alias("probe_text")
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") > 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" "), F.substring("probe_text", 1, 80)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    probe_grams = (
+        exploded_word_shingles(probe.select(F.lit(0).alias("doc_id"), F.col("probe_text").alias("text")), "doc_id", "text", n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_grams = exploded_word_shingles(corpus, "doc_id", "text", n).distinct()
+    return (
+        corpus_grams.join(F.broadcast(probe_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: term → (document frequency, sorted posting list) —
+    the canonical MapReduce application (map: emit (term, doc); reduce:
+    merge postings), expressed as explode → distinct → groupBy.  Posting
+    lists are emitted as comma-joined strings so the result is flat and
+    order-canonical.  At 100 TB stop-word postings are unbounded; the
+    ``max_df`` cutoff is the standard cap (dropped terms are exactly the
+    ones a search engine stop-lists)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
+        )
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the highest-weighted term per document under
+    tf·(N/df) scoring (the log-free rational form: one exact integer
+    product and ONE IEEE division, so Spark and the oracle agree
+    bit-for-bit — ln() would be libm-dependent).  Ties break on the
+    lexicographically smallest term.
+
+    One exploded (doc, term) pass feeds both tf and df; N arrives as a
+    broadcast one-row aggregate, never a driver round-trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        pairs.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: deterministic per-language downsampling — the
+    language-rebalancing step of corpus assembly (e.g. cap English, keep
+    low-resource languages).  Membership is a pure hash predicate
+    (md5 hex-prefix < per-language threshold, same trick as
+    ``deterministic_split``): stable under reruns and appends, no RNG,
+    and the assignment itself is oracle-checkable.  Output aggregates
+    per-language kept/total counts plus min/max kept doc_id so membership
+    — not just rates — is verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.concat(F.lit("samp|"), F.col("doc_id"))), 1, 2)
+    cut = (
+        F.when(F.col("lang") == "en", "33")  # 51/256 ≈ 20% — cap the majority
+        .when(F.col("lang") == "de", "80")  # 128/256 = 50%
+        .otherwise(F.lit("cc"))  # 204/256 ≈ 80% — keep low-resource langs
+    )
+    kept = prefix < cut
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_sampled"),
+        F.min(F.when(kept, F.col("doc_id"))).alias("min_kept"),
+        F.max(F.when(kept, F.col("doc_id"))).alias("max_kept"),
+    )
+
+
+def quality_topk_per_lang(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Declared query: the top-``k`` documents per language by the
+    ``text_quality`` heuristic score — per-group quality filtering, the
+    selection step that follows scoring in a curation pipeline.  Windowed
+    row_number with a doc_id tie-break; one shuffle on lang."""
+    from .text import text_quality
+
+    scored = text_quality(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lang", "doc_id", "quality_score", F.col("rn").alias("rank"))
+    )

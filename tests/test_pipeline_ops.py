@@ -1,0 +1,95 @@
+"""Semantic + plan tests for the training-data pipeline operators
+(operators/pipeline.py).  The oracle hash-match lives in
+test_oracle_parity.py; these assert the parts an oracle match alone can't:
+that the planted positives actually exercise the match paths (non-vacuity)
+and that the physical plans keep their scale shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firebird_mapreduce_spark.operators import pipeline as P
+from firebird_mapreduce_spark.plans import count_exchanges, plan_string
+from tests.conftest import SF_SMOKE
+
+
+def test_pii_redact_planted_positives(spark):
+    rows = P.pii_redact(spark, SF_SMOKE).collect()
+    by_id = {r.doc_id: r for r in rows}
+    planted_email = [r for r in rows if r.doc_id % 7 == 0]
+    planted_ssn = [r for r in rows if r.doc_id % 11 == 0]
+    assert planted_email and planted_ssn  # non-vacuous
+    for r in planted_email:
+        assert r.n_email >= 1 and "[EMAIL]" in r.redacted
+        assert "@example.com" not in r.redacted
+    for r in planted_ssn:
+        assert r.n_id >= 1 and "[ID]" in r.redacted
+        assert "123-45-6789" not in r.redacted
+    # docs with no planted PII are untouched
+    clean = next(r for r in rows if r.doc_id % 7 and r.doc_id % 11)
+    assert clean.n_email == 0 and clean.n_id == 0
+    assert by_id  # sanity
+
+
+def test_pii_redact_is_pure_projection(spark):
+    # per-row scrub must not shuffle — embarrassingly parallel at 100 TB
+    assert count_exchanges(P.pii_redact(spark, SF_SMOKE)) == 0
+
+
+def test_contamination_flags_planted_docs(spark):
+    hits = {r.doc_id: r.n_contaminated_ngrams
+            for r in P.contamination_check(spark, SF_SMOKE).collect()}
+    assert hits, "no contaminated docs found — planting failed"
+    # every planted doc (doc_id % 13 == 0, excluding probe doc 0) is flagged
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    planted = [d for d in range(13, n_docs, 13)]
+    for d in planted:
+        assert hits.get(d, 0) >= 1, f"planted doc {d} not flagged"
+
+
+def test_contamination_probe_side_is_broadcast(spark):
+    plan = plan_string(P.contamination_check(spark, SF_SMOKE), "simple")
+    # the benchmark n-gram set must be the broadcast side: corpus n-grams
+    # never shuffle for the membership test
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_inverted_index_postings_sorted(spark):
+    rows = P.inverted_index(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids)
+        assert r.df == len(ids) == len(set(ids))
+
+
+def test_tfidf_scores_sane(spark):
+    df = P.tfidf_top_terms(spark, SF_SMOKE)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs  # exactly one top term per doc
+    for r in rows:
+        assert r.tfidf == r.tf * n_docs / r.df
+        assert 1 <= r.df <= n_docs
+
+
+def test_stratified_sample_rates(spark):
+    rows = {r.lang: r for r in P.stratified_sample(spark, SF_SMOKE).collect()}
+    assert "en" in rows
+    en = rows["en"]
+    # 'en' capped at ~20%: sampled strictly fewer than total, and kept ids
+    # are real members
+    assert 0 < en.n_sampled < en.n_total
+    assert en.min_kept is not None and en.min_kept <= en.max_kept
+
+
+def test_quality_topk_rank_bounds(spark):
+    rows = P.quality_topk_per_lang(spark, SF_SMOKE).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, grp in by_lang.items():
+        assert 1 <= len(grp) <= 3
+        scores = [r.quality_score for r in sorted(grp, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True), lang
