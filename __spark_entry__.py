@@ -42,18 +42,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER IS LOAD-BEARING: the round driver's correctness gate checks the
-    first 50 registered queries.  Positions 1-50 therefore hold exactly the
-    queries with a *unique* oracle — every north-star dedup / similarity /
-    multimodal operator included.  The tail (51+) holds (a) queries whose
-    oracle duplicates an already-checked one (the streaming replays of
-    batch twins, the salted/mapreduce group-count variants), (b) rows-only
-    sketch/UDF queries with no oracle by design, and (c) simple relational
-    variants hash-verified in round 1 whose oracles are supersets/near-
-    twins of checked queries; all of them remain under the local gate
-    (tests/test_oracle_parity.py + tools/check_correctness.py runs the
-    FULL registry).
+    first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
+    1-50 to (a) every oracle-backed query that has never had a driver
+    correctness row (all round-2 additions), then (b) flagship re-checks
+    that were hash-green in round 1 (CORRECTNESS_r01.json).  The union of
+    round-1-green and this window covers EVERY oracle-backed query — each
+    one has a hard external correctness row in some round
+    (tests/test_docs_consistency.py asserts this invariant).  The tail
+    (51+) holds round-1-verified near-twins and the rows-only sketch/UDF
+    queries; the full registry stays under the local gate
+    (tests/test_oracle_parity.py + tools/check_correctness.py).
     """
-    return {
+    registry = {
         # ---- positions 1-50: driver-checked, unique oracles ----
         # scan / filter / flatMap
         "filter_predicate": R.filter_predicate,
@@ -162,6 +162,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": D.dedup_simhash64,
         "image_features": M.image_features,
     }
+    ordered = {name: registry[name] for name in _DRIVER_WINDOW}
+    ordered.update((k, v) for k, v in registry.items() if k not in ordered)
+    return ordered
+
+
+# Positions 1-50 of the registry (see queries() docstring).  First the 33
+# oracle-backed queries with no round-1 driver row, then 17 flagship
+# re-checks that were hash-green in round 1.
+_DRIVER_WINDOW = [
+    # round-2 additions — relational / streaming / graph
+    "grouping_sets_revenue",
+    "global_sort_rank",
+    "tpch_revenue_by_nation",
+    "stats_moments",
+    "conditional_agg",
+    "window_range_interval",
+    "merge_upsert_orders",
+    "stream_session_window",
+    "stream_running_count",
+    "stream_dedup",
+    "stream_stream_join",
+    "connected_components_star",
+    # north-star dedup / similarity / multimodal (registry positions 51-59
+    # in round 1 — the judge's top round-2 task)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_cc",
+    "embedding_knn",
+    "embedding_knn_ivf",
+    "embedding_neardup_topk",
+    "embedding_lsh_ann",
+    "vector_stats",
+    "binary_meta",
+    "binary_file_meta",
+    "frame_sample",
+    # north-star text / training-data pipeline
+    "bigram_topk",
+    "text_repetition",
+    "deterministic_split",
+    "pii_redact",
+    "contamination_check",
+    "inverted_index",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "quality_topk_per_lang",
+    # flagship re-checks (round-1 hash-green)
+    "numbercount_10m",
+    "group_count",
+    "group_sum_avg",
+    "rollup_revenue",
+    "percentile_stats",
+    "reduce_side_join",
+    "broadcast_join",
+    "range_join_sessionize",
+    "asof_purchase_prior_click",
+    "window_rank",
+    "topk_orders",
+    "grouped_agg_udaf",
+    "sssp_fixpoint",
+    "connected_components",
+    "triangle_count",
+    "text_quality",
+    "dedup_exact_hash",
+]
 
 
 # MinHash-LSH signature/banding CTE chain, shared verbatim by the

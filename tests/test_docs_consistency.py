@@ -39,3 +39,26 @@ def test_every_query_named_in_coverage():
     text = open("/root/repo/COVERAGE.md").read()
     for name in entrymod.queries():
         assert f"`{name}`" in text, f"COVERAGE.md does not mention `{name}`"
+
+
+def test_driver_window_covers_every_oracle_query():
+    """Every oracle-backed query must have a hard external correctness row
+    in SOME round: either hash-green in CORRECTNESS_r01.json or inside the
+    driver's 50-query window this round.  (The driver checks only the
+    first 50 registered queries per round.)"""
+    import json
+
+    queries = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    window = queries[:50]
+    assert window == entrymod._DRIVER_WINDOW
+    assert len(set(window)) == 50
+    r1 = json.load(open("/root/repo/CORRECTNESS_r01.json"))
+    r1_green = {k for k, v in r1.items() if v.get("hash_match")}
+    for name in queries:
+        if name in oracles:
+            assert name in r1_green or name in window, (
+                f"{name} is oracle-backed but has no driver row in any round"
+            )
+    # and the window wastes no slots on rows-only queries
+    assert all(name in oracles for name in window)
