@@ -160,9 +160,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        pairs.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df falls out of tf for free (one row per (doc, term) already) — a
+    # separate pairs.distinct() would tokenize the corpus a second time
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
