@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": P.tfidf_top_terms,
         "stratified_sample": P.stratified_sample,
         "quality_topk_per_lang": P.quality_topk_per_lang,
+        "pack_training_chunks": P.pack_training_chunks,
         "text_repetition": T.text_repetition,
         "deterministic_split": T.deterministic_split,
         "embedding_lsh_ann": S.embedding_lsh_ann,
@@ -208,7 +209,10 @@ _DRIVER_WINDOW = [
     "tfidf_top_terms",
     "stratified_sample",
     "quality_topk_per_lang",
-    # flagship re-checks (round-1 hash-green)
+    "pack_training_chunks",
+    # flagship re-checks (round-1 hash-green).  text_quality is not
+    # re-listed: it was round-1 green and its exact score formula is
+    # embedded in quality_topk_per_lang's oracle above.
     "numbercount_10m",
     "group_count",
     "group_sum_avg",
@@ -224,7 +228,6 @@ _DRIVER_WINDOW = [
     "sssp_fixpoint",
     "connected_components",
     "triangle_count",
-    "text_quality",
     "dedup_exact_hash",
 ]
 
@@ -1091,6 +1094,23 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN pfx < cut THEN doc_id END) AS min_kept,
                    max(CASE WHEN pfx < cut THEN doc_id END) AS max_kept
             FROM s GROUP BY lang
+        """,
+        "pack_training_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       substr(md5('shard|' || doc_id), 1, 1) AS shard,
+                       len(string_split(lower(text), ' ')) AS n_tok
+                FROM documents),
+            c AS (
+                SELECT shard, doc_id, n_tok,
+                       sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+            SELECT shard, CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS chunk,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY shard, chunk
         """,
         "quality_topk_per_lang": """
             WITH c AS (

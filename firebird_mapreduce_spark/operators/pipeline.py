@@ -205,6 +205,46 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_training_chunks(
+    spark: SparkSession, sf_dir: str, context: int = 2048
+) -> DataFrame:
+    """Declared query: concat-then-chunk sequence packing — the final step
+    that turns a curated corpus into fixed-context training blocks (concat
+    all docs in a shard, slice into ``context``-token chunks).
+
+    Sharding is a hash prefix (first hex char of md5 → 16 shards), packing
+    order inside a shard is doc_id — both deterministic, so the (shard,
+    chunk) assignment is reproducible and oracle-checkable.  The window
+    running-sum is the relational form of the sequential concat: chunk =
+    floor((cumulative_tokens - 1) / context).  Division by a power of two
+    is exact in doubles, so floor agrees bit-for-bit across engines.
+
+    At 100 TB: one shuffle on the shard key; each shard's window sort is
+    independent (shards ≫ executors keeps them balanced) and streams —
+    state is one running sum.  This is exactly how production packers
+    shard: hash-partition, sort within shard, emit sequentially."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(tokens(F.col("text")))
+    shard = F.substring(F.md5(F.concat(F.lit("shard|"), F.col("doc_id"))), 1, 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = docs.select(
+        "doc_id", shard.alias("shard"), toks.alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    chunked = assigned.withColumn(
+        "chunk", F.floor((F.col("cum") - 1) / F.lit(float(context)))
+    )
+    return chunked.groupBy("shard", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def quality_topk_per_lang(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Declared query: the top-``k`` documents per language by the
     ``text_quality`` heuristic score — per-group quality filtering, the

@@ -93,3 +93,21 @@ def test_quality_topk_rank_bounds(spark):
         assert 1 <= len(grp) <= 3
         scores = [r.quality_score for r in sorted(grp, key=lambda r: r.rank)]
         assert scores == sorted(scores, reverse=True), lang
+
+
+def test_pack_training_chunks_contiguous_and_bounded(spark):
+    rows = P.pack_training_chunks(spark, SF_SMOKE).collect()
+    assert rows
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, grp in by_shard.items():
+        chunks = sorted(r.chunk for r in grp)
+        # chunk ids are contiguous from 0 (concat-then-chunk leaves no gaps)
+        assert chunks == list(range(len(chunks))), shard
+        for r in grp:
+            assert r.n_docs >= 1
+            # a chunk never holds more than context + one straddling doc
+            # worth of tokens (docs are < context long in this corpus)
+            assert r.chunk_tokens <= 2048 + 99
+            assert r.first_doc <= r.last_doc
