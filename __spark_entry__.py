@@ -818,12 +818,18 @@ def oracle_sql() -> dict[str, str]:
                                   ('8','9','a','b','c','d','e','f')
                              THEN 1 ELSE -1 END)) > 0
                     THEN CAST(power(2, i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sh
-                FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs))
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-            FROM sig a
-            JOIN sig b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs)),
+            pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sig a
+                JOIN sig b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+            ends AS (
+                SELECT a_id AS doc_id FROM pairs
+                UNION ALL
+                SELECT b_id AS doc_id FROM pairs)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neardups
+            FROM ends GROUP BY doc_id
         """,
         # ---- similarity search (double-cast is load-bearing:
         #      list_cosine_similarity on FLOAT[] does float arithmetic and

@@ -256,7 +256,7 @@ def dedup_minhash_lsh(
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit portable signature, ALL pairs within
     hamming distance 3 — found without an all-pairs join via **lossless
     multi-band blocking with hamming-1 multi-probe**.
@@ -318,6 +318,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # function of the pair so distinct-on-all-columns dedups exactly
         .distinct()
     )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: per-document near-duplicate COUNT under the 16-bit
+    SimHash / hamming ≤ 3 semantics of ``simhash_pairs``.
+
+    The declared output aggregates rather than emitting the raw pair set
+    because 16-bit signatures SATURATE: on this corpus the qualifying pair
+    set is already ~27% of all pairs at sf0.01 (308 k rows) and grows
+    O(N²/2^16) — materializing it is itself non-scalable, independent of
+    how efficiently it is computed (measured: the pair set OOMs a 1 GiB
+    bare session at sf0.1).  Dedup pipelines never materialize pairs
+    either — they stream them into clustering (``dedup_cluster_cc``) or
+    aggregate, as here.  Production width is the 64-bit signature
+    (``dedup_simhash64``), where the same banding prunes ~7000×.  The
+    pair-level semantics stay differentially tested at sf0.001
+    (tests/test_llm_ops.py) where the set is small."""
+    pairs = simhash_pairs(spark, sf_dir)
+    ends = pairs.select(F.col("a_id").alias("doc_id")).unionAll(
+        pairs.select(F.col("b_id").alias("doc_id"))
+    )
+    return ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_neardups"))
 
 
 # ---------------------------------------------------------------------------

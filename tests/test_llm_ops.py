@@ -95,7 +95,7 @@ def test_minhash_lsh_recall_on_planted_dups(spark):
 
 
 def test_simhash_planted_dups_zero_hamming(spark):
-    pairs = D.dedup_simhash(spark, SF_SMOKE).collect()
+    pairs = D.simhash_pairs(spark, SF_SMOKE).collect()
     ham = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs}
     assert ham.get((0, 200000)) == 0  # identical text -> identical signature
     near_hits = [h for (a, b), h in ham.items() if b == a + 100000]
