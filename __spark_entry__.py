@@ -168,8 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry (see queries() docstring).  First the 33
-# oracle-backed queries with no round-1 driver row, then 17 flagship
+# Positions 1-50 of the registry (see queries() docstring).  First the 34
+# oracle-backed queries with no round-1 driver row, then 16 flagship
 # re-checks that were hash-green in round 1.
 _DRIVER_WINDOW = [
     # round-2 additions — relational / streaming / graph

@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "embedding_knn",
     "embedding_neardup_topk",
+    "inverted_index",
+    "pack_training_chunks",
     # SSSP at the reference's published syn.graph scale (18,263 nodes /
     # 23,797 edges): measures iterative throughput over ~40-70 relaxation
     # rounds instead of scheduler overhead on the 25-node oracle graph

@@ -9,4 +9,8 @@
 - ``text``        — language-ID, quality scoring, token counting,
   fingerprinting over document tables.
 - ``multimodal``  — opaque-binary column plumbing with stubbed decoders.
+- ``pipeline``    — training-data curation: PII redaction, contamination
+  checks, inverted index, TF-IDF, stratified sampling, quality top-k,
+  sequence packing.
+- ``skew``        — salted two-stage aggregation for hot keys.
 """

@@ -40,8 +40,17 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    # deliberately NOT the engine's get_session: the driver uses a bare one
-    spark = SparkSession.builder.master("local[8]").appName("check").getOrCreate()
+    # deliberately NOT the engine's get_session: the driver uses a bare one.
+    # SPARK_GRAFT_CHECK_MEM raises the single-JVM heap for above-gate SF
+    # sweeps (e.g. sf0.1, where dedup_simhash's ~30M-row internal pair set
+    # legitimately exceeds the 1 GiB default of a bare local session);
+    # leave it unset to mimic the driver's gate exactly.
+    builder = SparkSession.builder.master("local[8]").appName("check")
+    if os.environ.get("SPARK_GRAFT_CHECK_MEM"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_GRAFT_CHECK_MEM"]
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     conn = duckdb.connect()
     for table in TABLES:
