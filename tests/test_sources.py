@@ -89,3 +89,38 @@ def test_orc_round_trip(spark, tmp_path):
     want = {(r["id"], r["tag"]) for r in src.collect()}
     got = {(r["id"], r["tag"]) for r in back.collect()}
     assert got == want
+
+
+def test_nanos_conf_restored_after_load(spark):
+    """load_table must not leak the session-global nanosAsLong flip: a
+    later unrelated read in the same session would silently scan nanos
+    columns as LONG (ADVICE round 1)."""
+    from firebird_mapreduce_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    df = load_table(spark, SF_SMOKE, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert spark.conf.get(key, None) is None  # restored (was unset)
+
+
+def test_nanos_directory_table_converts(spark, tmp_path):
+    """A nanos table laid out as a DIRECTORY of part-files (the normal
+    Spark layout) must still get timestamp conversion — the schema probe
+    falls back to the first part-file's footer (ADVICE round 1)."""
+    import pyarrow.parquet as pq
+
+    from firebird_mapreduce_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    assert str(src.schema.field("ts").type).startswith("timestamp[ns")
+    table_dir = tmp_path / "events.parquet"
+    table_dir.mkdir()
+    half = len(src) // 2
+    pq.write_table(src.slice(0, half), str(table_dir / "part-00000.parquet"))
+    pq.write_table(src.slice(half), str(table_dir / "part-00001.parquet"))
+
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == len(src)
