@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: time the engine's core operator shapes over a
+100× row-count range (1M → 100M generated rows, no test data needed) and
+print one JSON line per (shape, n) with rows/sec throughput.
+
+This answers the question the fixed-SF bench can't: does wall-clock grow
+linearly (or better) with data, i.e. is the plan data-bound rather than
+overhead-bound once rows dominate?  Shapes covered: hash aggregation
+(number_count's exact shape), shuffle join + broadcast join, partitioned
+window rank, and exact hash dedup.
+
+Run:  python tools/scale_probe.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from firebird_mapreduce_spark.session import get_session  # noqa: E402
+
+SIZES = [1_000_000, 10_000_000, 100_000_000]
+
+
+def shapes(spark):
+    def agg(n):
+        # number_count at width n: groupBy over 100 keys
+        return (
+            spark.range(n)
+            .select((F.col("id") % 100).alias("k"))
+            .groupBy("k")
+            .count()
+        )
+
+    def shuffle_join(n):
+        # fact (n rows) ⋈ fact-derived dim (n/10 rows) on a shuffled key
+        a = spark.range(n).select((F.col("id") % (n // 10)).alias("k"), "id")
+        b = spark.range(n // 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        return a.join(b, "k").groupBy().agg(F.sum("v").alias("s"))
+
+    def broadcast_join(n):
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+        fact = spark.range(n).select((F.col("id") % 1000).alias("k"))
+        return (
+            fact.join(F.broadcast(dim), "k").groupBy("grp").count()
+        )
+
+    def window_rank(n):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.col("id") % 1000).orderBy(F.col("r"))
+        return (
+            spark.range(n)
+            .select("id", (F.col("id") * 2654435761 % 1000003).alias("r"))
+            .select("id", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3)
+        )
+
+    def exact_dedup(n):
+        # 50% duplicate rate on a synthetic content hash
+        return (
+            spark.range(n)
+            .select(F.md5((F.col("id") % (n // 2)).cast("string")).alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("uniq"), F.sum("c").alias("total"))
+        )
+
+    return {
+        "agg_100keys": agg,
+        "shuffle_join": shuffle_join,
+        "broadcast_join": broadcast_join,
+        "window_rank": window_rank,
+        "exact_dedup": exact_dedup,
+    }
+
+
+def main() -> None:
+    sizes = SIZES[:2] if "--quick" in sys.argv else SIZES
+    spark = get_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: absorb JVM/codegen startup
+    spark.range(10_000_000).groupBy((F.col("id") % 10)).count().write.mode(
+        "overwrite"
+    ).format("noop").save()
+    for name, fn in shapes(spark).items():
+        for n in sizes:
+            start = time.perf_counter()
+            fn(n).write.mode("overwrite").format("noop").save()
+            wall = time.perf_counter() - start
+            print(
+                json.dumps(
+                    {
+                        "shape": name,
+                        "rows": n,
+                        "wall_sec": round(wall, 3),
+                        "mrows_per_sec": round(n / wall / 1e6, 1),
+                    }
+                ),
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
