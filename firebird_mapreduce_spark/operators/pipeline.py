@@ -110,10 +110,19 @@ def contamination_check(
             .alias("text"),
         )
     )
+    return ngram_overlap(
+        corpus, probe.select(F.lit(0).alias("doc_id"), F.col("probe_text").alias("text")), n
+    )
+
+
+def ngram_overlap(corpus: DataFrame, probe: DataFrame, n: int) -> DataFrame:
+    """Core of ``contamination_check`` over arbitrary (doc_id, text)
+    DataFrames: per corpus doc, the count of distinct word ``n``-grams it
+    shares with ANY probe doc.  Probe side broadcast; docs with no overlap
+    emit no row.  Differentially tested against a Python set-intersection
+    reference in tests/test_properties.py."""
     probe_grams = (
-        exploded_word_shingles(probe.select(F.lit(0).alias("doc_id"), F.col("probe_text").alias("text")), "doc_id", "text", n)
-        .select("shingle")
-        .distinct()
+        exploded_word_shingles(probe, "doc_id", "text", n).select("shingle").distinct()
     )
     corpus_grams = exploded_word_shingles(corpus, "doc_id", "text", n).distinct()
     return (
@@ -223,7 +232,13 @@ def pack_training_chunks(
     independent (shards ≫ executors keeps them balanced) and streams —
     state is one running sum.  This is exactly how production packers
     shard: hash-partition, sort within shard, emit sequentially."""
-    docs = load_table(spark, sf_dir, "documents")
+    return pack_chunks(load_table(spark, sf_dir, "documents"), context)
+
+
+def pack_chunks(docs: DataFrame, context: int) -> DataFrame:
+    """Core of ``pack_training_chunks`` over an arbitrary (doc_id, text)
+    DataFrame; differentially tested against a serial Python packer in
+    tests/test_properties.py."""
     toks = F.size(tokens(F.col("text")))
     shard = F.substring(F.md5(F.concat(F.lit("shard|"), F.col("doc_id"))), 1, 1)
     w = (

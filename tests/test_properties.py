@@ -165,3 +165,78 @@ def test_merge_upsert_matches_dict_semantics(spark, base, upd):
     )
     got = {r["k"]: r["v"] for r in merge_upsert(base_df, upd_df, ["k"]).collect()}
     assert got == want
+
+
+texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SPARK_SETTINGS
+@given(docs=texts)
+def test_pack_chunks_matches_serial_packer(spark, docs):
+    """The window-cumsum chunk assignment must equal a serial Python
+    packer: per shard, concatenate docs in doc_id order and slice every
+    `context` tokens."""
+    import hashlib
+    from collections import defaultdict
+
+    from firebird_mapreduce_spark.operators.pipeline import pack_chunks
+
+    context = 8
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.shard, r.chunk): (r.n_docs, r.chunk_tokens, r.first_doc, r.last_doc)
+        for r in pack_chunks(df, context).collect()
+    }
+
+    # serial reference
+    shards = defaultdict(list)
+    for i, t in rows:
+        h = hashlib.md5(f"shard|{i}".encode()).hexdigest()[0]
+        shards[h].append((i, len(t.lower().split(" "))))
+    want: dict = {}
+    for shard, members in shards.items():
+        cum = 0
+        for i, n_tok in sorted(members):
+            cum += n_tok
+            chunk = (cum - 1) // context
+            key = (shard, chunk)
+            n_docs, toks, first, last = want.get(key, (0, 0, i, i))
+            want[key] = (n_docs + 1, toks + n_tok, min(first, i), max(last, i))
+    assert got == want
+
+
+@SPARK_SETTINGS
+@given(docs=texts)
+def test_ngram_overlap_matches_set_intersection(spark, docs):
+    """Distributed n-gram overlap counting must equal Python set
+    intersection (probe = doc 0, corpus = the rest)."""
+    from firebird_mapreduce_spark.operators.pipeline import ngram_overlap
+
+    n = 3
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = df.filter(F.col("doc_id") == 0)
+    corpus = df.filter(F.col("doc_id") > 0)
+    got = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in ngram_overlap(corpus, probe, n).collect()
+    }
+
+    def grams(t: str) -> set:
+        toks = t.lower().split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    pg = grams(docs[0])
+    want = {}
+    for i, t in rows[1:]:
+        hits = len(grams(t) & pg)
+        if hits:
+            want[i] = hits
+    assert got == want
