@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the local full-registry gate)
         "stats_moments": R.stats_moments,
         "conditional_agg": R.conditional_agg,
+        "timeseries_gapfill": R.timeseries_gapfill,
         "vector_stats": S.vector_stats,
         "bigram_topk": T.bigram_topk,
         "stream_dedup": SJ.stream_dedup_query,
@@ -168,8 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry (see queries() docstring).  First the 34
-# oracle-backed queries with no round-1 driver row, then 16 flagship
+# Positions 1-50 of the registry (see queries() docstring).  First the 35
+# oracle-backed queries with no round-1 driver row, then 15 flagship
 # re-checks that were hash-green in round 1.
 _DRIVER_WINDOW = [
     # round-2 additions — relational / streaming / graph
@@ -210,13 +211,13 @@ _DRIVER_WINDOW = [
     "stratified_sample",
     "quality_topk_per_lang",
     "pack_training_chunks",
-    # flagship re-checks (round-1 hash-green).  text_quality is not
-    # re-listed: it was round-1 green and its exact score formula is
-    # embedded in quality_topk_per_lang's oracle above.
+    "timeseries_gapfill",
+    # flagship re-checks (round-1 hash-green).  text_quality and
+    # rollup_revenue are not re-listed: round-1 green, and their shapes
+    # are re-checked through quality_topk_per_lang / grouping_sets_revenue.
     "numbercount_10m",
     "group_count",
     "group_sum_avg",
-    "rollup_revenue",
     "percentile_stats",
     "reduce_side_join",
     "broadcast_join",
@@ -473,6 +474,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1
+        """,
+        "timeseries_gapfill": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour_start,
+                       CAST(count(*) AS BIGINT) AS n, max(value) AS max_val
+                FROM events GROUP BY 1, 2),
+            bounds AS (
+                SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+                       CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+                FROM events),
+            hours AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS hour_start
+                FROM bounds),
+            spine AS (
+                SELECT t.event_type, h.hour_start
+                FROM (SELECT DISTINCT event_type FROM events) t
+                CROSS JOIN hours h)
+            SELECT s.event_type, s.hour_start,
+                   COALESCE(h.n, 0) AS cnt,
+                   h.n IS NULL AS is_gap,
+                   last_value(h.max_val IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.hour_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS locf_max
+            FROM spine s
+            LEFT JOIN hourly h USING (event_type, hour_start)
         """,
         "stream_group_count": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS cnt

@@ -518,6 +518,51 @@ def tumbling_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: hypertable-style continuous rollup with gap filling
+    and LOCF — hourly per-type counts over the FULL [min, max] hour span,
+    zero-filling the 215 empty (type, hour) buckets the raw groupBy never
+    emits, plus last-observation-carried-forward of the bucket max.
+
+    The spine (distinct types × hour sequence) is generated, not stored:
+    one single-row bounds aggregate explodes into the hour axis — at any
+    scale the spine is |types| × span/granularity rows, independent of
+    event volume, so it is always the broadcast side of the fill join.
+    LOCF is ``last(ignorenulls)`` over an UNBOUNDED PRECEDING frame —
+    per-partition streaming state, no second shuffle (the fill join
+    already partitioned by type).  ``max`` is the carried value because it
+    is reduction-order-exact on doubles (a double SUM would hash-drift;
+    DECIMAL is the documented alternative)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_val"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    filled = spine.join(hourly, ["event_type", "hour_start"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("cnt"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("max_val", ignorenulls=True).over(w).alias("locf_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # set ops / scalar functions  (§2.C rows)
 # ---------------------------------------------------------------------------

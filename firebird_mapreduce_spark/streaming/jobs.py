@@ -31,8 +31,11 @@ _EVENTS_RAW_SCHEMA = (
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file stream — same rows the batch path sees,
-    same nanos→timestamp conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    same nanos→timestamp conversion.  The ``nanosAsLong`` conf the scan
+    needs at execution time is set (and restored) by
+    ``run_stream_to_memory``, not here: a plan builder must not mutate
+    session state it cannot restore (same discipline as
+    ``sources.readers.load_table``)."""
     # the file stream source requires a *directory*; glob-filter the one
     # table out of the corpus dir instead of pointing at the file
     raw = (
@@ -256,13 +259,28 @@ def run_stream_to_memory(
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the available data
     (``availableNow`` trigger) into an in-memory table and return it as a
-    batch DataFrame — the test/replay harness for streaming jobs."""
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return df.sparkSession.table(name)
+    batch DataFrame — the test/replay harness for streaming jobs.
+
+    The ``nanosAsLong`` legacy conf the events scan needs is flipped only
+    for the lifetime of the replay and then restored — microbatch scans
+    consult it at execution time, which happens entirely inside
+    ``start()``..``awaitTermination()``."""
+    spark = df.sparkSession
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return spark.table(name)

@@ -30,6 +30,9 @@ def test_group_count_parity(spark):
     result = run_stream_to_memory(stream, "t_group_count")
     batch = R.group_count(spark, SF_SMOKE)
     assert _rows(result, "event_type", "cnt") == _rows(batch, "event_type", "cnt")
+    # the replay must restore the nanosAsLong conf it flips (leaked state
+    # would silently change later batch reads' column types)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
 
 
 def test_tumbling_window_parity(spark):
