@@ -240,3 +240,61 @@ def test_ngram_overlap_matches_set_intersection(spark, docs):
         if hits:
             want[i] = hits
     assert got == want
+
+
+def test_decimal_sums_stable_across_partitioning(spark):
+    """The reduction-order-independence claim, pinned: decimal-exact
+    aggregates must produce IDENTICAL values whether computed over 1
+    partition or 32 (double sums would drift in the low bits)."""
+    from firebird_mapreduce_spark.operators.relational import group_sum_avg
+    from tests.conftest import SF_SMOKE
+
+    base = sorted(map(tuple, group_sum_avg(spark, SF_SMOKE).collect()))
+    for n_parts in (1, 7, 32):
+        df = group_sum_avg(spark, SF_SMOKE)
+        # re-plan with a forced repartition upstream of the aggregate
+        from firebird_mapreduce_spark.sources import load_table
+        from pyspark.sql import functions as FF
+
+        li = load_table(spark, SF_SMOKE, "lineitem").repartition(n_parts)
+        li.createOrReplaceTempView("_li_rp")
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM _li_rp GROUP BY l_returnflag, l_linestatus
+            """
+                ).collect(),
+            )
+        )
+        # the decimal columns present in both must agree exactly
+        base_map = {(r[0], r[1]): r for r in base}
+        for row in got:
+            b = base_map[(row[0], row[1])]
+            assert row[2] in b and row[3] in b, (n_parts, row, b)
+
+
+def test_oracle_compare_detects_mismatch(spark):
+    """Meta-test: the differential harness itself must FAIL on a known
+    value difference — guards the whole gate against a vacuous-pass bug
+    in canonicalization."""
+    import pandas as pd
+    import pytest
+
+    from tests.oracle import compare
+
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, v double")
+    good = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
+    compare(df, good, "meta_ok")  # identical → passes
+    for bad in (
+        pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5000000001]}),  # value drift
+        pd.DataFrame({"k": [1], "v": [1.5]}),  # row count
+        pd.DataFrame({"k": [1, 2], "w": [1.5, 2.5]}),  # column name
+    ):
+        with pytest.raises(AssertionError):
+            compare(df, bad, "meta_bad")
