@@ -211,7 +211,14 @@ def connected_components(
     to O(log n) — same dataflow primitives, so the harness carries over.
     """
     edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # both endpoints: on already-undirected (doubled) input this is the
+    # same set as src alone, but a raw directed list with dst-only nodes
+    # still gets a row per node
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     state = nodes.select(
         "node", F.col("node").alias("lbl"), F.lit(True).alias("improved")
     ).localCheckpoint(eager=True)
@@ -445,17 +452,20 @@ def connected_components_star(
     contract to ``connected_components`` (differential-tested against it).
     """
     edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    # symmetric edge list, self-loops dropped
+    # symmetric non-self-loop edge list; nodes derived from BOTH raw
+    # endpoints so self-loop-only and dst-only nodes still get a
+    # component row (= themselves), matching connected_components
+    no_loop = edges.filter(F.col("src") != F.col("dst"))
     sym = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        no_loop.unionByName(
+            no_loop.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
     parent = (
-        sym.select(F.col("src").alias("node"))
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("parent"))
         .localCheckpoint(eager=True)

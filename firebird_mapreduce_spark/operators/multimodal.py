@@ -162,9 +162,15 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str, n_assets: int = 64) ->
     for row in rows:
         path = os.path.join(out_dir, f"asset_{int(row['doc_id']):05d}.bin")
         payload = row["text"].encode("utf-8")
-        if not (os.path.exists(path) and os.path.getsize(path) == len(payload)):
-            with open(path, "wb") as fh:
-                fh.write(payload)
+        # compare CONTENT, not just size: a regenerated corpus with
+        # equal-length text would otherwise leave stale fixture bytes and
+        # fail the md5 oracle confusingly
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                if fh.read() == payload:
+                    continue
+        with open(path, "wb") as fh:
+            fh.write(payload)
     return out_dir
 
 

@@ -952,9 +952,15 @@ def merge_upsert(
     Iceberg) this same plan is what MERGE INTO compiles to; here the
     result is returned for the caller to write atomically."""
     value_cols = [c for c in base.columns if c not in key_cols]
+    # _u_present is the match marker: key columns can be NULL (the join is
+    # eqNullSafe, so NULL keys DO match), which makes "update-side key is
+    # not null" the wrong update-detection test — a NULL-keyed update
+    # would silently lose.  A literal TRUE on the update side is non-null
+    # exactly when the full-outer join found an update row.
     u = updates.select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],
         *[F.col(c).alias(f"_uv_{c}") for c in value_cols],
+        F.lit(True).alias("_u_present"),
     )
     cond = None
     for k in key_cols:
@@ -967,7 +973,7 @@ def merge_upsert(
             for k in key_cols
         ],
         *[
-            F.when(F.col(f"_u_{key_cols[0]}").isNotNull(), F.col(f"_uv_{c}"))
+            F.when(F.col("_u_present").isNotNull(), F.col(f"_uv_{c}"))
             .otherwise(base[c])
             .alias(c)
             for c in value_cols

@@ -73,15 +73,19 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _py_round6(x: float) -> float:
-    """Round-half-away-from-zero at 6 dp — the same rule Spark's
-    ``F.round`` (HALF_UP) applies, replicated for the driver-side
-    centroid argmax so its tie-breaks agree with the distributed path.
-    (Python's builtin ``round`` is half-even and would disagree on exact
-    .5e-6 boundaries.)"""
-    import math
+    """Exactly Spark's ``F.round(x, 6)`` on a double, replicated for the
+    driver-side centroid argmax so its tie-breaks agree with the
+    distributed path.  Spark's Round is ``BigDecimal.valueOf(double)``
+    (shortest decimal repr, same contract as Python's ``repr``) then
+    ``setScale(6, HALF_UP)`` — so Decimal-on-repr reproduces it
+    bit-for-bit.  The previous scaled-floor formulation diverged on
+    values whose ×1e6 scaling crosses a binary-representation boundary
+    (e.g. shortest-repr ...5 digits whose double sits just below the
+    decimal midpoint); Python's builtin ``round`` is half-even and
+    diverges on exact .5e-6 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    scaled = x * 1e6
-    return (math.floor(scaled + 0.5) if x >= 0 else math.ceil(scaled - 0.5)) / 1e6
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
 def _py_cosine(a: list[float], b: list[float]) -> float:

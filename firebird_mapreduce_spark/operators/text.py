@@ -115,9 +115,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full scheme: keep the min hash per sliding window; the global min is
     its 1-window degenerate form)."""
     docs = load_table(spark, sf_dir, "documents")
-    # window-lead shingles -> flat md5 projection -> groupBy-min: both the
-    # shingle construction and md5 stay in whole-stage codegen (array-lambda
-    # forms run interpreted; see operators.dedup.minhash_signatures).  The
+    # arrays_zip shingles -> flat md5 projection -> groupBy-min: both the
+    # shingle construction and md5 stay in whole-stage codegen, zero
+    # shuffles for generation (array-lambda forms run interpreted; see
+    # functions.hashing.exploded_word_shingles).  The
     # left join reintroduces sub-3-token docs with NULL fingerprints,
     # matching the oracle's list_min-of-empty semantics.
     from ..functions.hashing import exploded_word_shingles
@@ -210,7 +211,7 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep every LM-data pipeline runs (vocabulary stats, boilerplate
     detection, contamination screens).
 
-    Shape for scale: window-lead bigram generation (codegen — see
+    Shape for scale: arrays_zip bigram generation (codegen, no shuffle — see
     ``functions.hashing.exploded_word_shingles``) → flat projection →
     one partial-aggregated groupBy → ``TakeOrderedAndProject`` for the
     top-k, so the full bigram universe is never sorted and never leaves
@@ -241,9 +242,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import exploded_word_shingles
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
-    )
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tok_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     tok_stats = tok_counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),

@@ -96,6 +96,9 @@ def test_ivf_bucket_layout_partition_prunes(spark, tmp_path):
     plan = plan_string(probe)
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
     assert probe.count() == 100
-    # physically: only one of the ten bucket directories is listed as input
+    # layout sanity: all ten partition directories exist on disk.  The
+    # pruning evidence is the PartitionFilters clause above plus the row
+    # count — DataFrame.inputFiles() can NOT prove pruning (it lists the
+    # relation's full FileIndex before filter pushdown).
     inputs = {f for f in os.listdir(path) if f.startswith("bucket=")}
     assert len(inputs) == 10

@@ -152,3 +152,19 @@ def test_merge_upsert_three_outcomes(spark):
     )
     got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 9: ("new", 1.0)}
+
+
+def test_merge_upsert_null_key_update_wins(spark):
+    """The join is eqNullSafe, so a NULL key is a real key: a NULL-keyed
+    update must WIN against the NULL-keyed base row (regression: update
+    detection via key-isNotNull silently dropped it)."""
+    from firebird_mapreduce_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(None, "a", 10.0), (2, "b", 20.0)], "k INT, s STRING, v DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(None, "A", 99.0)], "k INT, s STRING, v DOUBLE"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {None: ("A", 99.0), 2: ("b", 20.0)}
