@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_chargram": T.lang_id_chargram,
         "dedup_simhash64": D.dedup_simhash64,
         "image_features": M.image_features,
+        "embedding_kmeans": S.embedding_kmeans,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)

@@ -19,7 +19,7 @@ Design for 100 TB of embeddings:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
@@ -332,4 +332,105 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (Lloyd's algorithm) — the fitted-centroid step the IVF
+# docstring above defers to ("in production k-means fitted").
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = N_CENTROIDS,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an ``array<float>`` column; returns
+    ``(assignments, centroids)`` as ``(id, cluster, dist2)`` and
+    ``(cluster, centroid array<double>)``.
+
+    Spark shapes (each iteration, same discipline as ``graph.sssp``):
+      assign   — vectors × broadcast centroids (k·d doubles: always tiny,
+                 never a shuffle), squared-L2 per pair, per-vector argmin
+                 via ``min_by`` — one partial-aggregated groupBy;
+      recenter — posexplode assigned vectors to (cluster, dim, value),
+                 per-(cluster, dim) mean — one shuffle on k·d keys —
+                 then re-assembled into arrays with ``array_agg`` sorted
+                 by dim; empty clusters keep their previous centroid.
+    Centroids are localCheckpoint-ed per iteration so plan depth stays
+    O(1) in iteration count.  Init is deterministic: the k vectors at
+    evenly-strided positions in ``id_col`` order (decorrelated from any
+    label structure, reproducible everywhere).
+
+    Scale: assignment is the embarrassingly-parallel O(N·k·d) pass every
+    distributed k-means does; recentering moves only k·d aggregates per
+    partition (map-side combined).  At 100 TB the only change is a
+    sampled init (k-means‖) — the per-iteration dataflow is identical.
+    """
+    n = embeddings.count()  # one scalar for the strided init
+    stride = max(n // k, 1)
+    w = F.row_number().over(Window.orderBy(id_col))
+    seeds = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_rn", w)
+        .filter(((F.col("_rn") - 1) % stride == 0) & (F.col("_rn") <= stride * k))
+        .withColumn("cluster", ((F.col("_rn") - 1) / stride).cast("int"))
+    )
+    centroids = seeds.select(
+        "cluster", F.col(vec_col).cast("array<double>").alias("centroid")
+    ).localCheckpoint(eager=True)
+
+    vecs = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = None
+    for _ in range(iterations):
+        pairs = vecs.crossJoin(F.broadcast(centroids))
+        dist2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = pairs.select(id_col, "v", "cluster", dist2.alias("d2"))
+        assigned = scored.groupBy(id_col).agg(
+            F.min_by("cluster", F.struct("d2", "cluster")).alias("cluster"),
+            F.min("d2").alias("dist2"),
+            F.first("v").alias("v"),
+        )
+        comp = assigned.select(
+            "cluster", F.posexplode("v").alias("dim", "val")
+        )
+        means = comp.groupBy("cluster", "dim").agg(F.avg("val").alias("m"))
+        new_cent = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cluster",
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
+            )
+        )
+        # empty clusters (possible mid-iteration) keep their old centroid
+        centroids = (
+            centroids.select("cluster", F.col("centroid").alias("_old"))
+            .join(new_cent, "cluster", "left")
+            .select("cluster", F.coalesce("centroid", "_old").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return assigned.select(id_col, "cluster", "dist2"), centroids
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (rows-only): k-means with k = 10 over the embeddings
+    table — per-cluster size and closest-member distance.  The float
+    centroid means are reduction-order-dependent at the last ulp, so
+    there is no SQL oracle; tests/test_llm_ops.py checks the algorithmic
+    properties instead (counts conserve N, inertia non-increasing in
+    iterations, stable sizes across reruns).  The embeddings corpus is
+    near-isotropic (intra-label cosine ≈ inter-label), so cluster/label
+    agreement is NOT a meaningful check here — sizes and inertia are."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=N_CENTROIDS, iterations=5)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("dist2"), 6).alias("min_dist2"),
     )

@@ -230,3 +230,36 @@ def test_frame_sample_ascii_precondition_and_fanout(spark):
         for r in got:
             window = blob[r["frame_idx"] * 256 : r["frame_idx"] * 256 + 64]
             assert r["frame_md5"] == hashlib.md5(window).hexdigest()
+
+
+def test_kmeans_properties(spark):
+    """Lloyd's algorithm invariants on the embeddings table: assignments
+    conserve N across <= k clusters, inertia is non-increasing in
+    iteration count, and the declared query is stable across reruns."""
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.operators.similarity import (
+        embedding_kmeans,
+        kmeans_fit,
+    )
+    from firebird_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+
+    def inertia(iters: int) -> float:
+        assigned, _ = kmeans_fit(emb, k=10, iterations=iters)
+        return assigned.agg(F.sum("dist2")).first()[0]
+
+    i1, i4 = inertia(1), inertia(4)
+    assert i4 <= i1 * (1 + 1e-9), (i1, i4)
+
+    rows = embedding_kmeans(spark, SF_SMOKE).collect()
+    assert sum(r.n_vectors for r in rows) == n
+    assert 1 <= len(rows) <= 10
+    assert all(r.min_dist2 >= 0 for r in rows)
+    # deterministic across reruns in one session
+    again = embedding_kmeans(spark, SF_SMOKE).collect()
+    assert sorted((r.cluster, r.n_vectors) for r in rows) == sorted(
+        (r.cluster, r.n_vectors) for r in again
+    )
