@@ -132,3 +132,28 @@ def test_merge_upsert_no_window_no_union(spark):
     plan = plan_string(df, "simple")
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "Window" not in plan
+
+
+def test_gapfill_spine_broadcast_bounded_exchanges(spark):
+    """The gap-fill spine (types × hour sequence) must be the broadcast
+    side of the fill join — it is volume-independent — and the whole plan
+    stays within the hourly-agg + window shuffles."""
+    from firebird_mapreduce_spark.plans.audit import count_exchanges
+
+    df = R.timeseries_gapfill(spark, SF_SMOKE)
+    plan = plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert count_exchanges(df) <= 4, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """One k-means iteration's assignment joins vectors against the k·d
+    centroid table via broadcast — a shuffle there would move the full
+    vector table per iteration."""
+    from firebird_mapreduce_spark.operators.similarity import kmeans_fit
+    from firebird_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=4, iterations=1)
+    plan = plan_string(assigned, "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
