@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": R.stats_moments,
         "conditional_agg": R.conditional_agg,
         "timeseries_gapfill": R.timeseries_gapfill,
+        "revenue_share_window": R.revenue_share_window,
         "vector_stats": S.vector_stats,
         "bigram_topk": T.bigram_topk,
         "stream_dedup": SJ.stream_dedup_query,
@@ -170,8 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry (see queries() docstring).  First the 35
-# oracle-backed queries with no round-1 driver row, then 15 flagship
+# Positions 1-50 of the registry (see queries() docstring).  First the 36
+# oracle-backed queries with no round-1 driver row, then 14 flagship
 # re-checks that were hash-green in round 1.
 _DRIVER_WINDOW = [
     # round-2 additions — relational / streaming / graph
@@ -213,6 +214,7 @@ _DRIVER_WINDOW = [
     "quality_topk_per_lang",
     "pack_training_chunks",
     "timeseries_gapfill",
+    "revenue_share_window",
     # flagship re-checks (round-1 hash-green).  text_quality and
     # rollup_revenue are not re-listed: round-1 green, and their shapes
     # are re-checked through quality_topk_per_lang / grouping_sets_revenue.
@@ -221,7 +223,6 @@ _DRIVER_WINDOW = [
     "group_sum_avg",
     "percentile_stats",
     "reduce_side_join",
-    "broadcast_join",
     "range_join_sessionize",
     "asof_purchase_prior_click",
     "window_rank",
@@ -592,6 +593,26 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "revenue_share_window": """
+            WITH per_nation AS (
+                SELECT r_name, n_name,
+                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(18,2))
+                                   - CAST(l_discount AS DECIMAL(4,2)))
+                                AS DECIMAL(28,4))) AS rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name, n_name)
+            SELECT r_name, n_name,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   round(CAST(rev AS DOUBLE)
+                         / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE),
+                         6) AS share
+            FROM per_nation
         """,
         # the rank column makes the order itself hash-verifiable (the
         # driver compare is order-insensitive, so a bare sorted output

@@ -866,6 +866,42 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's total revenue
+    — aggregate once, then a window SUM over the region partition divides
+    the already-reduced rows (25 rows carry the window, never the fact
+    table).  Share is ONE double division of two exact decimal sums, so
+    it is reduction-order independent and hash-exact cross-engine
+    (decimal/decimal division would hit engine-specific result-scale
+    rules; double division of exact operands is IEEE-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(28,4)")
+    per_nation = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
 def tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composite query (TPC-H Q5 shape, minus supplier): revenue
     by nation for one region and one order-date year across a 5-table join
