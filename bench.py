@@ -8,17 +8,23 @@ JSON line:
 Queries execute to a ``noop`` sink — full computation, no driver
 materialization cost — after an untimed warmup query that absorbs JVM/
 codegen startup.  Per-query seconds are the MIN over
-``SPARK_GRAFT_BENCH_RUNS`` runs (default 2): this shared host's load
+``SPARK_GRAFT_BENCH_RUNS`` runs (default 5): this shared host's load
 swings the same code 2× between runs (measured 40.6 s vs 82.9 s for the
 identical commit), and min-of-N is the standard noise-robust point
-estimate of what the code actually costs; the run count is recorded in
-the output line.
+estimate of what the code actually costs.  Round 2's min-of-2 was too
+noisy to compare rounds (its recorded ``dedup_minhash_lsh`` 6.26 s was
+re-measured in round 3 at median 3.79 s / min 3.76 s over 5 runs —
+tools/measure_minhash.py); the output line therefore also carries the
+per-run arrays (``queries_runs``, first run ≈ cold cache, rest warm) and
+the medians (``queries_median``) so future regressions can be separated
+from load spikes without re-running.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -69,7 +75,7 @@ def run_query(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_session("firebird-mapreduce-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,14 +87,18 @@ def main() -> None:
     run_query(queries["group_min"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    per_run: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
         samples = []
         for _ in range(runs):
             start = time.perf_counter()
             run_query(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - start)
+            samples.append(round(time.perf_counter() - start, 3))
+        per_run[name] = samples
         timings[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -98,6 +108,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_runs": per_run,
                 "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -228,7 +228,11 @@ def dedup_minhash_lsh(
     # self-join); Catalyst's ReuseExchange recovers the groupBy shuffle
     # but still replays the banding explode and join-side projections from
     # it twice — a lazy localCheckpoint pins the tiny (doc_id, sig[16])
-    # table once instead (measured 4.6 s -> 3.7 s at sf0.1)
+    # table once instead.  Re-measured after the round-2 bench recorded a
+    # 6.26 s outlier (min-of-2): over 5 runs at sf0.1 the checkpointed
+    # form is median 3.79 s / min 3.76 s vs 4.44 / 4.04 without
+    # (tools/measure_minhash.py) — the regression was host noise, the
+    # checkpoint is a real ~15% win and stays.
     sigs = minhash_signatures(augmented_documents(spark, sf_dir), k).localCheckpoint(
         eager=False
     )
