@@ -56,8 +56,9 @@ def sssp(
       candidates = frontier ⋈ edges on node==src        (map: relax B3)
                    → (dst, frontier.dist + weight)
       best       = candidates groupBy dst min            (reduce: min B2)
-      improved   = best ⋈ distances, keep strictly smaller or new
-      distances  = union + groupBy-min; frontier' = improved
+      touched    = state LEFT JOIN best — keep min, flag improvements
+      fresh      = best ANTI state-keys — newly reached nodes
+      state'     = touched ∪ fresh; frontier' = improved rows
 
     Scheduler-cost discipline (dominant at small per-round data): state is
     checkpointed and probed for convergence only every ``checkpoint_every``
@@ -72,8 +73,10 @@ def sssp(
     repeatable difference above host noise (~±15%).  The default stays 2:
     lowest convergence-detection latency (at most 1 wasted no-op round),
     shallowest per-probe plans, and the alternatives buy nothing robust.
-    Broadcasting the per-round ``best`` into the state join was also
-    tried and is NOT faster.
+    A FORCED broadcast hint on ``best`` in the state join was tried and
+    is not faster on the 18k graph — the delta merge below instead
+    leaves the choice to AQE, which broadcasts the per-round delta when
+    it is actually small.
     """
     edges = edges.select(
         F.col("src").cast("long"),
@@ -99,20 +102,35 @@ def sssp(
         )
         # reduce phase: min candidate per node (map-side partial min free)
         best = candidates.groupBy("node").agg(F.min("cand").alias("cand"))
-        # merge candidates into the state; least() skips NULLs, so nodes
-        # without candidates keep their distance and fresh nodes adopt cand
-        state = (
+        # delta-pruned state merge (round-2 verdict item 9): the old
+        # full-outer join state⋈best re-shuffled and re-sorted the ENTIRE
+        # state every round even when the frontier was 1% of nodes — a
+        # full-outer can never broadcast one side.  Split it:
+        #   touched — state LEFT JOIN best: state rows stream through
+        #     unshuffled once AQE broadcasts the per-round delta (and the
+        #     delta, not the state, is the side that shrinks as the
+        #     computation converges);
+        #   fresh   — best ANTI state-keys: newly reached nodes, probing a
+        #     column-pruned (node-only) projection of the state rather
+        #     than the full (node, dist) rows.
+        # Same fixpoint (Dijkstra-differential-tested): every state row
+        # appears exactly once in `touched`, every new node exactly once
+        # in `fresh`.
+        touched = (
             state.select("node", "dist")
-            .join(best, "node", "full")
+            .join(best, "node", "left")
             .select(
                 "node",
                 F.least("dist", "cand").alias("dist"),
-                (
-                    F.col("cand").isNotNull()
-                    & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
-                ).alias("improved"),
+                (F.col("cand").isNotNull() & (F.col("cand") < F.col("dist"))).alias(
+                    "improved"
+                ),
             )
         )
+        fresh = best.join(state.select("node"), "node", "left_anti").select(
+            "node", F.col("cand").alias("dist"), F.lit(True).alias("improved")
+        )
+        state = touched.unionByName(fresh)
         if (it + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=False)
             if state.filter("improved").isEmpty():
@@ -225,11 +243,16 @@ def connected_components(
 
     for it in range(max_iterations):
         frontier = state.filter("improved").select("node", "lbl")
-        msgs = (
-            F.broadcast(frontier)
-            .join(edges, frontier.node == edges.src, "inner")
-            .select(F.col("dst").alias("node"), F.col("lbl").alias("cand"))
-        )
+        # NO forced broadcast of the frontier (round-2 verdict item 4):
+        # unlike SSSP, whose frontier starts at one node, min-label
+        # propagation's round-1 frontier is EVERY node — an explicit
+        # F.broadcast() hint there ships |V| rows to each executor, an
+        # OOM on a billion-node graph.  AQE sees the real frontier size
+        # at runtime and broadcasts the later (shrunken) frontiers on its
+        # own; the large early rounds take the shuffle join they need.
+        msgs = frontier.join(
+            edges, frontier.node == edges.src, "inner"
+        ).select(F.col("dst").alias("node"), F.col("lbl").alias("cand"))
         best = msgs.groupBy("node").agg(F.min("cand").alias("cand"))
         state = (
             state.select("node", "lbl")

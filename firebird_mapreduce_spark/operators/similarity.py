@@ -19,7 +19,7 @@ Design for 100 TB of embeddings:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
@@ -340,6 +340,36 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # docstring above defers to ("in production k-means fitted").
 # ---------------------------------------------------------------------------
 
+def _kmeans_seed_centroids(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic seed centroids WITHOUT a global ordering pass.
+
+    Round 2 shipped ``row_number().over(Window.orderBy(id_col))`` — a
+    no-partition Window that funnels the entire table through ONE task,
+    the exact anti-pattern ``relational.global_sort_rank`` exists to
+    avoid, and an executor OOM at 100 TB.  The replacement assigns each
+    row a bucket ``pmod(xxhash64(id), k)`` (per-row projection, no
+    ordering) and takes the vector with the smallest id per bucket via a
+    partially-aggregated k-key ``groupBy`` + ``min_by``: one bounded
+    shuffle of k rows of k·d doubles after map-side combine, regardless
+    of table size.  xxhash64's avalanche decorrelates buckets from id
+    locality (and from any label structure), and the (hash, min-id) rule
+    is engine-stable so reruns seed identically.  With N ≫ k an empty
+    bucket is vanishingly rare (p ≈ k·(1−1/k)^N); if one occurs the fit
+    simply proceeds with fewer live clusters — the same contract as an
+    emptied mid-iteration cluster."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).cast("array<double>").alias("_sv"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)).cast("int").alias("cluster"),
+        )
+        .groupBy("cluster")
+        .agg(F.min_by("_sv", F.col("_sid")).alias("centroid"))
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = N_CENTROIDS,
@@ -360,26 +390,19 @@ def kmeans_fit(
                  then re-assembled into arrays with ``array_agg`` sorted
                  by dim; empty clusters keep their previous centroid.
     Centroids are localCheckpoint-ed per iteration so plan depth stays
-    O(1) in iteration count.  Init is deterministic: the k vectors at
-    evenly-strided positions in ``id_col`` order (decorrelated from any
-    label structure, reproducible everywhere).
+    O(1) in iteration count.  Init is deterministic AND shuffle-safe:
+    every row hashes into one of k buckets (``xxhash64``, fixed seed) and
+    each bucket seeds with the vector of its smallest id — one k-key
+    partially-aggregated groupBy, nothing globally ordered (see
+    ``_kmeans_seed_centroids``).
 
     Scale: assignment is the embarrassingly-parallel O(N·k·d) pass every
     distributed k-means does; recentering moves only k·d aggregates per
     partition (map-side combined).  At 100 TB the only change is a
     sampled init (k-means‖) — the per-iteration dataflow is identical.
     """
-    n = embeddings.count()  # one scalar for the strided init
-    stride = max(n // k, 1)
-    w = F.row_number().over(Window.orderBy(id_col))
-    seeds = (
-        embeddings.select(id_col, vec_col)
-        .withColumn("_rn", w)
-        .filter(((F.col("_rn") - 1) % stride == 0) & (F.col("_rn") <= stride * k))
-        .withColumn("cluster", ((F.col("_rn") - 1) / stride).cast("int"))
-    )
-    centroids = seeds.select(
-        "cluster", F.col(vec_col).cast("array<double>").alias("centroid")
+    centroids = _kmeans_seed_centroids(
+        embeddings, k, id_col, vec_col
     ).localCheckpoint(eager=True)
 
     vecs = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))

@@ -146,6 +146,62 @@ def test_gapfill_spine_broadcast_bounded_exchanges(spark):
     assert count_exchanges(df) <= 4, plan
 
 
+def test_cc_round1_no_forced_frontier_broadcast(spark):
+    """Round-2 verdict item 4: min-label CC's round-1 frontier is EVERY
+    node, so the code must not carry a forced broadcast hint on it — the
+    runtime (AQE) decides from actual sizes.  No broadcast hint may
+    survive anywhere in the one-round logical plan."""
+    from firebird_mapreduce_spark.operators.graph import (
+        connected_components,
+        derived_component_graph,
+    )
+
+    edges = derived_component_graph(spark, SF_SMOKE)
+    df = connected_components(spark, edges, max_iterations=1)
+    plan = plan_string(df, "extended")
+    assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan, plan
+
+
+def test_sssp_state_merge_delta_pruned(spark):
+    """Round-2 verdict item 9: the state merge must not be a full-outer
+    join (which re-shuffles the whole state each round and can never
+    broadcast a side).  The delta shape is a left join for touched rows
+    plus a LeftAnti probe for fresh nodes whose state side reads ONLY the
+    node column."""
+    from firebird_mapreduce_spark.operators.graph import (
+        derived_nation_graph,
+        sssp,
+    )
+
+    edges = derived_nation_graph(spark, SF_SMOKE)
+    df = sssp(spark, edges, source=0, max_iterations=1)
+    plan = plan_string(df, "simple")
+    assert "FullOuter" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_kmeans_seed_init_scale_safe(spark):
+    """Seed selection must not rank the full table through one task
+    (round-2 verdict): no Window node, no SinglePartition exchange — just
+    a k-key partial→final aggregate over a per-row hash bucket."""
+    from firebird_mapreduce_spark.operators.similarity import (
+        _kmeans_seed_centroids,
+    )
+    from firebird_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seeds = _kmeans_seed_centroids(emb, 4, "vec_id", "embedding")
+    plan = plan_string(seeds, "simple")
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # array-typed min_by falls back to SortAggregate, but it must still be
+    # the partial→final pair (map-side combine before the k-key exchange)
+    assert "partial_min_by" in plan, plan
+    rows = seeds.collect()
+    assert 1 <= len(rows) <= 4
+    assert len({r["cluster"] for r in rows}) == len(rows)
+
+
 def test_kmeans_assignment_broadcasts_centroids(spark):
     """One k-means iteration's assignment joins vectors against the k·d
     centroid table via broadcast — a shuffle there would move the full
