@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (north star)
         "binary_meta": M.binary_meta,
         "binary_file_meta": M.binary_file_meta,
+        "image_decode": M.image_decode,
         # ---- positions 51+: past the driver window (see docstring) ----
         # oracle-backed additions & round-1-verified variants (all under
         # the local full-registry gate)
@@ -650,6 +651,18 @@ def oracle_sql() -> dict[str, str]:
         "stream_running_count": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS total_events
             FROM events GROUP BY user_id
+        """,
+        # files on disk are REAL PNGs whose dimensions and constant gray
+        # level derive from doc_id arithmetic (operators.multimodal.
+        # _png_dims), so the DECODED outputs re-derive relationally — a
+        # decoder that misparsed IHDR or skipped unfiltering would
+        # hash-mismatch
+        "image_decode": """
+            SELECT doc_id AS asset_id,
+                   CAST(8 + doc_id % 24 AS INT) AS width,
+                   CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+                   CAST(doc_id % 256 AS INT) AS mean_level
+            FROM documents WHERE doc_id < 48
         """,
         # files on disk are the UTF-8 text of docs with doc_id < 64
         # (deterministic fixture), so length and md5 re-derive from the

@@ -38,7 +38,14 @@ ASSET_SCHEMA = (
 
 
 def decoder_available(modality: str) -> bool:
-    """True when a real codec for ``modality`` is importable on executors."""
+    """True when a real codec for ``modality`` is importable on executors.
+
+    ``"png"`` is always available: the engine ships a pure-stdlib PNG
+    codec (``functions.png`` — zlib inflate + full unfilter), so PNG
+    decode is real even in a container with no image libraries.  The
+    ``"image"`` gate remains Pillow (arbitrary formats)."""
+    if modality == "png":
+        return True
     try:
         if modality == "image":
             import PIL  # noqa: F401
@@ -159,6 +166,14 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str, n_assets: int = 64) ->
         .collect()  # n_assets tiny rows — fixture setup, not a data path
     )
     os.makedirs(out_dir, exist_ok=True)
+    expected = {f"asset_{int(row['doc_id']):05d}.bin" for row in rows}
+    # prune stale assets first: if n_assets shrinks or a regenerated
+    # corpus drops doc_ids, leftover asset_*.bin files would still be
+    # globbed by binary_file_meta and break the oracle's row count with a
+    # confusing mismatch (ADVICE round 2)
+    for name in os.listdir(out_dir):
+        if name.endswith(".bin") and name not in expected:
+            os.remove(os.path.join(out_dir, name))
     for row in rows:
         path = os.path.join(out_dir, f"asset_{int(row['doc_id']):05d}.bin")
         payload = row["text"].encode("utf-8")
@@ -199,6 +214,137 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic image subset, via the stubbed decoder."""
     assets = synthetic_assets(spark, sf_dir).filter(F.col("modality") == "image")
     return extract_image_features(assets)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: deterministic PNG fixtures + an actual decoder
+# (pure-stdlib PNG codec always; Pillow preferred when importable)
+# ---------------------------------------------------------------------------
+
+_PNG_ASSETS = 48
+
+
+def _png_dims(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic (width, height, gray level) per asset — arithmetic a
+    SQL oracle can re-derive, so the DECODED dimensions are externally
+    checkable against files the decoder has actually parsed."""
+    return 8 + doc_id % 24, 8 + (doc_id * 7) % 24, doc_id % 256
+
+
+def _png_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize deterministic REAL PNG files (one per doc_id <
+    ``_PNG_ASSETS``): valid signature, CRC-checked chunks, zlib IDAT, and
+    a per-row filter cycle (0..4) so decoding must run every unfilter
+    path.  Dimensions and the constant gray level derive from doc_id
+    (``_png_dims``), which is what makes the decode oracle-checkable.
+    Same idempotence + stale-prune discipline as ``_binary_fixture_dir``."""
+    import hashlib
+
+    from ..functions.png import png_encode
+
+    tag = hashlib.md5(f"png|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"png_{tag}",
+    )
+    doc_ids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PNG_ASSETS)
+        .select("doc_id")
+        .collect()  # tiny fixture id set, not a data path
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    expected = {f"asset_{d:05d}.png" for d in doc_ids}
+    for name in os.listdir(out_dir):
+        if name.endswith(".png") and name not in expected:
+            os.remove(os.path.join(out_dir, name))
+    for doc_id in doc_ids:
+        w, h, level = _png_dims(doc_id)
+        payload = png_encode(w, h, bytes([level]) * (w * h * 3), filter_mode="mixed")
+        path = os.path.join(out_dir, f"asset_{doc_id:05d}.png")
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                if fh.read() == payload:
+                    continue
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    return out_dir
+
+
+def decode_png_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL decode over PNG payloads: parse → inflate → unfilter → pixel
+    stats, Arrow-batched via ``mapInPandas`` (same bounded-batch shape as
+    ``extract_image_features``).  Pillow is used when importable on the
+    executor (arbitrary formats); otherwise the engine's pure-stdlib PNG
+    codec decodes — so this path never needs the fake.
+
+    The codec travels BY VALUE inside the serialized closure
+    (``cloudpickle.register_pickle_by_value`` on ``functions.png``), so
+    executors need neither this repo on sys.path nor any image library —
+    the same self-containment discipline as the inline closures above,
+    without duplicating a 150-line codec."""
+    out_schema = "asset_id bigint, width int, height int, mean_level int"
+
+    from pyspark import cloudpickle
+
+    from ..functions import png as _png_module
+
+    cloudpickle.register_pickle_by_value(_png_module)
+    png_decode = _png_module.png_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401 — preferred when present
+            import io
+
+            def decode(blob: bytes) -> tuple[int, int, int]:
+                img = Image.open(io.BytesIO(blob)).convert("RGB")
+                px = img.tobytes()
+                return img.width, img.height, sum(px) // len(px)
+
+        except ImportError:
+
+            def decode(blob: bytes) -> tuple[int, int, int]:
+                w, h, rgb = png_decode(blob)
+                return w, h, sum(rgb) // len(rgb)
+
+        for pdf in batches:
+            feats = [decode(bytes(c)) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_level": [f[2] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: REAL image decode end-to-end — on-disk PNG files
+    ingested through the ``binaryFile`` source, decoded (inflate +
+    unfilter + pixel fold) in Arrow batches, emitting per-asset
+    dimensions and mean 8-bit level.  Oracle-checkable because the
+    fixture's dimensions/level derive from doc_id arithmetic
+    (``_png_dims``): the oracle recomputes them relationally, so a
+    decoder that misparsed IHDR, inflated wrongly, or skipped unfiltering
+    would hash-mismatch.  At scale this is the standard multimodal
+    ingestion plan: binaryFile scan split by ``maxPartitionBytes``,
+    decode fan-out in bounded Arrow batches, metadata columns never
+    touching payload bytes."""
+    fixture = _png_fixture_dir(spark, sf_dir)
+    files = read_binary_dir(spark, fixture, glob="*.png")
+    assets = files.select(
+        F.regexp_extract(F.col("path"), r"asset_(\d+)\.png$", 1)
+        .cast("bigint")
+        .alias("asset_id"),
+        "content",
+    )
+    return decode_png_features(assets)
 
 
 def sample_frames(

@@ -974,12 +974,25 @@ def merge_upsert(
     base: DataFrame,
     updates: DataFrame,
     key_cols: list[str],
+    dedupe_updates: bool = True,
 ) -> DataFrame:
     """MERGE/upsert without a table format: update-wins full-outer merge of
     ``updates`` into ``base`` on ``key_cols`` — the CDC apply step a
     lakehouse runs per batch.  Non-key columns must match by name; for each
     key present in both, the update's row wins; keys only in one side pass
     through.
+
+    Duplicate update keys: SQL MERGE *raises* when several update rows hit
+    one target row; a silent full-outer join instead fans the target out,
+    duplicating keys with an unspecified winner (ADVICE round 2).  With
+    ``dedupe_updates`` (the default) the updates are first reduced to one
+    row per key with a deterministic documented tie-break — greatest value
+    tuple, comparing the non-key columns in ``base``'s column order, NULLs
+    last — which requires the value columns to be orderable types.  Pass
+    ``dedupe_updates=False`` only when the caller guarantees key-unique
+    updates (the SQL MERGE precondition) and wants to skip the extra
+    update-side shuffle; the shuffle is on the (small) update batch, never
+    on ``base``.
 
     Plan shape: ONE full-outer shuffle join on the key (both sides
     hash-partitioned; at scale, bucketing both tables by the merge key
@@ -988,6 +1001,18 @@ def merge_upsert(
     Iceberg) this same plan is what MERGE INTO compiles to; here the
     result is returned for the caller to write atomically."""
     value_cols = [c for c in base.columns if c not in key_cols]
+    if dedupe_updates and value_cols:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc_nulls_last() for c in value_cols]
+        )
+        updates = (
+            updates.withColumn("_mu_rn", F.row_number().over(w))
+            .filter(F.col("_mu_rn") == 1)
+            .drop("_mu_rn")
+        )
+    elif dedupe_updates:
+        # key-only table: duplicate updates are exact duplicates
+        updates = updates.dropDuplicates(key_cols)
     # _u_present is the match marker: key columns can be NULL (the join is
     # eqNullSafe, so NULL keys DO match), which makes "update-side key is
     # not null" the wrong update-detection test — a NULL-keyed update
@@ -1036,6 +1061,10 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = spark.createDataFrame(
         [(-1, "O", 100.0)], "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
     )
+    # dedupe_updates=False: the change batch is key-unique BY CONSTRUCTION
+    # (a filter of the key-unique orders table plus one fresh key), so the
+    # plan stays the pure one-join shape (asserted window-free in
+    # tests/test_plans.py)
     return merge_upsert(
-        orders, changes.unionByName(late), ["o_orderkey"]
+        orders, changes.unionByName(late), ["o_orderkey"], dedupe_updates=False
     )

@@ -35,17 +35,29 @@ TABLES: tuple[str, ...] = (
 )
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot scan those
-    natively (PARQUET_TYPE_ILLEGAL), so the reader downshifts them.  Footer
-    metadata only: a driver-side read of a few KB regardless of table size.
+def _timestamp_col_classes(path: str) -> tuple[list[str], bool]:
+    """Classify a parquet table's timestamp columns from its footer:
+    returns ``(nanos_cols, has_ntz)``.
 
-    ``path`` may be a single file or a directory of part-files (the normal
-    Spark output layout, possibly with partition subdirectories): for a
-    directory the first part-file's footer is read — all parts of one table
-    share a schema.  Schema-read failures propagate rather than being
-    swallowed: silently returning [] would scan a nanos table as raw LONG
-    and change column types without warning."""
+    - ``nanos_cols``: columns stored as TIMESTAMP(NANOS) — Spark cannot
+      scan those natively (PARQUET_TYPE_ILLEGAL), so the reader downshifts
+      them via ``nanosAsLong``.
+    - ``has_ntz``: any scannable timestamp column with
+      ``isAdjustedToUTC=false`` — Spark would infer TIMESTAMP_NTZ for
+      those, but this engine reads them as session-TZ TIMESTAMP (the
+      session pins UTC, so values are identical) to keep one stable
+      timestamp dtype across corpus generations: the generator has
+      shipped both nanos (→ converted LTZ) and micros-NTZ data, and a
+      dtype that flips per corpus would break oracle schema comparison.
+
+    Footer metadata only: a driver-side read of a few KB regardless of
+    table size.  ``path`` may be a single file or a directory of
+    part-files (the normal Spark output layout, possibly with partition
+    subdirectories): for a directory the first part-file's footer is read
+    — all parts of one table share a schema.  Schema-read failures
+    propagate rather than being swallowed: silently returning nothing
+    would scan a nanos table as raw LONG and change column types without
+    warning."""
     import pyarrow.parquet as pq
 
     candidate = path
@@ -61,13 +73,25 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
                 candidate = os.path.join(root, parts[0])
                 break
         if candidate is None:
-            return []
+            return [], False
     schema = pq.read_schema(candidate)
-    return [
+    nanos = [
         field.name
         for field in schema
         if str(field.type).startswith("timestamp[ns")
     ]
+    has_ntz = any(
+        str(field.type).startswith("timestamp[")
+        and not str(field.type).startswith("timestamp[ns")
+        and getattr(field.type, "tz", None) is None
+        for field in schema
+    )
+    return nanos, has_ntz
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Back-compat wrapper: just the TIMESTAMP(NANOS) columns."""
+    return _timestamp_col_classes(path)[0]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,19 +103,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision: epoch-nanos ~1.7e18 exceeds a double's 53-bit exact range).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_cols = _nanos_timestamp_cols(path)
-    if not nanos_cols:
+    nanos_cols, has_ntz = _timestamp_col_classes(path)
+    if not nanos_cols and not has_ntz:
         return spark.read.parquet(path)
     from pyspark.sql import functions as F
 
-    # nanosAsLong is a session conf with no per-read option; schema
-    # inference consults it eagerly when the DataFrame is created, so it is
-    # flipped only around this read and then restored — a reader must not
-    # permanently mutate session-global state (later unrelated reads in the
-    # same session would silently see nanos columns as LONG).
-    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
+    # Both confs are session-global with no per-read option; schema
+    # inference consults them eagerly when the DataFrame is created, so
+    # they are flipped only around this read and then restored — a reader
+    # must not permanently mutate session-global state (later unrelated
+    # reads in the same session would silently change column types).
+    # - nanosAsLong: lets the scan read TIMESTAMP(NANOS) as raw LONG.
+    # - inferTimestampNTZ disabled: micros/millis NTZ columns scan as
+    #   session-TZ TIMESTAMP (UTC session → identical values), keeping
+    #   the dtype stable across corpus generations AT THE SCAN, so filter
+    #   pushdown on timestamp columns survives (a post-scan cast would
+    #   sit between the filter and the parquet reader).
+    flips: dict[str, str] = {}
+    if nanos_cols:
+        flips["spark.sql.legacy.parquet.nanosAsLong"] = "true"
+    if has_ntz:
+        flips["spark.sql.parquet.inferTimestampNTZ.enabled"] = "false"
+    prev: dict[str, str | None] = {
+        k: spark.conf.get(k, None) for k in flips
+    }
+    for k, v in flips.items():
+        spark.conf.set(k, v)
     try:
         df = spark.read.parquet(path)
         for col in nanos_cols:
@@ -100,10 +137,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

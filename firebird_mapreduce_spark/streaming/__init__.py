@@ -11,6 +11,7 @@ from .jobs import (
     run_stream_to_memory,
     session_window_stream,
     stream_events,
+    stream_events_multibatch,
     stream_stream_join,
     streaming_dedup,
     tumbling_window_stream,
@@ -19,6 +20,7 @@ from .jobs import (
 
 __all__ = [
     "stream_events",
+    "stream_events_multibatch",
     "group_count_stream",
     "tumbling_window_stream",
     "session_window_stream",

@@ -21,29 +21,142 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events schema as stored (ts is nanos-int64 in the parquet; converted on
-# read exactly like sources.readers.load_table does for batch)
-_EVENTS_RAW_SCHEMA = (
+# events stream schemas: ``ts`` is read as raw int64 when the parquet
+# stores TIMESTAMP(NANOS) (Spark cannot scan nanos natively — converted
+# with integer division exactly like sources.readers.load_table), and as a
+# plain timestamp when it stores micros.  The unit is detected from the
+# parquet footer per source dir, NOT hardcoded: the corpus generator has
+# shipped both units across rounds, and a hardcoded ``div 1000`` applied
+# to micros silently shifts every event to 1970.
+_EVENTS_NANOS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+_EVENTS_MICROS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
+def _events_file_stream(
+    spark: SparkSession,
+    directory: str,
+    glob: str,
+    probe_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Build the events file-stream with footer-detected ``ts`` handling.
+    ``probe_path`` is the file (or dir) whose parquet footer decides the
+    timestamp unit.  The ``nanosAsLong`` conf a nanos scan needs at
+    execution time is set (and restored) by ``run_stream_to_memory``, not
+    here: a plan builder must not mutate session state it cannot restore
+    (same discipline as ``sources.readers.load_table``)."""
+    from ..sources.readers import _nanos_timestamp_cols
+
+    nanos = "ts" in _nanos_timestamp_cols(probe_path)
+    reader = spark.readStream.schema(
+        _EVENTS_NANOS_SCHEMA if nanos else _EVENTS_MICROS_SCHEMA
+    ).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(directory)
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file stream — same rows the batch path sees,
-    same nanos→timestamp conversion.  The ``nanosAsLong`` conf the scan
-    needs at execution time is set (and restored) by
-    ``run_stream_to_memory``, not here: a plan builder must not mutate
-    session state it cannot restore (same discipline as
-    ``sources.readers.load_table``)."""
+    """The events table as a single-file stream — same rows and the same
+    ``ts`` semantics the batch path sees (unit-adaptive, see
+    ``_events_file_stream``)."""
     # the file stream source requires a *directory*; glob-filter the one
     # table out of the corpus dir instead of pointing at the file
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    return _events_file_stream(
+        spark, sf_dir, "events.parquet", os.path.join(sf_dir, "events.parquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _events_split_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the events table as ``n_files`` event-time-ordered
+    parquet files with strictly increasing mtimes, so a file stream with
+    ``maxFilesPerTrigger=1`` replays them as ``n_files`` successive
+    micro-batches in event-time order — the multi-batch harness that makes
+    cross-batch state carry-over and watermark advancement real (a single
+    availableNow batch never exercises either).
+
+    Event-time ordering is the semantic contract: file i holds strictly
+    older rows than file i+1, so no row is ever behind the watermark its
+    predecessors advanced — exactly the arrival pattern of a healthy
+    production source.  (Deliberately LATE arrivals are crafted per-test,
+    not here.)  Idempotent: a marker records the source file's md5; stale
+    split files from an older corpus are pruned before rewrite.  Written
+    under the repo's .fixtures, never into the read-only test data."""
+    import hashlib
+    import json
+
+    src = os.path.join(sf_dir, "events.parquet")
+    with open(src, "rb") as fh:
+        src_md5 = hashlib.md5(fh.read()).hexdigest()
+    tag = hashlib.md5(f"{sf_dir}|{n_files}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"events_split_{tag}",
+    )
+    marker = os.path.join(out_dir, "_marker.json")
+    expected = {f"part_{i:03d}.parquet" for i in range(n_files)}
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        have = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+        if meta.get("src_md5") == src_md5 and have == expected:
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    # prune anything not in the expected set (stale n_files / old corpus)
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and f not in expected:
+            os.remove(os.path.join(out_dir, f))
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(src)
+    # ts-major, event_id-minor sort: deterministic file boundaries
+    order = pc.sort_indices(
+        table, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    table = table.take(order)
+    n = table.num_rows
+    base_mtime = os.path.getmtime(src)
+    for i in range(n_files):
+        lo = (n * i) // n_files
+        hi = (n * (i + 1)) // n_files
+        path = os.path.join(out_dir, f"part_{i:03d}.parquet")
+        # parquet format 2.6 (the pyarrow default) round-trips the
+        # source's timestamp physical type, so the split files carry the
+        # original table's exact ts unit (the stream reader re-detects it
+        # from the split dir's own footer either way)
+        pq.write_table(table.slice(lo, hi - lo), path)
+        # strictly increasing mtimes: FileStreamSource orders files by
+        # modification time, which fixes the batch order
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    with open(marker, "w") as fh:
+        json.dump({"src_md5": src_md5, "n_files": n_files}, fh)
+    return out_dir
+
+
+def stream_events_multibatch(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """The events table as a file stream that replays in ``n_files``
+    micro-batches (``maxFilesPerTrigger=1`` over the event-time-ordered
+    split of ``_events_split_dir``) — the source all declared streaming
+    queries run on, so their driver correctness rows certify cross-batch
+    state carry-over and watermark advancement, not just single-batch
+    replay."""
+    split_dir = _events_split_dir(spark, sf_dir, n_files)
+    return _events_file_stream(
+        spark, split_dir, "*.parquet", split_dir, max_files_per_trigger=1
+    )
 
 
 def group_count_stream(events: DataFrame) -> DataFrame:
@@ -113,14 +226,20 @@ def user_running_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def streaming_dedup(events: DataFrame, subset: list[str] | None = None) -> DataFrame:
+def streaming_dedup(
+    events: DataFrame,
+    subset: list[str] | None = None,
+    horizon: str = "2 hours",
+) -> DataFrame:
     """Streaming exact dedup: drop rows whose key was already seen within
     the watermark horizon (``dropDuplicatesWithinWatermark``) — the
     streaming twin of ``relational.distinct_dedup``.  The watermark bounds
     the dedup state: at 100 TB/day of events an unbounded ``dropDuplicates``
     state grows forever; within-watermark semantics trade exactness beyond
-    the horizon for bounded memory."""
-    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+    the horizon for bounded memory.  A key idle longer than ``horizon`` is
+    evicted and its next arrival re-emits — demonstrated under multi-batch
+    replay in tests/test_streaming.py."""
+    return events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
         subset or ["user_id", "event_type"]
     )
 
@@ -163,73 +282,90 @@ _REPLAY_COUNTER = 0
 
 
 def stream_group_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: the streaming group-count replayed to completion —
-    must equal the batch ``group_count`` exactly (same oracle SQL)."""
+    """Driver query: the streaming group-count replayed to completion over
+    4 micro-batches — must equal the batch ``group_count`` exactly (same
+    oracle SQL).  Complete mode re-emits the full aggregate each batch; the
+    final table is the last batch's state, i.e. the whole corpus."""
     global _REPLAY_COUNTER
     _REPLAY_COUNTER += 1
     return run_stream_to_memory(
-        group_count_stream(stream_events(spark, sf_dir)),
+        group_count_stream(stream_events_multibatch(spark, sf_dir)),
         f"q_stream_group_count_{_REPLAY_COUNTER}",
     )
 
 
 def stream_tumbling_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: streaming tumbling-window counts replayed to
-    completion — equals batch ``tumbling_window_count``."""
+    completion over 4 micro-batches — equals batch
+    ``tumbling_window_count`` (complete mode retains every window's state
+    across batches, so the final emission covers the whole corpus)."""
     global _REPLAY_COUNTER
     _REPLAY_COUNTER += 1
     return run_stream_to_memory(
-        tumbling_window_stream(stream_events(spark, sf_dir)),
+        tumbling_window_stream(stream_events_multibatch(spark, sf_dir)),
         f"q_stream_tumbling_{_REPLAY_COUNTER}",
     )
 
 
 def session_window_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: 10-minute-gap session windows per user, replayed to
-    completion.  The oracle reproduces Spark's session semantics
-    relationally: a new session starts when the gap since the previous
-    event of the same user is >= 10 minutes (Spark merges an event into a
-    session only while its time is strictly inside [start, last+gap)), and
-    ``session_end = last event + gap``."""
+    completion over 4 micro-batches — session state MERGES across batch
+    boundaries (an open session from batch i absorbs batch i+1's events
+    within gap), so hash-equality with the batch-relational oracle is a
+    real cross-batch-state check.  The oracle reproduces Spark's session
+    semantics relationally: a new session starts when the gap since the
+    previous event of the same user is >= 10 minutes (Spark merges an
+    event into a session only while its time is strictly inside
+    [start, last+gap)), and ``session_end = last event + gap``."""
     global _REPLAY_COUNTER
     _REPLAY_COUNTER += 1
     return run_stream_to_memory(
-        session_window_stream(stream_events(spark, sf_dir), gap="10 minutes"),
+        session_window_stream(stream_events_multibatch(spark, sf_dir), gap="10 minutes"),
         f"q_stream_sessions_{_REPLAY_COUNTER}",
     )
 
 
 def stateful_running_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: the ``applyInPandasWithState`` per-user running
-    counter replayed over the corpus.  availableNow reads the single
-    parquet file as one micro-batch, so the emitted update per user IS the
-    final state — equal to the batch per-user count (that equality is the
-    oracle)."""
+    counter replayed over 4 micro-batches.  Each batch emits every touched
+    user's updated total from carried GroupState, so the per-user MAX over
+    all updates is the final state — equal to the batch per-user count
+    (that equality is the oracle, and with multi-batch replay it certifies
+    that state actually survives batch boundaries: a counter that reset
+    per batch would undercount every multi-batch user)."""
     global _REPLAY_COUNTER
     _REPLAY_COUNTER += 1
     result = run_stream_to_memory(
-        user_running_counts_stream(stream_events(spark, sf_dir)),
+        user_running_counts_stream(stream_events_multibatch(spark, sf_dir)),
         f"q_stream_running_{_REPLAY_COUNTER}",
         output_mode="update",
     )
-    # defensive final-state reduction: if the source ever splits into
-    # multiple micro-batches, the last (max) update per user is the total
+    # final-state reduction: the last (max) update per user is the total
     return result.groupBy("user_id").agg(
         F.max("total_events").alias("total_events")
     )
 
 
 def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: streaming within-watermark dedup replayed to
-    completion, projected to the KEY COLUMNS ONLY — the representative row
-    ``dropDuplicatesWithinWatermark`` keeps per key is arbitrary (first
-    arrival wins, which varies with partitioning), so the deterministic,
-    oracle-comparable statement is the surviving key set: exactly
-    ``SELECT DISTINCT user_id, event_type`` over the corpus when the whole
-    corpus fits one micro-batch."""
+    """Driver query: streaming within-watermark dedup replayed over 4
+    micro-batches, projected to the KEY COLUMNS ONLY — the representative
+    row ``dropDuplicatesWithinWatermark`` keeps per key is arbitrary
+    (first arrival wins, which varies with partitioning), so the
+    deterministic, oracle-comparable statement is the surviving key set:
+    exactly ``SELECT DISTINCT user_id, event_type``.
+
+    The horizon is 45 DAYS — longer than the corpus' 30-day span — by
+    construction: within-watermark dedup equals global DISTINCT exactly
+    when no key is ever evicted mid-replay, so the equality this oracle
+    asserts is only well-defined for a horizon covering the replayed
+    window.  The production-shaped short horizon (keys re-emit after 2
+    idle hours) is pinned by test_streaming.py's eviction test, where the
+    re-emission is the *expected* output, not a mismatch."""
     global _REPLAY_COUNTER
     _REPLAY_COUNTER += 1
-    deduped = streaming_dedup(stream_events(spark, sf_dir))
+    deduped = streaming_dedup(
+        stream_events_multibatch(spark, sf_dir), horizon="45 days"
+    )
     return run_stream_to_memory(
         deduped.select("user_id", "event_type"),
         f"q_stream_dedup_{_REPLAY_COUNTER}",
@@ -238,15 +374,20 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: the purchase⋈click interval join replayed to
-    completion.  One availableNow micro-batch means no row is ever behind
-    the watermark, so the emitted pair set equals the batch interval join —
-    that equality is the oracle (micros-truncated timestamps on the DuckDB
-    side, matching the nanos→micros source conversion)."""
+    """Driver query: the purchase⋈click interval join replayed over 4
+    micro-batches.  Event-time-ordered batches mean no row ever arrives
+    behind the watermark, and a buffered click is evicted only once the
+    watermark passes the last purchase time it could match (c_ts + 30 min
+    < p_ts watermark requires max event time > c_ts + 1.5 h, by which
+    point every matching purchase has arrived) — so the emitted pair set
+    equals the batch interval join even though both sides' state IS being
+    evicted as the replay advances.  That equality is the oracle
+    (micros-truncated timestamps on the DuckDB side, matching the
+    nanos→micros source conversion)."""
     global _REPLAY_COUNTER
     _REPLAY_COUNTER += 1
     return run_stream_to_memory(
-        stream_stream_join(stream_events(spark, sf_dir)),
+        stream_stream_join(stream_events_multibatch(spark, sf_dir)),
         f"q_stream_ssjoin_{_REPLAY_COUNTER}",
         output_mode="append",
     )

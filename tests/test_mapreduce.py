@@ -154,6 +154,26 @@ def test_merge_upsert_three_outcomes(spark):
     assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 9: ("new", 1.0)}
 
 
+def test_merge_upsert_duplicate_update_keys_single_winner(spark):
+    """Duplicate keys in the update batch must NOT fan the target out
+    (SQL MERGE raises there; this engine deterministically picks one).
+    The documented tie-break takes the greatest value tuple in base
+    column order, NULLs last — here (\"Z\", 50.0) beats (\"A\", 99.0) on
+    the first value column."""
+    from firebird_mapreduce_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k INT, s STRING, v DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(2, "A", 99.0), (2, "Z", 50.0), (2, None, 1.0)], "k INT, s STRING, v DOUBLE"
+    )
+    merged = merge_upsert(base, updates, ["k"])
+    assert merged.count() == 2  # no fan-out
+    got = {r["k"]: (r["s"], r["v"]) for r in merged.collect()}
+    assert got == {1: ("a", 10.0), 2: ("Z", 50.0)}
+
+
 def test_merge_upsert_null_key_update_wins(spark):
     """The join is eqNullSafe, so a NULL key is a real key: a NULL-keyed
     update must WIN against the NULL-keyed base row (regression: update

@@ -107,13 +107,22 @@ def test_nanos_conf_restored_after_load(spark):
 def test_nanos_directory_table_converts(spark, tmp_path):
     """A nanos table laid out as a DIRECTORY of part-files (the normal
     Spark layout) must still get timestamp conversion — the schema probe
-    falls back to the first part-file's footer (ADVICE round 1)."""
+    falls back to the first part-file's footer (ADVICE round 1).  The
+    nanos fixture is crafted here (cast up from the corpus): the corpus
+    generator has shipped both nanos and micros data across rounds, so
+    the nanos code path must stay covered regardless of what the current
+    corpus happens to store."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from firebird_mapreduce_spark.sources import load_table
     from tests.conftest import SF_SMOKE
 
     src = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    ts_idx = src.schema.get_field_index("ts")
+    src = src.set_column(
+        ts_idx, "ts", src.column("ts").cast(pa.timestamp("ns"))
+    )
     assert str(src.schema.field("ts").type).startswith("timestamp[ns")
     table_dir = tmp_path / "events.parquet"
     table_dir.mkdir()
@@ -124,3 +133,15 @@ def test_nanos_directory_table_converts(spark, tmp_path):
     df = load_table(spark, str(tmp_path), "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() == len(src)
+    # values survive the nanos→micros downshift: compare one row against
+    # the micros/ntz-read original
+    orig = load_table(spark, SF_SMOKE, "events")
+    assert dict(orig.dtypes)["ts"] == "timestamp"  # ntz normalized too
+    want = {(r["event_id"], r["ts"]) for r in orig.limit(50).collect()}
+    got = {
+        (r["event_id"], r["ts"])
+        for r in df.filter(
+            df.event_id.isin([e for e, _ in want])
+        ).collect()
+    }
+    assert got == want

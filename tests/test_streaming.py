@@ -1,7 +1,16 @@
-"""Batch-stream parity tests: the same transformations over readStream
-must produce the batch answers when replayed with availableNow."""
+"""Batch-stream parity tests under MULTI-micro-batch replay: the same
+transformations over readStream must produce the batch answers when the
+corpus is replayed as 4 event-time-ordered micro-batches
+(``maxFilesPerTrigger=1``), which makes cross-batch state carry-over and
+watermark advancement real — a single availableNow batch exercises
+neither.  Crafted-input tests pin the watermark semantics themselves:
+a beyond-watermark late row is dropped, and an evicted dedup key
+re-emits.
+"""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -13,6 +22,7 @@ from firebird_mapreduce_spark.streaming import (
     run_stream_to_memory,
     session_window_stream,
     stream_events,
+    stream_events_multibatch,
     stream_stream_join,
     streaming_dedup,
     tumbling_window_stream,
@@ -25,26 +35,42 @@ def _rows(df, *cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
-def test_group_count_parity(spark):
+def test_group_count_parity_single_batch(spark):
+    """The plain one-file source still replays correctly (and restores the
+    nanosAsLong conf it flips — leaked state would silently change later
+    batch reads' column types)."""
     stream = group_count_stream(stream_events(spark, SF_SMOKE))
-    result = run_stream_to_memory(stream, "t_group_count")
+    result = run_stream_to_memory(stream, "t_group_count_sb")
     batch = R.group_count(spark, SF_SMOKE)
     assert _rows(result, "event_type", "cnt") == _rows(batch, "event_type", "cnt")
-    # the replay must restore the nanosAsLong conf it flips (leaked state
-    # would silently change later batch reads' column types)
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
 
 
-def test_tumbling_window_parity(spark):
-    stream = tumbling_window_stream(stream_events(spark, SF_SMOKE))
-    result = run_stream_to_memory(stream, "t_tumbling")
+def test_group_count_parity_multibatch(spark):
+    stream = group_count_stream(stream_events_multibatch(spark, SF_SMOKE))
+    result = run_stream_to_memory(stream, "t_group_count_mb")
+    batch = R.group_count(spark, SF_SMOKE)
+    assert _rows(result, "event_type", "cnt") == _rows(batch, "event_type", "cnt")
+
+
+def test_tumbling_window_parity_multibatch(spark):
+    stream = tumbling_window_stream(stream_events_multibatch(spark, SF_SMOKE))
+    result = run_stream_to_memory(stream, "t_tumbling_mb")
     batch = R.tumbling_window_count(spark, SF_SMOKE)
     assert _rows(result, "hour_start", "cnt") == _rows(batch, "hour_start", "cnt")
 
 
-def test_session_window_counts_all_events(spark):
-    stream = session_window_stream(stream_events(spark, SF_SMOKE), gap="10 minutes")
-    result = run_stream_to_memory(stream, "t_sessions")
+def test_session_window_multibatch_counts_all_events(spark):
+    """Session state must MERGE across micro-batch boundaries: with the
+    corpus split into 4 event-time-ordered batches, a session that spans a
+    file boundary only stays whole if batch i+1's events extend the open
+    session carried in state from batch i.  Every event landing in exactly
+    one non-overlapping session is therefore a cross-batch-state check,
+    not just an aggregation check."""
+    stream = session_window_stream(
+        stream_events_multibatch(spark, SF_SMOKE), gap="10 minutes"
+    )
+    result = run_stream_to_memory(stream, "t_sessions_mb")
     total_events = load_table(spark, SF_SMOKE, "events").count()
     agg = result.agg(F.sum("n_events").alias("s"), F.count(F.lit(1)).alias("n")).first()
     assert agg["s"] == total_events  # every event lands in exactly one session
@@ -62,25 +88,33 @@ def test_session_window_counts_all_events(spark):
             assert e1 <= s2, f"overlapping sessions: {(s1, e1)} vs {(s2, _)}"
 
 
-def test_streaming_dedup_one_per_key(spark):
-    stream = streaming_dedup(stream_events(spark, SF_SMOKE))
-    result = run_stream_to_memory(stream, "t_dedup", output_mode="append")
+def test_streaming_dedup_multibatch_one_per_key(spark):
+    """With a horizon covering the whole corpus span no key is ever
+    evicted mid-replay, so 4-batch replay must still emit exactly one
+    survivor per key (state carried across batches suppresses batch-2+
+    re-arrivals of batch-1 keys)."""
+    stream = streaming_dedup(
+        stream_events_multibatch(spark, SF_SMOKE), horizon="45 days"
+    )
+    result = run_stream_to_memory(stream, "t_dedup_mb", output_mode="append")
     batch_keys = (
         load_table(spark, SF_SMOKE, "events")
         .select("user_id", "event_type")
         .distinct()
         .count()
     )
-    # all events fall inside one watermark horizon replayed as one batch,
-    # so exactly one survivor per (user_id, event_type) key
     assert result.count() == batch_keys
     dupes = result.groupBy("user_id", "event_type").count().filter("count > 1").count()
     assert dupes == 0
 
 
-def test_stream_stream_join_matches_batch(spark):
-    stream = stream_stream_join(stream_events(spark, SF_SMOKE))
-    result = run_stream_to_memory(stream, "t_ssjoin", output_mode="append")
+def test_stream_stream_join_multibatch_matches_batch(spark):
+    """The interval join buffers each side in state and evicts behind the
+    watermark; with event-time-ordered batches the evictions are all safe
+    (a click is dropped only after every purchase it could match has
+    arrived), so the multi-batch pair set must equal the batch join."""
+    stream = stream_stream_join(stream_events_multibatch(spark, SF_SMOKE))
+    result = run_stream_to_memory(stream, "t_ssjoin_mb", output_mode="append")
     events = load_table(spark, SF_SMOKE, "events")
     p = events.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
@@ -105,10 +139,17 @@ def test_stream_stream_join_matches_batch(spark):
     assert result.count() > 0  # non-vacuous: pairs actually exist
 
 
-def test_stateful_running_counts_parity(spark):
-    stream = user_running_counts_stream(stream_events(spark, SF_SMOKE))
-    result = run_stream_to_memory(stream, "t_running", output_mode="update")
-    # with a single availableNow batch the final state equals the batch count
+def test_stateful_running_counts_carry_state_across_batches(spark):
+    """``applyInPandasWithState`` must carry GroupState between
+    micro-batches: (a) more update rows than users proves the replay
+    really ran multiple batches that each re-emitted touched users, and
+    (b) the max update per user equals the batch count — which can only
+    happen if each batch's update built on the carried total (a
+    per-batch reset would plateau at the largest single-batch count)."""
+    stream = user_running_counts_stream(stream_events_multibatch(spark, SF_SMOKE))
+    result = run_stream_to_memory(stream, "t_running_mb", output_mode="update")
+    n_users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert result.count() > n_users, "expected one update per touched user PER BATCH"
     final = result.groupBy("user_id").agg(F.max("total_events").alias("total"))
     batch = (
         load_table(spark, SF_SMOKE, "events")
@@ -116,3 +157,128 @@ def test_stateful_running_counts_parity(spark):
         .agg(F.count(F.lit(1)).alias("total"))
     )
     assert _rows(final, "user_id", "total") == _rows(batch, "user_id", "total")
+
+
+# ---------------------------------------------------------------------------
+# Crafted-input watermark semantics
+# ---------------------------------------------------------------------------
+
+
+def _write_event_files(tmp_path, batches):
+    """Write one micros-parquet file per batch of (event_id, ts_iso,
+    user_id, event_type) tuples, mtimes strictly increasing so the file
+    stream replays them in the given order."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "crafted_events")
+    os.makedirs(out, exist_ok=True)
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        table = table.set_column(
+            1, "ts", table.column("ts").cast(pa.timestamp("us"))
+        )
+        path = os.path.join(out, f"part_{i:03d}.parquet")
+        pq.write_table(table, path)
+        os.utime(path, (base + i, base + i))
+    return out
+
+
+def _stream_crafted(spark, directory):
+    from firebird_mapreduce_spark.streaming.jobs import _events_file_stream
+
+    return _events_file_stream(
+        spark, directory, "*.parquet", directory, max_files_per_trigger=1
+    )
+
+
+def test_late_row_beyond_watermark_is_dropped(spark, tmp_path):
+    """THE watermark semantics test, on the operator where late-drop is a
+    hard guarantee: a watermarked tumbling-window aggregation in APPEND
+    mode.  (``dropDuplicatesWithinWatermark`` deliberately does NOT
+    promise to drop late input — that relaxation is its documented
+    difference from plain dedup, so it cannot pin this semantics.)
+
+    Batch 1 puts one event in the 10:00 window and advances max event
+    time to 13:30, moving the watermark to 11:30 — strictly past the
+    10:00 window's 11:00 end.  The late 10:30 row arrives TWO batches
+    later (after a spacer batch): measured behavior of this Spark version
+    is that the late filter runs one batch behind the reported watermark,
+    so a late row arriving in the very next batch after its advancer
+    still slips through — the spacer makes the 11:30 watermark effective.
+    The late row must then be DROPPED: the 10:00 window's count stays 1
+    (admitting it would either bump the count to 2 or append a second
+    10:00 emission, both caught by exact-list assertion).  The final
+    17:30 advancer finalizes the 13:00/14:00 windows; its own window
+    never finalizes before availableNow ends, so append never emits it —
+    also asserted."""
+    d = _write_event_files(
+        tmp_path,
+        [
+            [
+                (1, "2024-03-01 10:15:00", 1, "click"),
+                (2, "2024-03-01 13:30:00", 2, "click"),  # wm -> 11:30
+            ],
+            [
+                (3, "2024-03-01 14:00:00", 3, "click"),  # spacer batch
+            ],
+            [
+                (4, "2024-03-01 10:30:00", 4, "click"),  # late: win end < wm
+            ],
+            [
+                (5, "2024-03-01 17:30:00", 5, "click"),  # wm -> 15:30
+            ],
+        ],
+    )
+    windowed = (
+        _stream_crafted(spark, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("hour_start"), "cnt")
+    )
+    result = run_stream_to_memory(windowed, "t_late_drop", output_mode="append")
+    got = sorted((r["hour_start"].strftime("%H:%M"), r["cnt"]) for r in result.collect())
+    assert got == [("10:00", 1), ("13:00", 1), ("14:00", 1)], got
+    assert ("17:00", 1) not in got  # unfinalized window never emitted in append
+
+
+def test_evicted_dedup_key_reemits_after_horizon(spark, tmp_path):
+    """Watermark EVICTION test: ``dropDuplicatesWithinWatermark`` keeps a
+    key's state until event time + horizon falls behind the watermark —
+    user 1's 10:00 entry expires at 12:00.  Batch 2's 14:30 advancer
+    pushes the watermark to 12:30 > 12:00, evicting user 1 at that
+    batch's end; batch 3 is a spacer (eviction lands at batch end, so the
+    re-arrival must come a full batch later); batch 4's user-1 re-arrival
+    then re-emits.  Two survivors for one key is the *correct*
+    bounded-state answer — and exactly why the whole-corpus oracle query
+    uses a horizon wider than the corpus."""
+    d = _write_event_files(
+        tmp_path,
+        [
+            [(1, "2024-03-01 10:00:00", 1, "click")],
+            [(2, "2024-03-01 14:30:00", 2, "click")],  # wm -> 12:30 > expiry 12:00
+            [(3, "2024-03-01 15:00:00", 3, "click")],  # spacer: eviction visible
+            [(4, "2024-03-01 15:30:00", 1, "click")],  # u1 again: re-emits
+        ],
+    )
+    deduped = streaming_dedup(
+        _stream_crafted(spark, d), subset=["user_id"], horizon="2 hours"
+    )
+    result = run_stream_to_memory(
+        deduped.select("event_id", "user_id"), "t_evict_reemit", output_mode="append"
+    )
+    got = sorted((r["user_id"], r["event_id"]) for r in result.collect())
+    assert got == [(1, 1), (1, 4), (2, 2), (3, 3)], got
