@@ -43,14 +43,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER IS LOAD-BEARING: the round driver's correctness gate checks the
     first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
-    1-50 to (a) every oracle-backed query that has never had a driver
-    correctness row (all round-2 additions), then (b) flagship re-checks
-    that were hash-green in round 1 (CORRECTNESS_r01.json).  The union of
-    round-1-green and this window covers EVERY oracle-backed query — each
-    one has a hard external correctness row in some round
-    (tests/test_docs_consistency.py asserts this invariant).  The tail
-    (51+) holds round-1-verified near-twins and the rows-only sketch/UDF
-    queries; the full registry stays under the local gate
+    1-50 for round 3 to (a) every query that has never had a driver row
+    in any round — the six rows-only sketch/scale queries plus this
+    round's three new oracle-backed queries — then (b) every oracle-backed
+    query whose only driver row is round 1 (oldest evidence, and the
+    corpus was regenerated since), then (c) re-checks of queries whose
+    implementation changed this round (multi-batch streaming replay,
+    merge dedupe, fixture pruning) plus the 5-table flagship.  The union
+    of r1-green, r2-green, and this window covers EVERY registered query
+    — each has a driver row in some round, and every oracle-backed one a
+    hash row (tests/test_docs_consistency.py asserts both).  The full
+    registry stays under the local gate regardless
     (tests/test_oracle_parity.py + tools/check_correctness.py).
     """
     registry = {
@@ -90,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": R.set_ops_customers,
         "scalar_functions": R.scalar_functions,
         "grouped_agg_udaf": R.grouped_agg_udaf,
+        # skew
+        "skew_join_events": K.skew_join_events,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -141,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": T.text_repetition,
         "deterministic_split": T.deterministic_split,
         "embedding_lsh_ann": S.embedding_lsh_ann,
+        "embedding_lsh_ann_multi": S.embedding_lsh_ann_multi,
         "frame_sample": M.frame_sample,
         "scan_project": R.scan_project,
         "word_count": R.word_count,
@@ -172,67 +178,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry (see queries() docstring).  First the 36
-# oracle-backed queries with no round-1 driver row, then 14 flagship
-# re-checks that were hash-green in round 1.
+# Positions 1-50 of the registry for ROUND 3 (see queries() docstring):
+# 9 never-driver-checked (6 rows-only + 3 new), 34 oracle-backed queries
+# whose only driver row predates the corpus regeneration (round 1), and
+# 7 re-checks of round-3-changed implementations.
 _DRIVER_WINDOW = [
-    # round-2 additions — relational / streaming / graph
-    "grouping_sets_revenue",
-    "global_sort_rank",
-    "tpch_revenue_by_nation",
-    "stats_moments",
-    "conditional_agg",
-    "window_range_interval",
-    "merge_upsert_orders",
+    # (a) never driver-checked — rows-only sketch/scale queries get their
+    # first (weaker, rows-only) driver row...
+    "sssp_syn18k",
+    "pagerank_nations",
+    "approx_percentile_stats",
+    "dedup_simhash64",
+    "image_features",
+    "embedding_kmeans",
+    # ...and this round's new oracle-backed queries their first hash row
+    "image_decode",
+    "embedding_lsh_ann_multi",
+    "skew_join_events",
+    # (b) oracle-backed, round-1-green only — re-validated against the
+    # regenerated corpus
+    "filter_predicate",
+    "flatmap_tokenize",
+    "group_min",
+    "rollup_revenue",
+    "pivot_events",
+    "string_agg_nations",
+    "argmax_order_per_cust",
+    "window_lag_lead",
+    "tumbling_window_count",
+    "left_outer_join",
+    "full_outer_join",
+    "broadcast_join",
+    "semi_anti_join",
+    "bucketed_theta_join",
+    "set_ops_customers",
+    "scalar_functions",
+    "doc_length_stats",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "udtf_chunk_documents",
+    "doc_fingerprint",
+    "scan_project",
+    "word_count",
+    "distinct_dedup",
+    "cube_revenue",
+    "unpivot_lineitem",
+    "json_extract_events",
+    "ntile_ranks",
+    "window_moving_avg",
+    "mapreduce_group_count",
+    "salted_group_count",
+    "stream_group_count",
+    "stream_tumbling_window",
+    # (c) changed this round: streaming queries now replay multi-batch,
+    # merge gained update-dedupe, the binary fixture prunes; plus the
+    # 5-table flagship as the standing composite re-check
     "stream_session_window",
     "stream_running_count",
     "stream_dedup",
     "stream_stream_join",
-    "connected_components_star",
-    # north-star dedup / similarity / multimodal (registry positions 51-59
-    # in round 1 — the judge's top round-2 task)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_cc",
-    "embedding_knn",
-    "embedding_knn_ivf",
-    "embedding_neardup_topk",
-    "embedding_lsh_ann",
-    "vector_stats",
-    "binary_meta",
+    "merge_upsert_orders",
     "binary_file_meta",
-    "frame_sample",
-    # north-star text / training-data pipeline
-    "bigram_topk",
-    "text_repetition",
-    "deterministic_split",
-    "pii_redact",
-    "contamination_check",
-    "inverted_index",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "quality_topk_per_lang",
-    "pack_training_chunks",
-    "timeseries_gapfill",
-    "revenue_share_window",
-    # flagship re-checks (round-1 hash-green).  text_quality and
-    # rollup_revenue are not re-listed: round-1 green, and their shapes
-    # are re-checked through quality_topk_per_lang / grouping_sets_revenue.
-    "numbercount_10m",
-    "group_count",
-    "group_sum_avg",
-    "percentile_stats",
-    "reduce_side_join",
-    "range_join_sessionize",
-    "asof_purchase_prior_click",
-    "window_rank",
-    "topk_orders",
-    "grouped_agg_udaf",
-    "sssp_fixpoint",
-    "connected_components",
-    "triangle_count",
-    "dedup_exact_hash",
+    "tpch_revenue_by_nation",
 ]
 
 
@@ -372,6 +380,18 @@ def oracle_sql() -> dict[str, str]:
         "salted_group_count": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY event_type
+        """,
+        # ~90% of rows collapse onto skew_key 0 (the hot-key fact shape);
+        # the join result is the oracle contract, the AQE skew-split plan
+        # is asserted separately in tests/test_plans.py
+        "skew_join_events": """
+            SELECT event_id,
+                   CASE WHEN user_id % 10 = 9 THEN user_id % 25
+                        ELSE 0 END AS skew_key,
+                   n_name
+            FROM events
+            JOIN nation ON n_nationkey = CASE WHEN user_id % 10 = 9
+                                              THEN user_id % 25 ELSE 0 END
         """,
         "reduce_side_join": """
             SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
@@ -1039,6 +1059,43 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs s, q
             WHERE s.sig IN (SELECT s FROM probes) AND s.vec_id <> 0
             ORDER BY sim DESC, s.vec_id LIMIT 10
+        """,
+        # L=4 independent SRP tables (planes salted by table index in the
+        # md5 derivation); candidates are the union of per-table probes
+        # (exact bucket + 8 hamming-1 neighbors each), deduped before the
+        # exact-cosine rerank — the 1-(1-P)^L recall amplifier
+        "embedding_lsh_ann_multi": """
+            WITH sigs AS (
+                SELECT vec_id, tt.t AS tbl,
+                       CAST(list_sum(list_transform(range(0, 8), p ->
+                           CASE WHEN round(list_sum(list_transform(range(0, 64),
+                               j -> embedding[j+1]::DOUBLE *
+                                    (CASE WHEN substr(md5(tt.t::VARCHAR || '|'
+                                                        || p::VARCHAR || '|'
+                                                        || j::VARCHAR), 1, 1)
+                                          IN ('8','9','a','b','c','d','e','f')
+                                     THEN 1.0 ELSE -1.0 END))), 6) > 0
+                           THEN CAST(power(2, p) AS BIGINT) ELSE 0 END))
+                           AS BIGINT) AS sig
+                FROM embeddings CROSS JOIN range(0, 4) tt(t)),
+            q AS (SELECT tbl, sig AS qsig FROM sigs WHERE vec_id = 0),
+            qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+            probes AS (
+                SELECT tbl, qsig AS s FROM q
+                UNION ALL
+                SELECT tbl, CAST(xor(qsig, CAST(power(2, i) AS BIGINT)) AS BIGINT)
+                FROM q CROSS JOIN range(0, 8) r(i)),
+            cands AS (
+                SELECT DISTINCT s.vec_id
+                FROM sigs s JOIN probes p ON s.tbl = p.tbl AND s.sig = p.s
+                WHERE s.vec_id <> 0)
+            SELECT c.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6)
+                       AS sim
+            FROM cands c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            CROSS JOIN qv
+            ORDER BY sim DESC, c.vec_id LIMIT 10
         """,
         "vector_stats": """
             SELECT vec_id,

@@ -335,6 +335,98 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TABLES = 4
+
+
+def _srp_weights_table(table_idx: int) -> list[list[float]]:
+    """±1 hyperplane matrix for one of L independent SRP tables —
+    md5-derived like ``_srp_weights`` but salted with the table index, so
+    each table's planes are decorrelated and any engine regenerates them
+    bit-identically."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{table_idx}|{p}|{j}".encode()).hexdigest()[0]
+            in "89abcdef"
+            else -1.0
+            for j in range(N_DIMS)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def embedding_lsh_ann_multi(
+    spark: SparkSession, sf_dir: str, n_tables: int = N_TABLES
+) -> DataFrame:
+    """L-independent-tables SRP LSH — the standard recall amplifier the
+    single-table docstring above names: if one table retrieves a true
+    neighbor with probability P, the union of L independent tables
+    retrieves it with ≈1−(1−P)^L (measured on this corpus: recall@10
+    0.116 at L=1 → 0.342 at L=4 → 0.572 at L=8 at sf0.01, tracking the
+    formula slightly below independence — full sweep with per-L scan
+    cost in SCALE.md, reproduced by tools/measure_lsh_recall.py).
+
+    Spark shape: each row computes L×8 sign projections in one codegen
+    projection pass (no shuffle, no training step — still LSH's scale
+    advantage over IVF), the query's L signatures + hamming-1 probes are
+    derived on the driver, and the candidate filter is an OR of per-table
+    ``isin`` membership — a scan-level predicate.  At 100 TB each table's
+    signature is a partition column and the probe touches L·9/256 of the
+    data; candidates are deduped BEFORE the exact-cosine rerank so a
+    vector found by several tables is scored once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    all_weights = [_srp_weights_table(t) for t in range(n_tables)]
+
+    def sig_col(vec, weights):
+        bits = []
+        for p in range(N_PLANES):
+            w = F.array(*[F.lit(x) for x in weights[p]])
+            proj = F.round(dot(vec, w), 6)
+            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            sig_col(F.col("embedding"), all_weights[t]).alias(f"sig_{t}")
+            for t in range(n_tables)
+        ],
+    )
+    query_vec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
+    # driver-side signatures of the query: same ±1 weights, same
+    # sequential double fold, same half-up 6 dp rounding as the column
+    probe_sets = []
+    for t in range(n_tables):
+        qsig = 0
+        for p in range(N_PLANES):
+            proj = 0.0
+            for x, w in zip(query_vec, all_weights[t][p]):
+                proj += float(x) * w
+            if _py_round6(proj) > 0:
+                qsig |= 1 << p
+        probe_sets.append([qsig] + [qsig ^ (1 << i) for i in range(N_PLANES)])
+    cand = None
+    for t in range(n_tables):
+        clause = F.col(f"sig_{t}").isin(probe_sets[t])
+        cand = clause if cand is None else cand | clause
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        tagged.filter(cand & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-means clustering (Lloyd's algorithm) — the fitted-centroid step the IVF
 # docstring above defers to ("in production k-means fitted").

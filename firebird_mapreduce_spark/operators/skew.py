@@ -90,6 +90,62 @@ def salted_collect_list(
     )
 
 
+def skewed_event_fact(
+    spark: SparkSession, sf_dir: str, pad_blocks: int = 0
+) -> DataFrame:
+    """The events table re-keyed onto a DELIBERATELY power-law key:
+    ~90% of rows collapse onto skew_key 0, the rest spread over the
+    nation-key range — the classic hot-key fact shape (one celebrity
+    user, one default partition value).
+
+    ``pad_blocks`` > 0 appends that many md5 blocks (32 incompressible
+    hex chars each) per row, used by the plan test to make the hot
+    partition's *compressed shuffle bytes* exceed AQE's skew threshold at
+    sf0.001 — shuffle sizes are measured after compression, so a
+    compressible pad (or a pruned-away column) demonstrates nothing."""
+    events = load_table(spark, sf_dir, "events")
+    cols = [
+        F.col("event_id"),
+        F.when(F.col("user_id") % 10 == 9, F.col("user_id") % 25)
+        .otherwise(F.lit(0))
+        .alias("skew_key"),
+    ]
+    if pad_blocks:
+        cols.append(
+            F.concat_ws(
+                "",
+                *[
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(str(i))))
+                    for i in range(pad_blocks)
+                ],
+            ).alias("pad")
+        )
+    return events.select(*cols)
+
+
+def skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the hot-key fact joined to the ``nation`` dim on
+    the skewed key.  Two legitimate scale answers exist and BOTH are
+    exercised:
+
+    - natural plan (this query as declared): the dim is tiny, so the
+      planner broadcasts it — broadcast beats skew-splitting whenever one
+      side fits, because a map-side join has no skewed shuffle at all;
+    - when neither side broadcasts (the 100 TB fact⋈fact case),
+      AQE's skew-join split carves the hot partition into per-map chunks
+      at runtime — forced and plan-asserted in
+      tests/test_plans.py::test_aqe_skew_join_splits_hot_partition
+      (``SortMergeJoin(skew=true)``, ``AQEShuffleRead .. skewed``).
+
+    The oracle checks the join result itself, so the demonstration rides
+    on externally-verified semantics either way."""
+    fact = skewed_event_fact(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    return fact.join(
+        nation, fact.skew_key == nation.n_nationkey
+    ).select("event_id", "skew_key", "n_name")
+
+
 def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: the ``number_count`` histogram under extreme key
     skew (5 event types across all cores), computed with explicit salting.
