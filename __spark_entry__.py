@@ -45,8 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
     1-50 for round 3 to (a) every query that has never had a driver row
     in any round — the six rows-only sketch/scale queries plus this
-    round's three new oracle-backed queries — then (b) every oracle-backed
-    query whose only driver row is round 1 (oldest evidence, and the
+    round's five new oracle-backed queries — then (b) the oracle-backed
+    queries whose only driver row is round 1 (oldest evidence, and the
     corpus was regenerated since), then (c) re-checks of queries whose
     implementation changed this round (multi-batch streaming replay,
     merge dedupe, fixture pruning) plus the 5-table flagship.  The union
@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": M.binary_meta,
         "binary_file_meta": M.binary_file_meta,
         "image_decode": M.image_decode,
+        "audio_decode": M.audio_decode,
+        "stream_session_custom": SJ.custom_session_query,
         # ---- positions 51+: past the driver window (see docstring) ----
         # oracle-backed additions & round-1-verified variants (all under
         # the local full-registry gate)
@@ -179,9 +181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Positions 1-50 of the registry for ROUND 3 (see queries() docstring):
-# 9 never-driver-checked (6 rows-only + 3 new), 34 oracle-backed queries
-# whose only driver row predates the corpus regeneration (round 1), and
-# 7 re-checks of round-3-changed implementations.
+# 11 never-driver-checked (6 rows-only + 5 new), 32 oracle-backed queries
+# whose only driver row predates the corpus regeneration (round 1;
+# scan_project and distinct_dedup stay on r1 evidence — their trivial
+# shapes are re-exercised by every other scan/agg query), and 7 re-checks
+# of round-3-changed implementations.
 _DRIVER_WINDOW = [
     # (a) never driver-checked — rows-only sketch/scale queries get their
     # first (weaker, rows-only) driver row...
@@ -193,6 +197,8 @@ _DRIVER_WINDOW = [
     "embedding_kmeans",
     # ...and this round's new oracle-backed queries their first hash row
     "image_decode",
+    "audio_decode",
+    "stream_session_custom",
     "embedding_lsh_ann_multi",
     "skew_join_events",
     # (b) oracle-backed, round-1-green only — re-validated against the
@@ -219,9 +225,7 @@ _DRIVER_WINDOW = [
     "lang_id",
     "udtf_chunk_documents",
     "doc_fingerprint",
-    "scan_project",
     "word_count",
-    "distinct_dedup",
     "cube_revenue",
     "unpivot_lineitem",
     "json_extract_events",
@@ -536,6 +540,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sssp_fixpoint": G.SSSP_ORACLE_SQL,
         "connected_components": G.CONNECTED_COMPONENTS_ORACLE_SQL,
+        # the custom applyInPandasWithState sessionizer must reproduce the
+        # built-in session_window's exact session set — two independent
+        # implementations, one external answer (same SQL as
+        # stream_session_window)
+        "stream_session_custom": """
+            WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts
+                       FROM events),
+            m AS (SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 10 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
         # the star-contraction implementation must reproduce the identical
         # component map (its equality to label propagation is the claim)
         "connected_components_star": G.CONNECTED_COMPONENTS_ORACLE_SQL,
@@ -682,6 +708,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + doc_id % 24 AS INT) AS width,
                    CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
                    CAST(doc_id % 256 AS INT) AS mean_level
+            FROM documents WHERE doc_id < 48
+        """,
+        # real WAV decode: RIFF/fmt/data parse + PCM frames; fixture
+        # square waves derive from doc_id arithmetic (multimodal._wav_props)
+        "audio_decode": """
+            SELECT doc_id AS asset_id,
+                   CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+                   CAST(256 + (doc_id % 512) AS INT) AS n_samples,
+                   CAST((doc_id % 100) * 100 AS INT) AS mean_abs
             FROM documents WHERE doc_id < 48
         """,
         # files on disk are the UTF-8 text of docs with doc_id < 64

@@ -347,6 +347,96 @@ def image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_features(assets)
 
 
+_WAV_ASSETS = 48
+
+
+def _wav_props(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic (sample_rate, n_samples, amplitude) per asset —
+    doc_id arithmetic a SQL oracle re-derives.  Samples alternate
+    ±amplitude (a square wave), so mean |sample| equals the amplitude
+    exactly in integer arithmetic."""
+    return 8000 + (doc_id % 8) * 1000, 256 + (doc_id % 512), (doc_id % 100) * 100
+
+
+def _wav_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize deterministic REAL WAV files (RIFF/fmt/data chunks,
+    16-bit PCM square waves) for doc_id < ``_WAV_ASSETS`` — same
+    idempotence + stale-prune discipline as the PNG fixture."""
+    import hashlib
+
+    from ..functions.wav import wav_encode
+
+    tag = hashlib.md5(f"wav|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"wav_{tag}",
+    )
+    doc_ids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WAV_ASSETS)
+        .select("doc_id")
+        .collect()
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    expected = {f"asset_{d:05d}.wav" for d in doc_ids}
+    for name in os.listdir(out_dir):
+        if name.endswith(".wav") and name not in expected:
+            os.remove(os.path.join(out_dir, name))
+    for doc_id in doc_ids:
+        rate, n, amp = _wav_props(doc_id)
+        samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+        payload = wav_encode(rate, samples)
+        path = os.path.join(out_dir, f"asset_{doc_id:05d}.wav")
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                if fh.read() == payload:
+                    continue
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    return out_dir
+
+
+def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: REAL audio decode end-to-end — on-disk WAV files
+    through the ``binaryFile`` source, RIFF chunk walk + PCM frame parse
+    in Arrow batches, emitting per-asset sample rate, sample count, and
+    mean |amplitude|.  Oracle-checkable because the fixture square waves
+    derive from doc_id arithmetic (``_wav_props``).  Same closure
+    discipline as ``decode_png_features``: the codec travels by value, so
+    bare executors decode with stdlib only."""
+    from pyspark import cloudpickle
+
+    from ..functions import wav as _wav_module
+
+    cloudpickle.register_pickle_by_value(_wav_module)
+    wav_decode = _wav_module.wav_decode
+
+    fixture = _wav_fixture_dir(spark, sf_dir)
+    files = read_binary_dir(spark, fixture, glob="*.wav")
+    assets = files.select(
+        F.regexp_extract(F.col("path"), r"asset_(\d+)\.wav$", 1)
+        .cast("bigint")
+        .alias("asset_id"),
+        "content",
+    )
+    out_schema = "asset_id bigint, sample_rate int, n_samples int, mean_abs int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                rate, _, samples = wav_decode(bytes(blob))
+                mean_abs = sum(abs(s) for s in samples) // len(samples)
+                rows.append((asset_id, rate, len(samples), mean_abs))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "sample_rate", "n_samples", "mean_abs"]
+            )
+
+    return assets.mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     frame_len: int = 64,

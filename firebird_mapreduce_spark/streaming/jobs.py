@@ -226,6 +226,105 @@ def user_running_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def custom_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """Session windows implemented as a CUSTOM stateful operator
+    (``applyInPandasWithState``) instead of the built-in
+    ``session_window`` — the strongest form of the reference's
+    user-defined ``reduce`` re-expressed as managed streaming state: the
+    per-user GroupState carries the OPEN session (start, last event, n)
+    across micro-batches, closes it when a later event arrives beyond the
+    gap, and re-emits the still-open session's latest extent each batch.
+
+    Emission contract (what makes this externally checkable): every
+    closed session is emitted once, final; the open session is emitted
+    every batch it grows.  Under event-time-ordered replay a session's
+    START never changes once created, so (user_id, session_start) is a
+    stable key and the LAST emission per key (max end/count) is the final
+    session set — reduced in ``custom_session_query`` and compared
+    hash-exact against the SAME DuckDB oracle as the built-in
+    ``session_window_stream``: two independent implementations, one
+    external answer.
+
+    Scale: state is one tiny tuple per active user (bounded by user
+    cardinality, not event volume); each batch shuffles only its touched
+    users — identical profile to the built-in operator's state store.
+    """
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint"
+    )
+    state_schema = "start_us long, last_us long, n long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        ts_us: list[int] = []
+        for pdf in batches:
+            # event-time micros; arrival order within a batch is arbitrary
+            ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+        ts_us.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last < gap_us:
+                last, n = t, n + 1
+            else:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        rows = closed + ([(start, last, n)] if n else [])
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "session_start": [_pd.Timestamp(s * 1000) for s, _, _ in rows],
+                "session_end": [
+                    _pd.Timestamp(e * 1000 + gap_us * 1000) for _, e, _ in rows
+                ],
+                "n_events": [c for _, _, c in rows],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def custom_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the custom-state sessionizer replayed over 4
+    micro-batches, reduced to final sessions (last emission per stable
+    (user_id, session_start) key — see ``custom_session_stream``) and
+    hash-compared against the same relational oracle as the built-in
+    session window.  A state reset at any batch boundary, a mis-merged
+    boundary session, or a gap-comparison off-by-one all produce a
+    different session set and fail the hash."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    result = run_stream_to_memory(
+        custom_session_stream(stream_events_multibatch(spark, sf_dir)),
+        f"q_stream_custom_sessions_{_REPLAY_COUNTER}",
+        output_mode="update",
+    )
+    return result.groupBy("user_id", "session_start").agg(
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     subset: list[str] | None = None,

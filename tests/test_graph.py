@@ -49,11 +49,17 @@ def dijkstra(edges: list[tuple[int, int, float]], source: int) -> dict[int, floa
 
 
 @pytest.mark.parametrize("source", [0, 2, 7])
-def test_sssp_small_graph(spark, source):
+@pytest.mark.parametrize("merge", ["full_outer", "delta"])
+def test_sssp_small_graph(spark, source, merge):
+    """Both state-merge strategies must reach the identical Dijkstra
+    fixpoint (the adaptive default picks between them by graph size)."""
     edges = undirected(
         spark.createDataFrame(SMALL_GRAPH_EDGES, "src INT, dst INT, weight DOUBLE")
     )
-    result = {r["node"]: r["dist"] for r in sssp(spark, edges, source).collect()}
+    result = {
+        r["node"]: r["dist"]
+        for r in sssp(spark, edges, source, state_merge=merge).collect()
+    }
     assert result == dijkstra(SMALL_GRAPH_EDGES, source)
 
 

@@ -221,6 +221,42 @@ def test_png_codec_matches_pillow_when_available():
     assert img.tobytes() == rgb
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """The pure WAV codec must round-trip PCM-16 exactly and tolerate
+    extra RIFF chunks between fmt and data (real-world files carry LIST/
+    fact chunks); corrupt container raises."""
+    import struct
+
+    from firebird_mapreduce_spark.functions.wav import wav_decode, wav_encode
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    blob = wav_encode(22050, samples)
+    assert wav_decode(blob) == (22050, 1, samples)
+    # splice a LIST chunk before data: chunk walk must skip it
+    fmt_end = blob.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = blob[:fmt_end] + extra + blob[fmt_end:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert wav_decode(spliced) == (22050, 1, samples)
+    with pytest.raises(ValueError):
+        wav_decode(b"nonsense bytes here")
+
+
+def test_audio_decode_real_wav_pipeline(spark):
+    """End-to-end REAL audio decode: binaryFile scan over on-disk WAV
+    fixtures → RIFF/PCM parse in Arrow batches → per-asset rate/count/
+    amplitude equal to the doc_id arithmetic that generated the waves."""
+    out = {r["asset_id"]: r for r in M.audio_decode(spark, SF_SMOKE).collect()}
+    assert set(out) == set(range(48))
+    for doc_id, row in out.items():
+        rate, n, amp = M._wav_props(doc_id)
+        assert (row["sample_rate"], row["n_samples"], row["mean_abs"]) == (
+            rate,
+            n,
+            amp,
+        )
+
+
 def test_image_decode_real_png_pipeline(spark):
     """End-to-end REAL decode: binaryFile scan over on-disk PNG fixtures →
     Arrow-batched decode → per-asset dims/level equal to the doc_id

@@ -159,6 +159,27 @@ def test_stateful_running_counts_carry_state_across_batches(spark):
     assert _rows(final, "user_id", "total") == _rows(batch, "user_id", "total")
 
 
+def test_custom_sessionizer_matches_builtin(spark):
+    """Differential test of two INDEPENDENT session implementations: the
+    applyInPandasWithState sessionizer (explicit open-session GroupState
+    carried across 4 micro-batches) must produce the exact session set of
+    the built-in session_window operator.  Any cross-batch state bug —
+    reset, failed merge at a batch boundary, gap off-by-one — diverges
+    the two."""
+    from firebird_mapreduce_spark.streaming.jobs import custom_session_query
+
+    custom = custom_session_query(spark, SF_SMOKE)
+    builtin = run_stream_to_memory(
+        session_window_stream(
+            stream_events_multibatch(spark, SF_SMOKE), gap="10 minutes"
+        ),
+        "t_cs_builtin",
+    )
+    cols = ("user_id", "session_start", "session_end", "n_events")
+    assert _rows(custom, *cols) == _rows(builtin, *cols)
+    assert custom.count() > 100  # non-vacuous
+
+
 # ---------------------------------------------------------------------------
 # Crafted-input watermark semantics
 # ---------------------------------------------------------------------------
