@@ -61,6 +61,10 @@ HEADLINE = [
     "embedding_neardup_topk",
     "inverted_index",
     "pack_training_chunks",
+    "embedding_lsh_ann_multi",
+    "skew_join_events",
+    "image_decode",
+    "audio_decode",
     # SSSP at the reference's published syn.graph scale (18,263 nodes /
     # 23,797 edges): measures iterative throughput over ~40-70 relaxation
     # rounds instead of scheduler overhead on the 25-node oracle graph

@@ -180,6 +180,77 @@ def test_custom_sessionizer_matches_builtin(spark):
     assert custom.count() > 100  # non-vacuous
 
 
+def test_event_time_timeout_finalizes_state(spark, tmp_path):
+    """The remaining stateful-API surface: ``GroupStateTimeout.
+    EventTimeTimeout``.  A group whose state sets a timeout timestamp
+    must get a final ``state.hasTimedOut`` invocation once the watermark
+    passes it — here the operator emits a 'closed' row with the buffered
+    count and clears state.  User 1 is touched in batch 1 only; batch 2's
+    advancer pushes the watermark past user 1's timeout, so batch 3
+    (spacer — timeouts fire a batch after the watermark reports, same lag
+    as the late filter) delivers the timed-out callback.  The 'closed'
+    emission carrying the batch-1 count proves both the timeout firing
+    AND that the state it finalized had survived across batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _write_event_files(
+        tmp_path,
+        [
+            [
+                (1, "2024-03-01 10:00:00", 1, "click"),
+                (2, "2024-03-01 10:01:00", 1, "click"),
+            ],
+            [(3, "2024-03-01 15:00:00", 2, "click")],  # wm advancer
+            [(4, "2024-03-01 15:30:00", 3, "click")],  # spacer: timeout fires
+        ],
+    )
+    out_schema = "user_id bigint, status string, n bigint"
+    state_schema = "n long"
+
+    def update(key, batches, state: GroupState):
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "status": ["closed"], "n": [n]}
+            )
+            return
+        n = state.get[0] if state.exists else 0
+        last_ms = 0
+        for pdf in batches:
+            n += len(pdf)
+            last_ms = max(last_ms, max(int(t.value // 1_000_000) for t in pdf["ts"]))
+        state.update((n,))
+        # finalize once no event arrives for 2 hours of EVENT time: user
+        # 1's timeout lands at 12:01, crossed when the 15:00 advancer
+        # moves the watermark; users 2/3's timeouts are never reached
+        # before the replay ends, so they stay open
+        state.setTimeoutTimestamp(last_ms + 2 * 3600 * 1000)
+        yield _pd.DataFrame({"user_id": [key[0]], "status": ["open"], "n": [n]})
+
+    stream = (
+        _stream_crafted(spark, d)
+        .withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    result = run_stream_to_memory(stream, "t_ett", output_mode="update")
+    rows = {(r["user_id"], r["status"]): r["n"] for r in result.collect()}
+    assert rows.get((1, "open")) == 2  # batch-1 state built
+    assert rows.get((1, "closed")) == 2  # timed out later WITH the carried count
+    assert (2, "open") in rows and (3, "open") in rows
+    # users whose timeout the watermark never crossed must NOT close
+    assert (2, "closed") not in rows and (3, "closed") not in rows
+
+
 # ---------------------------------------------------------------------------
 # Crafted-input watermark semantics
 # ---------------------------------------------------------------------------
