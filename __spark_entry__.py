@@ -692,8 +692,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
         """,
-        # single availableNow micro-batch => the emitted update per user is
-        # the final state: equal to the batch per-user count
+        # 4-batch replay: the MAX update per user (reduced in the query)
+        # is the final carried GroupState — equal to the batch count
         "stream_running_count": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS total_events
             FROM events GROUP BY user_id
@@ -832,8 +832,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
         """,
-        # one availableNow micro-batch => watermarks never drop a row, so
-        # the streamed interval join equals the batch interval join
+        # 4-batch event-time-ordered replay: no row arrives behind the
+        # watermark and state evicts only after its match horizon passes,
+        # so the streamed interval join equals the batch interval join
         "stream_stream_join": """
             SELECT p.event_id AS purchase_id, c.event_id AS click_id
             FROM (SELECT event_id, user_id,
