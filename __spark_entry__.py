@@ -187,12 +187,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # shapes are re-exercised by every other scan/agg query), and 7 re-checks
 # of round-3-changed implementations.
 _DRIVER_WINDOW = [
-    # (a) never driver-checked — rows-only sketch/scale queries get their
-    # first (weaker, rows-only) driver row...
+    # (a) never hash-checked — rows-only sketch/scale queries get their
+    # first (weaker, rows-only) driver row, and dedup_simhash64 +
+    # lang_id_chargram (both upgraded rows-only → oracle-backed this
+    # round) their first hash rows...
     "sssp_syn18k",
     "pagerank_nations",
     "approx_percentile_stats",
     "dedup_simhash64",
+    "lang_id_chargram",
     "image_features",
     "embedding_kmeans",
     # ...and this round's new oracle-backed queries their first hash row
@@ -226,7 +229,6 @@ _DRIVER_WINDOW = [
     "udtf_chunk_documents",
     "doc_fingerprint",
     "word_count",
-    "cube_revenue",
     "unpivot_lineitem",
     "json_extract_events",
     "ntile_ranks",
@@ -246,6 +248,38 @@ _DRIVER_WINDOW = [
     "binary_file_meta",
     "tpch_revenue_by_nation",
 ]
+
+
+# Char-trigram language-ID oracle, generated from the SAME profile table
+# the pandas classifier scores with (operators.text._PROFILES) so the two
+# can never drift.  Occurrence counting via replace-shrinkage
+# ((len - len(remove-all)) / 3) equals pandas' leftmost-non-overlapping
+# str.count for literal patterns; the tie-break CASE mirrors the
+# strictly-greater update order en → fr → de with 'und' when all zero.
+def _lang_id_chargram_sql() -> str:
+    from firebird_mapreduce_spark.operators.text import _PROFILES
+
+    def score(grams: tuple[str, ...]) -> str:
+        return " + ".join(
+            f"(length(t) - length(replace(t, '{g}', ''))) // 3" for g in grams
+        )
+
+    en, fr, de = (score(_PROFILES[lang]) for lang in ("en", "fr", "de"))
+    return f"""
+        WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t
+                   FROM documents),
+        s AS (SELECT doc_id, {en} AS en, {fr} AS fr, {de} AS de FROM p)
+        SELECT doc_id,
+               CASE WHEN de > en AND de > fr AND de > 0 THEN 'de'
+                    WHEN fr > en AND fr > 0 THEN 'fr'
+                    WHEN en > 0 THEN 'en'
+                    ELSE 'und' END AS lang_pred,
+               CAST(CASE WHEN de > en AND de > fr AND de > 0 THEN de
+                         WHEN fr > en AND fr > 0 THEN fr
+                         WHEN en > 0 THEN en
+                         ELSE 0 END AS DOUBLE) AS score
+        FROM s
+    """
 
 
 # MinHash-LSH signature/banding CTE chain, shared verbatim by the
@@ -281,8 +315,10 @@ def oracle_sql() -> dict[str, str]:
 
     Intentionally absent (rows-only checks): ``approx_distinct_users`` and
     ``approx_percentile_stats`` (sketch values are engine-specific),
-    ``lang_id_chargram`` / ``dedup_simhash64`` / ``image_features``
-    (Arrow-batched Python signatures not expressible in SQL).
+    ``image_features`` (deliberately-stubbed decoder).
+    ``dedup_simhash64`` and ``lang_id_chargram`` were upgraded to
+    oracle-backed in round 3 — md5 bit votes and replace-shrinkage
+    trigram counts ARE SQL-expressible.
     """
     return {
         "scan_project": "SELECT r_regionkey, r_name FROM region",
@@ -803,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
                        AS quality_score
             FROM c
         """,
+        "lang_id_chargram": _lang_id_chargram_sql(),
         "lang_id": """
             SELECT doc_id,
                    CASE WHEN contains(p, ' the ') OR contains(p, ' and ') THEN 'en'
@@ -922,6 +959,25 @@ def oracle_sql() -> dict[str, str]:
                    least(docs.doc_id, coalesce(min(w.dst), docs.doc_id)) AS cluster_id
             FROM docs LEFT JOIN walk w ON w.src = docs.doc_id
             GROUP BY docs.doc_id
+        """,
+        # production-width 64-bit simhash recomputed bit-for-bit in SQL:
+        # hex nibble i//4 of md5(token), bit (3 - i%4) within it, MSB
+        # first — exactly numpy's unpackbits order on the first 8 digest
+        # bytes; bit 0 is masked off (signed-BIGINT guard), so the sum
+        # runs i = 1..63 with weight 2^(63-i)
+        "dedup_simhash64": """
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(1, 64), i ->
+                       CASE WHEN list_sum(list_transform(tk, tok ->
+                                CASE WHEN (CAST(('0x' || substr(md5(tok),
+                                                CAST(i // 4 AS INT) + 1, 1))
+                                           AS INT)
+                                           >> CAST(3 - i % 4 AS INT)) & 1 = 1
+                                THEN 1 ELSE -1 END)) > 0
+                       THEN CAST(power(2, 63 - i) AS BIGINT) ELSE 0 END))
+                       AS BIGINT) AS simhash64
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents)
         """,
         # the oracle states the CLEAN semantics (every pair within hamming
         # 3, no blocking restriction): the Spark side's multi-band

@@ -353,9 +353,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash64_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash via ``mapInPandas``: token-hash sign votes per bit,
     vectorized with numpy over Arrow batches.  This is the width you would
-    run at 100 TB (16 bits saturate: random docs collide); checked
-    rows-only by the driver since Python's hash loop is not
-    SQL-expressible."""
+    run at 100 TB (16 bits saturate: random docs collide).
+
+    The signature IS externally checkable (upgraded from rows-only in
+    round 3): every ingredient — single-space tokenization (the engine's
+    standard ``split(lower(text), ' ')``, NOT Python's any-whitespace
+    ``.split()``), md5's first 8 bytes unpacked MSB-first, ±1 votes, and
+    the bit-0 mask into signed BIGINT — is reproducible in SQL, so the
+    DuckDB oracle recomputes the exact 63-bit value per document."""
     import hashlib
 
     import numpy as np
@@ -367,7 +372,7 @@ def simhash64_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
             out = np.zeros(len(pdf), dtype=np.int64)
             for row_idx, text in enumerate(pdf[text_col].astype(str)):
                 votes = np.zeros(64, dtype=np.int64)
-                for tok in text.lower().split():
+                for tok in text.lower().split(" "):
                     digest = hashlib.md5(tok.encode()).digest()[:8]
                     bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
                     votes += np.where(bits == 1, 1, -1)
@@ -380,7 +385,7 @@ def simhash64_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing wrapper (rows-only check) for the 64-bit signatures."""
+    """Driver-facing wrapper (oracle-backed) for the 64-bit signatures."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash64_pandas(docs)
 

@@ -96,7 +96,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     function-word presence.  The synthetic corpus is English-ish regardless
     of its ``lang`` label, so the interesting output is the deterministic
     prediction, not label recovery.  The real-world-grade char-n-gram
-    classifier is ``lang_id_chargram_pandas`` below (rows-only check)."""
+    classifier is ``lang_id_chargram_pandas`` below (oracle-backed)."""
     docs = load_table(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     pred = (
@@ -144,9 +144,12 @@ def lang_id_chargram_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Char-trigram profile scoring via ``mapInPandas`` (Arrow batches;
     vectorized pandas ``str.count`` — never row-at-a-time Python).
 
-    Demonstrates the sanctioned UDF tier for logic beyond SQL expressions;
-    checked rows-only by the driver since the scoring loop is not
-    SQL-expressible.
+    Demonstrates the sanctioned UDF tier — and is still externally
+    checkable (upgraded from rows-only in round 3): leftmost
+    non-overlapping literal counts equal replace-shrinkage counting in
+    SQL, so the DuckDB oracle regenerates the scores from the same
+    ``_PROFILES`` table and mirrors the strictly-greater en→fr→de
+    tie-break.
     """
     out_schema = "doc_id bigint, lang_pred string, score double"
 

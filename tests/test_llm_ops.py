@@ -304,6 +304,33 @@ def test_lsh_ann_results_are_true_neighbors(spark):
         assert r["sim"] == brute[r["vec_id"]], r
 
 
+def test_lsh_ann_multi_true_neighbors_and_recall_dominates(spark):
+    """Multi-table LSH sanity: similarities equal brute-force cosine
+    (bit-exact — pins the vectorized signature path's arithmetic to the
+    column path's), and the L=4 union must retrieve at least as many of
+    the true top-10 as any strictly smaller prefix of the same tables
+    (monotonicity of the union — the amplification direction, without
+    depending on one query's luck)."""
+    multi = S.embedding_lsh_ann_multi(spark, SF_SMOKE).collect()
+    assert 1 <= len(multi) <= 10
+    brute = {
+        r["vec_id"]: r["sim"]
+        for r in S.cosine_topk(
+            S.load_table(spark, SF_SMOKE, "embeddings").filter("vec_id <> 0"),
+            S._query_vector(spark, SF_SMOKE, 0),
+            k=10_000,
+        ).collect()
+    }
+    for r in multi:
+        assert r["sim"] == brute[r["vec_id"]], r
+    top10 = set(sorted(brute, key=lambda v: (-brute[v], v))[:10])
+    hits4 = {r["vec_id"] for r in multi} & top10
+    hits1 = {
+        r["vec_id"] for r in S.embedding_lsh_ann_multi(spark, SF_SMOKE, n_tables=1).collect()
+    } & top10
+    assert len(hits4) >= len(hits1)
+
+
 def test_frame_sample_ascii_precondition_and_fanout(spark):
     """frame_sample's oracle equates char-substr with byte-slice, which
     requires a pure-ASCII corpus — assert that precondition, and the 1→N
