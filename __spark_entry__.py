@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": R.window_rank,
         "window_lag_lead": R.window_lag_lead,
         "tumbling_window_count": R.tumbling_window_count,
+        "sliding_window_count": R.sliding_window_count,
         # composite flagship (TPC-H Q5 shape: 5-table join + decimal agg)
         "tpch_revenue_by_nation": R.tpch_revenue_by_nation,
         # joins
@@ -214,7 +215,10 @@ _DRIVER_WINDOW = [
     "string_agg_nations",
     "argmax_order_per_cust",
     "window_lag_lead",
-    "tumbling_window_count",
+    # sliding_window_count is new this round (takes tumbling's slot —
+    # tumbling's exact oracle shape is re-checked in this same window via
+    # stream_tumbling_window, which shares its SQL)
+    "sliding_window_count",
     "left_outer_join",
     "full_outer_join",
     "broadcast_join",
@@ -537,6 +541,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1
+        """,
+        # epoch-aligned hopping windows: every event belongs to exactly 4
+        # (1h window, 15m slide); start_k = floor15(ts) - k*15m for
+        # k = 0..3, in integer epoch-micros (micros-truncated ts matches
+        # the Spark reader's precision)
+        "sliding_window_count": """
+            SELECT make_timestamp(
+                       (epoch_us(date_trunc('microseconds', ts)) // 900000000)
+                       * 900000000 - k * 900000000) AS window_start,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events, LATERAL (SELECT unnest(range(0, 4)) AS k)
+            GROUP BY 1
         """,
         "timeseries_gapfill": """
             WITH hourly AS (

@@ -518,6 +518,26 @@ def tumbling_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour windows every 15 minutes, so each
+    event lands in exactly 4 overlapping windows — the window family
+    tumbling can't express (trend smoothing, rate-over-trailing-hour
+    refreshed sub-hourly).  Same ``F.window`` runs unchanged under
+    Structured Streaming.
+
+    Spark's slide alignment is epoch-based (window start =
+    ``floor(ts/slide)·slide − k·slide``), which the oracle reproduces
+    with integer epoch-microsecond arithmetic; the 4× row fan-out happens
+    inside the generated window expression before the partial aggregate,
+    so the shuffle still carries only (window, partial-count) pairs."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: hypertable-style continuous rollup with gap filling
     and LOCF — hourly per-type counts over the FULL [min, max] hour span,

@@ -230,7 +230,9 @@ def custom_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame
     """Session windows implemented as a CUSTOM stateful operator
     (``applyInPandasWithState``) instead of the built-in
     ``session_window`` — the strongest form of the reference's
-    user-defined ``reduce`` re-expressed as managed streaming state: the
+    user-defined ``reduce`` (``/root/reference/firebird.h:249``; mutable
+    per-key state as in ``shortest_path/main.cpp:54``) re-expressed as
+    managed streaming state: the
     per-user GroupState carries the OPEN session (start, last event, n)
     across micro-batches, closes it when a later event arrives beyond the
     gap, and re-emits the still-open session's latest extent each batch.
