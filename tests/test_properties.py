@@ -298,3 +298,50 @@ def test_oracle_compare_detects_mismatch(spark):
     ):
         with pytest.raises(AssertionError):
             compare(df, bad, "meta_bad")
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib codec round-trips (no Spark): the multimodal decode path's
+# foundations under adversarial random inputs.
+# ---------------------------------------------------------------------------
+
+CODEC_SETTINGS = settings(max_examples=30, deadline=None)
+
+
+@CODEC_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    mode=st.sampled_from(["none", "mixed"]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, mode, data):
+    """encode→decode must be the identity for every dimension and filter
+    mode — 'mixed' cycles all five scanline filters, so Sub/Up/Average/
+    Paeth unfiltering is exercised on arbitrary pixel data, including the
+    1-pixel-wide column where every 'left' reference is the zero byte."""
+    from firebird_mapreduce_spark.functions.png import png_decode, png_encode
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert png_decode(png_encode(w, h, rgb, filter_mode=mode)) == (w, h, rgb)
+
+
+@CODEC_SETTINGS
+@given(
+    rate=st.integers(min_value=1, max_value=192_000),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+)
+def test_wav_roundtrip_property(rate, samples):
+    """encode→decode identity across the full PCM-16 value range,
+    including odd sample counts (RIFF word-alignment padding)."""
+    from firebird_mapreduce_spark.functions.wav import wav_decode, wav_encode
+
+    assert wav_decode(wav_encode(rate, samples)) == (rate, 1, samples)
