@@ -357,8 +357,25 @@ def _srp_weights_table(table_idx: int) -> list[list[float]]:
     ]
 
 
+def _probe_signatures(qsig: int, radius: int) -> list[int]:
+    """The query signature plus all signatures within hamming distance
+    ``radius`` — multi-probe LSH's probe set (8 extra probes at radius 1,
+    +28 at radius 2 for 8-bit signatures)."""
+    probes = [qsig]
+    for i in range(N_PLANES):
+        probes.append(qsig ^ (1 << i))
+    if radius >= 2:
+        for i in range(N_PLANES):
+            for j in range(i + 1, N_PLANES):
+                probes.append(qsig ^ (1 << i) ^ (1 << j))
+    return probes
+
+
 def embedding_lsh_ann_multi(
-    spark: SparkSession, sf_dir: str, n_tables: int = N_TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = N_TABLES,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """L-independent-tables SRP LSH — the standard recall amplifier the
     single-table docstring above names: if one table retrieves a true
@@ -381,9 +398,14 @@ def embedding_lsh_ann_multi(
     the sign test.  Still no shuffle and no training step — LSH's scale
     advantage over IVF.  The query's L signatures + hamming-1 probes are
     derived on the driver, and the candidate filter is an OR of
-    per-table ``isin`` membership on the signature columns.  At 100 TB
-    each table's signature is a partition column written once at ingest
-    and the probe touches L·9/256 of the data; candidates are deduped
+    per-table ``isin`` membership on the signature columns.
+    ``probe_radius`` trades scan for recall without more tables
+    (radius 2 adds the 28 hamming-2 probes per table: measured at
+    sf0.01, L=4/r=2 reaches recall 0.79 vs 0.34 at r=1 for 3.2× the
+    candidates, and L=8/r=2 hits 0.94 — full L×radius surface in
+    SCALE.md).  At 100 TB each table's signature is a
+    partition column written once at ingest and a radius-r probe
+    touches L·Σ C(8,k≤r)/256 of the data; candidates are deduped
     BEFORE the exact-cosine rerank so a vector found by several tables
     is scored once."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -443,7 +465,7 @@ def embedding_lsh_ann_multi(
                 proj += float(x) * w
             if _py_round6(proj) > 0:
                 qsig |= 1 << p
-        probe_sets.append([qsig] + [qsig ^ (1 << i) for i in range(N_PLANES)])
+        probe_sets.append(_probe_signatures(qsig, probe_radius))
     cand = None
     for t in range(n_tables):
         clause = F.col(f"sig_{t}").isin(probe_sets[t])

@@ -329,6 +329,15 @@ def test_lsh_ann_multi_true_neighbors_and_recall_dominates(spark):
         r["vec_id"] for r in S.embedding_lsh_ann_multi(spark, SF_SMOKE, n_tables=1).collect()
     } & top10
     assert len(hits4) >= len(hits1)
+    # radius-2 probes are a strict superset of radius-1 probes, so the
+    # returned top-10 must dominate rank-by-rank
+    r1 = [r["sim"] for r in S.embedding_lsh_ann_multi(spark, SF_SMOKE).collect()]
+    r2 = [
+        r["sim"]
+        for r in S.embedding_lsh_ann_multi(spark, SF_SMOKE, probe_radius=2).collect()
+    ]
+    for i, s1 in enumerate(r1):
+        assert i < len(r2) and r2[i] >= s1, (i, s1, r2)
 
 
 def test_frame_sample_ascii_precondition_and_fanout(spark):

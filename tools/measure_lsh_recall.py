@@ -9,6 +9,7 @@ so the sweep runs in seconds; the Spark/DuckDB parity of the same
 signatures is separately pinned by the oracle-backed queries.
 
 Usage: python tools/measure_lsh_recall.py [sf_dir] [n_queries]
+Sweeps probe radius 1 and 2 at each L.
 """
 
 from __future__ import annotations
@@ -64,25 +65,32 @@ def main() -> int:
     sigs = np.stack(
         [signatures(emb, planes(t)) for t in range(max_l)]
     )  # [L, n]
-    flips = np.array([0] + [1 << i for i in range(N_PLANES)])
+    flips_r1 = [0] + [1 << i for i in range(N_PLANES)]
+    flips_r2 = flips_r1 + [
+        (1 << i) | (1 << j)
+        for i in range(N_PLANES)
+        for j in range(i + 1, N_PLANES)
+    ]
 
-    print(f"# sf_dir={sf_dir} n={n} queries={n_queries} radius-1 multiprobe")
-    print("L  recall@10  mean_candidates  frac_scanned")
+    print(f"# sf_dir={sf_dir} n={n} queries={n_queries}")
+    print("L  radius  recall@10  mean_candidates  frac_scanned")
     for L in (1, 2, 4, 8):
-        recalls, cand_counts = [], []
-        for q in range(min(n_queries, n)):
-            cand = np.zeros(n, dtype=bool)
-            for t in range(L):
-                probe_sigs = sigs[t, q] ^ flips
-                cand |= np.isin(sigs[t], probe_sigs)
-            cand[q] = False
-            cand_counts.append(int(cand.sum()))
-            hit = np.isin(true_topk[q], np.flatnonzero(cand)).sum()
-            recalls.append(hit / TOP_K)
-        print(
-            f"{L}  {np.mean(recalls):.3f}      {np.mean(cand_counts):9.1f}"
-            f"       {np.mean(cand_counts) / n:.3f}"
-        )
+        for radius, flips in ((1, np.array(flips_r1)), (2, np.array(flips_r2))):
+            recalls, cand_counts = [], []
+            for q in range(min(n_queries, n)):
+                cand = np.zeros(n, dtype=bool)
+                for t in range(L):
+                    probe_sigs = sigs[t, q] ^ flips
+                    cand |= np.isin(sigs[t], probe_sigs)
+                cand[q] = False
+                cand_counts.append(int(cand.sum()))
+                hit = np.isin(true_topk[q], np.flatnonzero(cand)).sum()
+                recalls.append(hit / TOP_K)
+            print(
+                f"{L}  {radius}       {np.mean(recalls):.3f}"
+                f"      {np.mean(cand_counts):9.1f}"
+                f"       {np.mean(cand_counts) / n:.3f}"
+            )
     return 0
 
 
