@@ -110,13 +110,24 @@ def png_decode(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     idat = bytearray()
     while pos < len(data):
+        # bounds-check the declared chunk length against the remaining
+        # buffer BEFORE slicing, so truncated/oversized inputs raise the
+        # documented ValueError, never struct.error/IndexError
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG: incomplete chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            raise ValueError(
+                f"truncated PNG: chunk length {length} exceeds remaining data"
+            )
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
+            if len(payload) != 13:
+                raise ValueError(f"bad IHDR payload length {len(payload)}")
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )

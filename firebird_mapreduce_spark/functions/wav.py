@@ -39,8 +39,16 @@ def wav_decode(data: bytes) -> tuple[int, int, list[int]]:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        # bounds-check the declared length so truncated/oversized chunk
+        # fields raise the documented ValueError, never struct.error
+        if pos + 8 + length > len(data):
+            raise ValueError(
+                f"truncated WAV: chunk length {length} exceeds remaining data"
+            )
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError(f"bad fmt chunk length {len(payload)}")
             fmt_code, n_channels, sample_rate, _, _, bits = struct.unpack(
                 "<HHIIHH", payload[:16]
             )

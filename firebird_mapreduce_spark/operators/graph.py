@@ -101,6 +101,10 @@ def sssp(
         F.col("dst").cast("long"),
         F.col("weight").cast("double"),
     )
+    if state_merge not in ("auto", "full_outer", "delta"):
+        raise ValueError(
+            f"state_merge must be 'auto', 'full_outer' or 'delta', got {state_merge!r}"
+        )
     if state_merge == "auto":
         state_merge = (
             "delta"

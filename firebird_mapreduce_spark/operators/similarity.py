@@ -359,11 +359,15 @@ def _srp_weights_table(table_idx: int) -> list[list[float]]:
 
 def _probe_signatures(qsig: int, radius: int) -> list[int]:
     """The query signature plus all signatures within hamming distance
-    ``radius`` — multi-probe LSH's probe set (8 extra probes at radius 1,
-    +28 at radius 2 for 8-bit signatures)."""
+    ``radius`` — multi-probe LSH's probe set (exact bucket only at
+    radius 0, +8 probes at radius 1, +28 more at radius 2 for 8-bit
+    signatures)."""
+    if radius not in (0, 1, 2):
+        raise ValueError(f"probe_radius must be 0, 1 or 2, got {radius!r}")
     probes = [qsig]
-    for i in range(N_PLANES):
-        probes.append(qsig ^ (1 << i))
+    if radius >= 1:
+        for i in range(N_PLANES):
+            probes.append(qsig ^ (1 << i))
     if radius >= 2:
         for i in range(N_PLANES):
             for j in range(i + 1, N_PLANES):
@@ -432,6 +436,10 @@ def embedding_lsh_ann_multi(
             )
 
         for pdf in batches:
+            if not len(pdf):
+                # np.array of zero rows has shape (0,), not (0, N_DIMS) —
+                # skipping the batch yields the same (empty) result
+                continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
             for t, planes in enumerate(weights_by_table):

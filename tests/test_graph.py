@@ -63,6 +63,16 @@ def test_sssp_small_graph(spark, source, merge):
     assert result == dijkstra(SMALL_GRAPH_EDGES, source)
 
 
+def test_sssp_rejects_unknown_state_merge(spark):
+    """A typo'd strategy string must fail fast with ValueError, not
+    silently fall through to one of the branches (ADVICE r3)."""
+    edges = undirected(
+        spark.createDataFrame(SMALL_GRAPH_EDGES, "src INT, dst INT, weight DOUBLE")
+    )
+    with pytest.raises(ValueError, match="state_merge"):
+        sssp(spark, edges, 0, state_merge="ful_outer")
+
+
 def test_sssp_syn_scale_vs_dijkstra(spark):
     """The reference's own end-to-end test at its exact scale: SSSP over a
     syn.graph-shaped 18 K-node graph (the canonical generator in

@@ -204,6 +204,41 @@ def test_png_codec_roundtrip_all_filters():
         png_decode(corrupted)
 
 
+def test_codecs_raise_valueerror_on_truncated_and_oversized_lengths():
+    """Malformed LENGTH fields must surface as the documented ValueError,
+    never struct.error/IndexError: truncated mid-chunk, an oversized
+    declared chunk length, a short IHDR/fmt payload."""
+    import struct
+
+    from firebird_mapreduce_spark.functions.png import png_decode, png_encode
+    from firebird_mapreduce_spark.functions.wav import wav_decode, wav_encode
+
+    blob = png_encode(4, 3, bytes(4 * 3 * 3))
+    with pytest.raises(ValueError):
+        png_decode(blob[: len(blob) - 7])  # truncated inside IEND chunk
+    with pytest.raises(ValueError):
+        png_decode(blob[:10])  # truncated inside a chunk header
+    # declared chunk length far beyond the buffer
+    oversized = blob[:8] + struct.pack(">I", 2**24) + blob[12:]
+    with pytest.raises(ValueError):
+        png_decode(oversized)
+
+    wblob = wav_encode(8000, [1, -2, 3])
+    with pytest.raises(ValueError):
+        wav_decode(wblob[: len(wblob) - 3])  # truncated inside data chunk
+    # oversized fmt length field
+    fmt_pos = wblob.index(b"fmt ")
+    oversized_w = (
+        wblob[: fmt_pos + 4] + struct.pack("<I", 2**24) + wblob[fmt_pos + 8 :]
+    )
+    with pytest.raises(ValueError):
+        wav_decode(oversized_w)
+    # fmt chunk declared shorter than the 16-byte PCM header
+    short_fmt = wblob[: fmt_pos + 4] + struct.pack("<I", 8) + wblob[fmt_pos + 8 :]
+    with pytest.raises(ValueError):
+        wav_decode(short_fmt)
+
+
 def test_png_codec_matches_pillow_when_available():
     """When Pillow is importable the two decoders must agree on the same
     bytes — skipped cleanly in codec-less containers."""
@@ -338,6 +373,24 @@ def test_lsh_ann_multi_true_neighbors_and_recall_dominates(spark):
     ]
     for i, s1 in enumerate(r1):
         assert i < len(r2) and r2[i] >= s1, (i, s1, r2)
+
+
+def test_probe_signatures_radius_semantics():
+    """probe_radius=0 means EXACT-bucket only (1 probe), 1 adds the 8
+    hamming-1 neighbors, 2 the further 28 hamming-2 ones; anything else
+    is rejected — pins the ADVICE fix where radius 0 silently behaved as
+    radius 1."""
+    import pytest as _pytest
+
+    assert S._probe_signatures(0b1010, 0) == [0b1010]
+    r1 = S._probe_signatures(0b1010, 1)
+    assert len(r1) == 1 + 8 and len(set(r1)) == 9
+    r2 = S._probe_signatures(0b1010, 2)
+    assert len(r2) == 1 + 8 + 28 and set(r1) <= set(r2)
+    with _pytest.raises(ValueError):
+        S._probe_signatures(0b1010, 3)
+    with _pytest.raises(ValueError):
+        S._probe_signatures(0b1010, -1)
 
 
 def test_frame_sample_ascii_precondition_and_fanout(spark):
