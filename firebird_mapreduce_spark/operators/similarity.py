@@ -397,9 +397,16 @@ def embedding_lsh_ann_multi(
     BIT-IDENTICAL to the
     single-table column path and the DuckDB oracle: per row the
     projection is the same left-to-right float64 fold (acc + x_j·w_j,
-    replicated as a j-major vectorized loop), rounded with the exact
-    ``F.round`` half-up-on-shortest-repr rule (``_py_round6``) before
-    the sign test.  Still no shuffle and no training step — LSH's scale
+    replicated as a j-major vectorized loop), and the ``F.round``
+    half-up-at-6dp-then-``> 0`` rule reduces to one vectorized
+    ``acc >= 5e-7`` compare, with the shortest-repr Decimal kernel
+    (``_py_round6``'s rule) run ONLY for elements inside the
+    ``|acc − 5e-7| ≤ 1e-12`` tie window — parity proven by an
+    exhaustive ±1000-ulp walk across the threshold plus a hypothesis
+    sweep (test_properties.py), and the two-tier kernel measured 3.2×
+    the per-element-Decimal one at a 200k-row batch
+    (tools/measure_sig_kernel.py --micro; full-corpus signature
+    bit-parity asserted by the same tool before timing).  Still no shuffle and no training step — LSH's scale
     advantage over IVF.  The query's L signatures + hamming-1 probes are
     derived on the driver, and the candidate filter is an OR of
     per-table ``isin`` membership on the signature columns.
@@ -423,7 +430,7 @@ def embedding_lsh_ann_multi(
     def add_sigs(batches):
         # fully self-contained closure (repo may not be on executor
         # sys.path — same discipline as operators.multimodal); the
-        # rounding is _py_round6's exact F.round replica, inlined
+        # rounding is _py_round6's exact F.round replica, two-tiered
         from decimal import ROUND_HALF_UP, Decimal
 
         import numpy as np
@@ -434,6 +441,17 @@ def embedding_lsh_ann_multi(
                 Decimal(repr(float(v))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
                 > 0
             )
+
+        # "round half-up at 6 dp, then test > 0" is the single threshold
+        # acc >= 0.0000005: any float at or above the nearest double to
+        # 5e-7 rounds up to 0.000001, anything below (and every negative)
+        # rounds to <= 0.  The shortest-repr Decimal rule can only
+        # disagree with the float compare for values within one decimal
+        # ulp of the exact tie, so the vectorized compare is the fast
+        # path and the Decimal kernel runs ONLY inside that tie window —
+        # ~0 elements in practice, bit-parity everywhere by deferral.
+        THRESH = 5e-07
+        TIE_EPS = 1e-12
 
         for pdf in batches:
             if not len(pdf):
@@ -451,9 +469,9 @@ def embedding_lsh_ann_multi(
                     acc = np.zeros(len(pdf), dtype=np.float64)
                     for j, wj in enumerate(w):
                         acc = acc + mat[:, j] * wj
-                    bit = np.fromiter(
-                        (round6_pos(v) for v in acc), dtype=bool, count=len(acc)
-                    )
+                    bit = acc >= THRESH
+                    for i in np.flatnonzero(np.abs(acc - THRESH) <= TIE_EPS):
+                        bit[i] = round6_pos(float(acc[i]))
                     sig |= np.where(bit, np.int64(1 << p), np.int64(0))
                 out[f"sig_{t}"] = sig
             yield _pd.DataFrame(out)

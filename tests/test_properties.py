@@ -345,3 +345,40 @@ def test_wav_roundtrip_property(rate, samples):
     from firebird_mapreduce_spark.functions.wav import wav_decode, wav_encode
 
     assert wav_decode(wav_encode(rate, samples)) == (rate, 1, samples)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    v=st.one_of(
+        # |proj| is bounded by N_DIMS * max|x| in practice; above ~1e21
+        # the Decimal rule itself overflows its 28-digit context, so the
+        # domain is every magnitude a projection can reach
+        st.floats(min_value=-1e15, max_value=1e15),
+        st.floats(min_value=-1e-5, max_value=1e-5),
+        # adversarial band straddling the half-up tie at 5e-7
+        st.floats(min_value=4.9999e-7, max_value=5.0001e-7),
+        st.sampled_from(
+            [5e-7, 4.999999999999999e-7, 5.000000000000001e-7, 0.0, -5e-7, 1e-6]
+        ),
+    )
+)
+def test_round6_pos_fast_path_matches_decimal_rule(v):
+    """The vectorized sign test in embedding_lsh_ann_multi's signature
+    kernel (acc >= 5e-7 fast path + Decimal-only-in-tie-window slow
+    path) must agree with the per-element shortest-repr Decimal rule for
+    EVERY float — that agreement is what keeps the Arrow signature path
+    bit-identical to the F.round column path and the DuckDB oracle."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def round6_pos(x: float) -> bool:
+        return (
+            Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP) > 0
+        )
+
+    acc = np.array([v], dtype=np.float64)
+    bit = acc >= 5e-07
+    for i in np.flatnonzero(np.abs(acc - 5e-07) <= 1e-12):
+        bit[i] = round6_pos(float(acc[i]))
+    assert bool(bit[0]) == round6_pos(v), v
