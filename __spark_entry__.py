@@ -165,14 +165,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_group_count": SJ.stream_group_count_query,
         "connected_components_star": G.connected_components_star_query,
         "stream_tumbling_window": SJ.stream_tumbling_window_query,
-        # rows-only by design (sketches / Python-only signatures / scale
-        # workloads whose oracle would be a serial graph algorithm)
+        # rows-only by design (sketches / scale workloads whose oracle
+        # would be a serial graph algorithm)
         "sssp_syn18k": G.sssp_syn18k,
         "pagerank_nations": G.pagerank_nations,
         "approx_percentile_stats": R.approx_percentile_stats,
         "approx_distinct_users": R.approx_distinct_users,
         "lang_id_chargram": T.lang_id_chargram,
         "dedup_simhash64": D.dedup_simhash64,
+        # oracle-backed since r4: REAL PNG decode feeds the features
         "image_features": M.image_features,
         "embedding_kmeans": S.embedding_kmeans,
     }
@@ -318,11 +319,12 @@ def oracle_sql() -> dict[str, str]:
     same types: counts cast to BIGINT, decimal aggregates cast to DOUBLE).
 
     Intentionally absent (rows-only checks): ``approx_distinct_users`` and
-    ``approx_percentile_stats`` (sketch values are engine-specific),
-    ``image_features`` (deliberately-stubbed decoder).
+    ``approx_percentile_stats`` (sketch values are engine-specific).
     ``dedup_simhash64`` and ``lang_id_chargram`` were upgraded to
     oracle-backed in round 3 — md5 bit votes and replace-shrinkage
-    trigram counts ARE SQL-expressible.
+    trigram counts ARE SQL-expressible; ``image_features`` in round 4,
+    when it moved off the FakeDecoder onto the real PNG codec (features
+    re-derived from the same doc_id arithmetic as ``image_decode``).
     """
     return {
         "scan_project": "SELECT r_regionkey, r_name FROM region",
@@ -760,6 +762,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + doc_id % 24 AS INT) AS width,
                    CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
                    CAST(doc_id % 256 AS INT) AS mean_level
+            FROM documents WHERE doc_id < 48
+        """,
+        # image_features = the decoded pixels' features: brightness is the
+        # decoded mean 8-bit level / 255, aspect the decoded w/h — both
+        # re-derivable from the same _png_dims arithmetic (no 6-dp tie is
+        # reachable: d/255 terminates only at d=0 and w/h denominators
+        # carry no 5^7, so F.round and DuckDB round agree exactly)
+        "image_features": """
+            SELECT doc_id AS asset_id,
+                   CAST(8 + doc_id % 24 AS INT) AS width,
+                   CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+                   round((doc_id % 256) / 255.0, 6) AS brightness,
+                   round(CAST(8 + doc_id % 24 AS DOUBLE)
+                         / CAST(8 + (doc_id * 7) % 24 AS DOUBLE), 6) AS aspect_ratio
             FROM documents WHERE doc_id < 48
         """,
         # real WAV decode: RIFF/fmt/data parse + PCM frames; fixture

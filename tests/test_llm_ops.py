@@ -155,12 +155,31 @@ def test_lang_id_chargram_runs_vectorized(spark):
 
 
 def test_multimodal_pipeline_stub(spark):
-    feats = M.image_features(spark, SF_SMOKE).collect()
+    """The FakeDecoder plumbing demo (codec-less formats) — the declared
+    image_features query now runs the REAL PNG decoder, covered by
+    test_image_features_real_decode below."""
+    feats = M.fake_image_features(spark, SF_SMOKE).collect()
     assert len(feats) > 100
     assert all(16 <= r["width"] < 80 and 16 <= r["height"] < 80 for r in feats)
     # deterministic fake: same input -> same features
-    feats2 = M.image_features(spark, SF_SMOKE).collect()
+    feats2 = M.fake_image_features(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_image_features_real_decode(spark):
+    """image_features (oracle-backed r4) must derive every feature from
+    the DECODED pixels of the real PNG fixtures: dimensions equal the
+    doc_id arithmetic, brightness the constant gray level / 255, aspect
+    the decoded w/h — all to the engine's 6-dp rounding."""
+    from firebird_mapreduce_spark.operators.similarity import _py_round6
+
+    rows = {r["asset_id"]: r for r in M.image_features(spark, SF_SMOKE).collect()}
+    assert len(rows) == 48
+    for doc_id, r in rows.items():
+        w, h, level = M._png_dims(doc_id)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["brightness"] == _py_round6(level / 255.0)
+        assert r["aspect_ratio"] == _py_round6(w / h)
 
 
 def test_binary_file_source_reads_real_files(spark):
