@@ -76,7 +76,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_split_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+def _events_split_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    flush_batches: int = 0,
+) -> str:
     """Materialize the events table as ``n_files`` event-time-ordered
     parquet files with strictly increasing mtimes, so a file stream with
     ``maxFilesPerTrigger=1`` replays them as ``n_files`` successive
@@ -90,21 +95,32 @@ def _events_split_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
     production source.  (Deliberately LATE arrivals are crafted per-test,
     not here.)  Idempotent: a marker records the source file's md5; stale
     split files from an older corpus are pruned before rewrite.  Written
-    under the repo's .fixtures, never into the read-only test data."""
+    under the repo's .fixtures, never into the read-only test data.
+
+    ``flush_batches`` > 0 appends that many single-row SENTINEL batches
+    (user_id −1, −2, …; event time far past the corpus) after the data
+    batches — the stream-end flush an event-time-timeout consumer needs:
+    the first sentinel advances the watermark beyond every data session's
+    timeout, the second is the spacer batch in which the (one-batch-
+    lagged) timeout callbacks actually fire.  Sentinel users are
+    negative, so consumers filter ``user_id >= 0``.  Production analogue:
+    a source heartbeat/punctuation event."""
     import hashlib
     import json
 
     src = os.path.join(sf_dir, "events.parquet")
     with open(src, "rb") as fh:
         src_md5 = hashlib.md5(fh.read()).hexdigest()
-    tag = hashlib.md5(f"{sf_dir}|{n_files}".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}|{n_files}|{flush_batches}".encode()).hexdigest()[:8]
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".fixtures",
         f"events_split_{tag}",
     )
     marker = os.path.join(out_dir, "_marker.json")
-    expected = {f"part_{i:03d}.parquet" for i in range(n_files)}
+    expected = {f"part_{i:03d}.parquet" for i in range(n_files)} | {
+        f"flush_{i:03d}.parquet" for i in range(flush_batches)
+    }
     if os.path.exists(marker):
         with open(marker) as fh:
             meta = json.load(fh)
@@ -139,6 +155,33 @@ def _events_split_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
         # strictly increasing mtimes: FileStreamSource orders files by
         # modification time, which fixes the batch order
         os.utime(path, (base_mtime + i, base_mtime + i))
+    if flush_batches:
+        import datetime
+
+        import pyarrow as pa
+
+        max_ts = pc.max(table.column("ts")).as_py()
+        for i in range(flush_batches):
+            if isinstance(max_ts, int):  # TIMESTAMP(NANOS) read as int64
+                flush_ts = max_ts + (30 + i) * 86_400 * 1_000_000_000
+            else:
+                flush_ts = max_ts + datetime.timedelta(days=30 + i)
+            row = {
+                "event_id": -1_000_000 - i,
+                "ts": flush_ts,
+                "user_id": -(i + 1),
+                "event_type": "flush",
+                "value": 0.0,
+                "props": "{}",
+            }
+            flush_tbl = pa.Table.from_pylist(
+                [{k: row.get(k) for k in table.schema.names}], schema=table.schema
+            )
+            path = os.path.join(out_dir, f"flush_{i:03d}.parquet")
+            pq.write_table(flush_tbl, path)
+            os.utime(
+                path, (base_mtime + n_files + i, base_mtime + n_files + i)
+            )
     with open(marker, "w") as fh:
         json.dump({"src_md5": src_md5, "n_files": n_files}, fh)
     return out_dir
@@ -325,6 +368,127 @@ def custom_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_end").alias("session_end"),
         F.max("n_events").alias("n_events"),
     )
+
+
+def custom_session_timeout_stream(
+    events: DataFrame, gap_minutes: int = 10
+) -> DataFrame:
+    """The PRODUCTION sessionizer shape: append-mode
+    ``applyInPandasWithState`` with ``GroupStateTimeout.EventTimeTimeout``
+    — every session is emitted EXACTLY ONCE, when it becomes final, and
+    never revised:
+
+    - closed-by-successor: a later event of the same user at ≥ gap
+      distance finalizes the open session inside the data callback;
+    - closed-by-timeout: a session with no successor finalizes in the
+      ``state.hasTimedOut`` callback once the WATERMARK crosses
+      ``last_event + gap`` (``setTimeoutTimestamp``, reset on every
+      extension) — the path ``stream_session_custom`` (update-mode,
+      NoTimeout) doesn't exercise, previously pinned only by
+      ``test_event_time_timeout_finalizes_state``.
+
+    Exactly-once emission holds because Spark invokes a group EITHER with
+    data (hasTimedOut False — successor logic closes) OR with a fired
+    timeout (no data), never both in one batch, and both paths remove or
+    overwrite the finalized extent atomically in state.
+
+    Scale: identical state profile to ``custom_session_stream`` (one
+    tuple per active user), PLUS state is now self-evicting — idle users'
+    state is deleted at timeout instead of living forever, which is the
+    difference between bounded and unbounded state at 100 TB/day.
+
+    Stream-end flush: event-time timeouts only fire while batches run,
+    so the replay appends two sentinel batches (``flush_batches=2`` —
+    advancer + spacer, the one-batch watermark lag) whose far-future
+    events push every data session past its timeout; consumers filter
+    the negative sentinel user ids out."""
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint"
+    )
+    state_schema = "start_us long, last_us long, n long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def frame(rows: list[tuple[int, int, int]]) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": [_pd.Timestamp(s * 1000) for s, _, _ in rows],
+                    "session_end": [
+                        _pd.Timestamp(e * 1000 + gap_us * 1000) for _, e, _ in rows
+                    ],
+                    "n_events": [c for _, _, c in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield frame([(start, last, n)])
+            return
+        ts_us: list[int] = []
+        for pdf in batches:
+            ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+        ts_us.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last < gap_us:
+                last, n = t, n + 1
+            else:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        # finalize via watermark: timeout at last_event + gap, event-time ms
+        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        yield frame(closed)
+
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_session_timeout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (oracle-backed): the append-mode event-time-timeout
+    sessionizer replayed over 4 data batches + 2 sentinel flush batches.
+    NO final-state reduction is applied — the append output IS the
+    final session set, each session emitted once (closed by successor or
+    by watermark-crossing timeout), so hash-equality with the SAME
+    relational session oracle as ``stream_session_window`` /
+    ``stream_session_custom`` certifies the timeout finalization path
+    end-to-end: a timeout that never fired would MISS every user's last
+    session, a double emission would duplicate a key, and a state reset
+    at a batch boundary would split sessions — all hash mismatches."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    split_dir = _events_split_dir(spark, sf_dir, n_files=4, flush_batches=2)
+    events = _events_file_stream(
+        spark, split_dir, "*.parquet", split_dir, max_files_per_trigger=1
+    )
+    result = run_stream_to_memory(
+        custom_session_timeout_stream(events),
+        f"q_stream_session_timeout_{_REPLAY_COUNTER}",
+        output_mode="append",
+    )
+    return result.filter(F.col("user_id") >= 0)
 
 
 def streaming_dedup(

@@ -42,12 +42,12 @@ def test_every_query_named_in_coverage():
 
 
 def test_driver_window_covers_every_query():
-    """Round-3 invariant, two levels: (1) every REGISTERED query has a
-    driver row in some round — hash or rows-only — via r1 ∪ r2 ∪ this
-    round's 50-query window; (2) every ORACLE-BACKED query has a hard
-    hash-green row via r1-green ∪ r2-green ∪ the window.  (The driver
-    checks only the first 50 registered queries per round; rows-only
-    queries get weaker rows-only driver rows.)"""
+    """Round-4 invariant — POST-REGENERATION evidence only (the corpus
+    was regenerated before round 3, so r1/r2 rows no longer certify the
+    current data): (1) every REGISTERED query has a driver row in r3 ∪
+    this round's 50-query window; (2) every ORACLE-BACKED query has a
+    hash row via r3-hash-green ∪ the window.  (The driver checks only
+    the first 50 registered queries per round.)"""
     import json
 
     queries = list(entrymod.queries())
@@ -55,15 +55,14 @@ def test_driver_window_covers_every_query():
     window = queries[:50]
     assert window == entrymod._DRIVER_WINDOW
     assert len(set(window)) == 50
-    r1 = json.load(open("/root/repo/CORRECTNESS_r01.json"))
-    r2 = json.load(open("/root/repo/CORRECTNESS_r02.json"))
-    hash_green = {k for k, v in {**r1, **r2}.items() if v.get("hash_match")}
-    any_row = set(r1) | set(r2)
+    r3 = json.load(open("/root/repo/CORRECTNESS_r03.json"))
+    hash_green = {k for k, v in r3.items() if v.get("hash_match")}
     for name in queries:
-        assert name in any_row or name in window, (
-            f"{name} has no driver row in any round"
+        assert name in r3 or name in window, (
+            f"{name} has no post-regeneration driver row"
         )
         if name in oracles:
             assert name in hash_green or name in window, (
-                f"{name} is oracle-backed but has no hash-green driver row"
+                f"{name} is oracle-backed but has no post-regeneration "
+                "hash-green driver row"
             )

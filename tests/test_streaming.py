@@ -180,6 +180,51 @@ def test_custom_sessionizer_matches_builtin(spark):
     assert custom.count() > 100  # non-vacuous
 
 
+def test_session_timeout_append_emits_each_session_exactly_once(spark, tmp_path):
+    """The declared append-mode sessionizer (stream_session_timeout):
+    a session closed by a SUCCESSOR event and sessions closed by
+    EVENT-TIME TIMEOUT must each appear exactly once in the append
+    output, with the carried cross-batch count and last+gap extent —
+    double emission, a missed timeout, or a state reset all fail.  The
+    sentinel batches play the stream-end flush role the declared query
+    gets from ``_events_split_dir(flush_batches=2)``."""
+    from firebird_mapreduce_spark.streaming.jobs import (
+        custom_session_timeout_stream,
+    )
+
+    d = _write_event_files(
+        tmp_path,
+        [
+            [
+                (1, "2024-03-01 10:00:00", 1, "click"),
+                (2, "2024-03-01 10:02:00", 2, "click"),
+            ],
+            [(3, "2024-03-01 10:05:00", 1, "click")],  # extends session A
+            [(4, "2024-03-01 12:00:00", 1, "click")],  # closes A, opens B
+            [(5, "2024-03-02 10:00:00", -1, "flush")],  # wm advancer
+            [(6, "2024-03-03 10:00:00", -2, "flush")],  # spacer: timeouts fire
+        ],
+    )
+    result = run_stream_to_memory(
+        custom_session_timeout_stream(_stream_crafted(spark, d)),
+        "t_session_timeout_once",
+        output_mode="append",
+    ).filter(F.col("user_id") >= 0)
+    rows = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in result.collect()
+    )
+    assert rows == [
+        # session A: batch-1 start, batch-2 extension carried, closed by
+        # the batch-3 successor — emitted once with n=2
+        (1, "2024-03-01 10:00:00", "2024-03-01 10:15:00", 2),
+        # session B: no successor — closed only by watermark timeout
+        (1, "2024-03-01 12:00:00", "2024-03-01 12:10:00", 1),
+        # user 2: single-event session, timeout-closed
+        (2, "2024-03-01 10:02:00", "2024-03-01 10:12:00", 1),
+    ]
+
+
 def test_event_time_timeout_finalizes_state(spark, tmp_path):
     """The remaining stateful-API surface: ``GroupStateTimeout.
     EventTimeTimeout``.  A group whose state sets a timeout timestamp
