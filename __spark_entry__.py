@@ -1205,10 +1205,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.sig IN (SELECT s FROM probes) AND s.vec_id <> 0
             ORDER BY sim DESC, s.vec_id LIMIT 10
         """,
-        # L=4 independent SRP tables (planes salted by table index in the
+        # L=8 independent SRP tables (planes salted by table index in the
         # md5 derivation); candidates are the union of per-table probes
-        # (exact bucket + 8 hamming-1 neighbors each), deduped before the
-        # exact-cosine rerank — the 1-(1-P)^L recall amplifier
+        # (exact bucket + 8 hamming-1 + 28 hamming-2 neighbors each),
+        # deduped before the exact-cosine rerank — the 1-(1-P)^L recall
+        # amplifier at its measured recall-0.94 surface point (r4
+        # default; cheaper points one argument away, surface in SCALE.md)
         "embedding_lsh_ann_multi": """
             WITH sigs AS (
                 SELECT vec_id, tt.t AS tbl,
@@ -1222,14 +1224,19 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1.0 ELSE -1.0 END))), 6) > 0
                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END))
                            AS BIGINT) AS sig
-                FROM embeddings CROSS JOIN range(0, 4) tt(t)),
+                FROM embeddings CROSS JOIN range(0, 8) tt(t)),
             q AS (SELECT tbl, sig AS qsig FROM sigs WHERE vec_id = 0),
             qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
             probes AS (
                 SELECT tbl, qsig AS s FROM q
                 UNION ALL
                 SELECT tbl, CAST(xor(qsig, CAST(power(2, i) AS BIGINT)) AS BIGINT)
-                FROM q CROSS JOIN range(0, 8) r(i)),
+                FROM q CROSS JOIN range(0, 8) r(i)
+                UNION ALL
+                SELECT tbl, CAST(xor(xor(qsig, CAST(power(2, i) AS BIGINT)),
+                                     CAST(power(2, j) AS BIGINT)) AS BIGINT)
+                FROM q CROSS JOIN range(0, 8) ri(i) CROSS JOIN range(0, 8) rj(j)
+                WHERE i < j),
             cands AS (
                 SELECT DISTINCT s.vec_id
                 FROM sigs s JOIN probes p ON s.tbl = p.tbl AND s.sig = p.s

@@ -378,8 +378,8 @@ def _probe_signatures(qsig: int, radius: int) -> list[int]:
 def embedding_lsh_ann_multi(
     spark: SparkSession,
     sf_dir: str,
-    n_tables: int = N_TABLES,
-    probe_radius: int = 1,
+    n_tables: int = 8,
+    probe_radius: int = 2,
 ) -> DataFrame:
     """L-independent-tables SRP LSH — the standard recall amplifier the
     single-table docstring above names: if one table retrieves a true
@@ -388,6 +388,16 @@ def embedding_lsh_ann_multi(
     0.116 at L=1 → 0.342 at L=4 → 0.572 at L=8 at sf0.01, tracking the
     formula slightly below independence — full sweep with per-L scan
     cost in SCALE.md, reproduced by tools/measure_lsh_recall.py).
+
+    REGISTERED DEFAULT (r4): ``L=8, probe_radius=2`` — picked FROM the
+    measured surface: recall@10 **0.94** at sf0.01 (0.978 at sf0.1),
+    scanning ~70% of candidates on this deliberately weak-neighbor
+    corpus.  That scan fraction is honest: high-recall LSH approaches
+    brute-force cost when true neighbors sit at cosine ~0.4; on a
+    production corpus with cosine-0.9 near-duplicates the same config
+    touches a tiny fraction.  Cheaper surface points are one argument
+    away (L=4/r=1: recall 0.34 at 14.5% scan — the r3 default, kept
+    measured in SCALE.md so the trade-off is explicit, not a footgun).
 
     Signature tier choice: L×8 = 32 projections/row crosses the line
     where Catalyst's INTERPRETED array-lambda folds lose to one
@@ -407,8 +417,8 @@ def embedding_lsh_ann_multi(
     the per-element-Decimal one at a 200k-row batch
     (tools/measure_sig_kernel.py --micro; full-corpus signature
     bit-parity asserted by the same tool before timing).  Still no shuffle and no training step — LSH's scale
-    advantage over IVF.  The query's L signatures + hamming-1 probes are
-    derived on the driver, and the candidate filter is an OR of
+    advantage over IVF.  The query's L signatures + hamming-≤r probes
+    are derived on the driver, and the candidate filter is an OR of
     per-table ``isin`` membership on the signature columns.
     ``probe_radius`` trades scan for recall without more tables
     (radius 2 adds the 28 hamming-2 probes per table: measured at

@@ -408,8 +408,12 @@ def test_lsh_ann_multi_true_neighbors_and_recall_dominates(spark):
     } & top10
     assert len(hits4) >= len(hits1)
     # radius-2 probes are a strict superset of radius-1 probes, so the
-    # returned top-10 must dominate rank-by-rank
-    r1 = [r["sim"] for r in S.embedding_lsh_ann_multi(spark, SF_SMOKE).collect()]
+    # returned top-10 must dominate rank-by-rank (explicit configs — the
+    # registered default is already L=8/r=2 as of r4)
+    r1 = [
+        r["sim"]
+        for r in S.embedding_lsh_ann_multi(spark, SF_SMOKE, probe_radius=1).collect()
+    ]
     r2 = [
         r["sim"]
         for r in S.embedding_lsh_ann_multi(spark, SF_SMOKE, probe_radius=2).collect()
