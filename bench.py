@@ -69,7 +69,19 @@ HEADLINE = [
     # 23,797 edges): measures iterative throughput over ~40-70 relaxation
     # rounds instead of scheduler overhead on the 25-node oracle graph
     "sssp_syn18k",
+    # bucketed co-located join: run 0 of the per-run array pays the
+    # one-time bucketed write, runs 1+ are the amortized zero-exchange
+    # join+agg (plan-asserted in tests/test_bucketing.py; math in
+    # SCALE.md).  Bench-only entry — becomes a driver-window query when
+    # the r5 window rotates (the r4 window is at its 50-slot capacity).
+    "bucketed_join_orders",
 ]
+
+from firebird_mapreduce_spark.operators.relational import (  # noqa: E402
+    bucketed_join_orders,
+)
+
+EXTRA_BENCH = {"bucketed_join_orders": bucketed_join_orders}
 
 
 def run_query(df) -> None:
@@ -94,7 +106,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     per_run: dict[str, list[float]] = {}
     for name in HEADLINE:
-        fn = queries[name]
+        fn = queries.get(name) or EXTRA_BENCH[name]
         samples = []
         for _ in range(runs):
             start = time.perf_counter()

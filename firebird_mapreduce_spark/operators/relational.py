@@ -20,6 +20,8 @@ SQL does the identical cast sequence.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # noqa: F401  (module-level so pandas_udf type hints resolve under `from __future__ import annotations`)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -257,6 +259,72 @@ def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
     ).select("n_nationkey", "n_name", "r_name")
+
+
+def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join + same-key aggregation with ZERO
+    exchanges — the pre-shuffle layout strategy for REPEATED big-big
+    joins at scale (the shuffle is paid once at write time and amortized
+    over every subsequent join; at 100 TB you bucket the fact tables on
+    their join key at ingest and every downstream join/agg on that key
+    runs shuffle-free).
+
+    First call per (session, corpus) writes both sides
+    ``bucketBy(8, custkey).sortBy`` into the warehouse — idempotent via a
+    content tag (source parquet md5), with stale-corpus tables dropped —
+    then the join AND the per-customer aggregation both consume the
+    bucketed layout: Spark plans SortMergeJoin over the pre-sorted
+    buckets and partial-aggregates within the same partitioning, so
+    ``count_exchanges == 0`` end-to-end (asserted in
+    tests/test_bucketing.py).  The bench entry's per-run array makes the
+    amortization visible: run 0 carries the one-time write, runs 1+ are
+    the repeated-join cost (SCALE.md).  Decimal-exact revenue per the
+    engine's aggregate discipline."""
+    import hashlib
+
+    tags = []
+    for t in ("orders", "customer"):
+        with open(os.path.join(sf_dir, f"{t}.parquet"), "rb") as fh:
+            tags.append(hashlib.md5(fh.read()).hexdigest())
+    tag = hashlib.md5("|".join(tags).encode()).hexdigest()[:8]
+    o_tbl, c_tbl = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    # prune bucketed tables from an older corpus so the warehouse doesn't
+    # accumulate stale layouts across regenerations
+    for t in spark.catalog.listTables():
+        if (
+            t.name.startswith(("orders_bkt_", "customer_bkt_"))
+            and t.name not in (o_tbl, c_tbl)
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    if not spark.catalog.tableExists(o_tbl):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable(o_tbl)
+        )
+    if not spark.catalog.tableExists(c_tbl):
+        (
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name")
+            .write.mode("overwrite")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .saveAsTable(c_tbl)
+        )
+    orders, customer = spark.table(o_tbl), spark.table(c_tbl)
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
 
 
 def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:

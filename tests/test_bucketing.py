@@ -60,6 +60,40 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     assert joined.count() == plain
 
 
+def test_bucketed_join_orders_zero_exchange_and_correct(spark):
+    """The bench entry's operator (relational.bucketed_join_orders):
+    join AND same-key aggregation must both ride the bucketed layout —
+    zero exchanges end-to-end — and equal the plain-parquet join+agg
+    row-for-row.  Also pins write idempotence: a second call must reuse
+    the warehouse tables (same plan, no rewrite)."""
+    from firebird_mapreduce_spark.operators.relational import (
+        bucketed_join_orders,
+    )
+
+    out = bucketed_join_orders(spark, SF_SMOKE)
+    assert count_exchanges(out) == 0, plan_string(out, "simple")
+    plain = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(out) == rows(plain)
+    # idempotence: second call reuses the tables, still zero-exchange
+    again = bucketed_join_orders(spark, SF_SMOKE)
+    assert count_exchanges(again) == 0
+
+
 def test_unbucketed_join_does_exchange(spark):
     """Control: the same join over plain parquet shuffles both sides."""
     orders = load_table(spark, SF_SMOKE, "orders")
