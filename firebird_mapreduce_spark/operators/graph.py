@@ -54,6 +54,7 @@ def sssp(
     max_iterations: int = 100,
     checkpoint_every: int = 2,
     state_merge: str = "auto",
+    hops_per_round: int = 1,
 ) -> DataFrame:
     """Single-source shortest paths by frontier relaxation to fixpoint.
 
@@ -95,6 +96,19 @@ def sssp(
     (empty frontier produces no candidates), so the fixpoint is unchanged;
     lineage depth is bounded by ``checkpoint_every``, keeping plan size
     O(1) in iteration count.
+
+    ``hops_per_round=2`` relaxes TWO edge hops per scheduled round
+    (candidates = frontier⋈edges ∪ (frontier⋈edges)⋈edges, one shared
+    min): the frontier advances ≥2 BFS levels per round, so a
+    diameter-D graph converges in ~D/2 rounds — attacking the same
+    scheduler-bound regime the full-outer merge targets, where round
+    COUNT is the cost, not per-round bytes.  Candidate volume grows by
+    the average-degree factor on the second hop; the same monotone-min
+    argument gives the identical fixpoint (every 2-hop path is two
+    1-hop relaxations applied in one round — Dijkstra differential runs
+    this variant too).  A/B at the 18k syn graph in SCALE.md; keep 1
+    (the default) where per-round candidate volume, not round count,
+    dominates — i.e. at real scale.
     """
     edges = edges.select(
         F.col("src").cast("long"),
@@ -105,6 +119,8 @@ def sssp(
         raise ValueError(
             f"state_merge must be 'auto', 'full_outer' or 'delta', got {state_merge!r}"
         )
+    if hops_per_round not in (1, 2):
+        raise ValueError(f"hops_per_round must be 1 or 2, got {hops_per_round!r}")
     if state_merge == "auto":
         state_merge = (
             "delta"
@@ -128,6 +144,21 @@ def sssp(
                 (F.col("dist") + F.col("weight")).alias("cand"),
             )
         )
+        if hops_per_round == 2:
+            # second relaxation in the same round: extend every 1-hop
+            # candidate by one more edge; the shared min below collapses
+            # both hop sets.  No pre-min before the second join — at the
+            # scheduler-bound scale this targets, an extra shuffle costs
+            # more than avg-degree× duplicate candidates.
+            hop2 = (
+                F.broadcast(candidates)
+                .join(edges, candidates.node == edges.src, "inner")
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("cand") + F.col("weight")).alias("cand"),
+                )
+            )
+            candidates = candidates.unionByName(hop2)
         # reduce phase: min candidate per node (map-side partial min free)
         best = candidates.groupBy("node").agg(F.min("cand").alias("cand"))
         if state_merge == "full_outer":

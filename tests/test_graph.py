@@ -49,16 +49,23 @@ def dijkstra(edges: list[tuple[int, int, float]], source: int) -> dict[int, floa
 
 
 @pytest.mark.parametrize("source", [0, 2, 7])
-@pytest.mark.parametrize("merge", ["full_outer", "delta"])
-def test_sssp_small_graph(spark, source, merge):
-    """Both state-merge strategies must reach the identical Dijkstra
-    fixpoint (the adaptive default picks between them by graph size)."""
+@pytest.mark.parametrize(
+    "merge,hops",
+    [("full_outer", 1), ("delta", 1), ("full_outer", 2), ("delta", 2)],
+)
+def test_sssp_small_graph(spark, source, merge, hops):
+    """Both state-merge strategies AND both hops-per-round settings must
+    reach the identical Dijkstra fixpoint (the adaptive default picks the
+    merge by graph size; 2-hop relaxation halves round count on
+    scheduler-bound graphs)."""
     edges = undirected(
         spark.createDataFrame(SMALL_GRAPH_EDGES, "src INT, dst INT, weight DOUBLE")
     )
     result = {
         r["node"]: r["dist"]
-        for r in sssp(spark, edges, source, state_merge=merge).collect()
+        for r in sssp(
+            spark, edges, source, state_merge=merge, hops_per_round=hops
+        ).collect()
     }
     assert result == dijkstra(SMALL_GRAPH_EDGES, source)
 
