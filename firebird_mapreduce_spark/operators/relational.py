@@ -281,6 +281,8 @@ def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repeated-join cost (SCALE.md).  Decimal-exact revenue per the
     engine's aggregate discipline."""
     import hashlib
+    import shutil
+    from urllib.parse import urlparse
 
     tags = []
     for t in ("orders", "customer"):
@@ -296,6 +298,19 @@ def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             and t.name not in (o_tbl, c_tbl)
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    # the warehouse DIRECTORY outlives the (in-memory) catalog: a fresh
+    # session sees tableExists == False while the managed location from a
+    # previous session still exists, and saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS — remove orphaned/stale locations first
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    if os.path.isdir(warehouse):
+        for d in os.listdir(warehouse):
+            if d.startswith(
+                ("orders_bkt_", "customer_bkt_")
+            ) and not spark.catalog.tableExists(d):
+                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     if not spark.catalog.tableExists(o_tbl):
         (
             load_table(spark, sf_dir, "orders")
