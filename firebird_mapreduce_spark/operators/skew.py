@@ -164,3 +164,102 @@ def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"cnt": ("event_type", "count")},
         salt_buckets=16,
     )
+
+def skewed_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    num_partitions: int = 32,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY key ORDER BY order)`` computed
+    skew-safely — the key-splitting + offset-stitching follow-up
+    SCALE.md's window section documents (rank cannot use two-stage
+    salting: it needs the key's total order, so a salted regroup would
+    have to re-sort the hot key in one task anyway).
+
+    The non-scalable spelling puts each partition key in ONE window
+    task — a single hot key (one user with 10^9 events) becomes a
+    straggler no salt can fix.  This plan instead lets the hot key SPAN
+    range partitions and stitches ranks across them:
+
+    1. range-repartition + sort on (key, order): Spark's sampled range
+       boundaries cut the hot key into several consecutive ordered
+       partitions (the same machinery as ``relational.global_sort_rank``,
+       generalized per-key);
+    2. one ``mapInPandas`` pass assigns LOCAL per-key ranks, vectorized
+       (sortedness means only a batch's first key can carry a count in
+       from the previous batch, and only its last key carries out);
+    3. per-(partition, key) row counts — a tiny stats table, one row per
+       key-span — get prefix-summed into offsets by a window OVER THE
+       STATS (partitioned by key: thousands of rows, not the data);
+    4. a broadcast join adds each span's offset; rank = offset + local.
+
+    Total cost: one range shuffle of the data + one broadcast of
+    key-span stats; no per-key single task anywhere.  ``order_cols``
+    must be a TOTAL order within each key (add a unique tiebreak
+    column), exactly as for any deterministic row_number.  Differential
+    vs the window spelling + span assertion in tests/test_mapreduce.py.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    arrange_cols = [F.col(c) for c in (*key_cols, *order_cols)]
+    arranged = (
+        df.repartitionByRange(num_partitions, *arrange_cols)
+        .sortWithinPartitions(*arrange_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin sampled boundaries: stats and
+        # rank passes must see the identical partitioning
+    )
+    # a FRESH StructType — StructType.add would mutate the DataFrame's
+    # cached schema object and corrupt arranged.columns
+    out_schema = StructType(
+        list(arranged.schema.fields) + [StructField("_lrank", LongType())]
+    )
+
+    def add_local_rank(batches):
+        carry_key, carry_n = None, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            lrank = pdf.groupby(list(key_cols), sort=False).cumcount() + 1
+            first_key = tuple(pdf.iloc[0][list(key_cols)])
+            if carry_key == first_key:
+                # sorted input: only the first key group can continue a
+                # group from the previous batch
+                mask = (pdf[list(key_cols)] == pdf.iloc[0][list(key_cols)]).all(
+                    axis=1
+                )
+                lrank = lrank + mask.astype("int64") * carry_n
+            last_key = tuple(pdf.iloc[-1][list(key_cols)])
+            carry_key, carry_n = last_key, int(
+                lrank[
+                    (pdf[list(key_cols)] == pdf.iloc[-1][list(key_cols)]).all(
+                        axis=1
+                    )
+                ].iloc[-1]
+            )
+            pdf["_lrank"] = lrank.astype("int64")
+            yield pdf
+
+    local = arranged.mapInPandas(add_local_rank, schema=out_schema)
+    stats = arranged.groupBy("_pid", *key_cols).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    span_w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = stats.select(
+        "_pid",
+        *key_cols,
+        F.coalesce(F.sum("_cnt").over(span_w), F.lit(0)).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *key_cols])
+        .withColumn(rank_col, (F.col("_lrank") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_lrank", "_offset")
+    )

@@ -188,3 +188,49 @@ def test_merge_upsert_null_key_update_wins(spark):
     )
     got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
     assert got == {None: ("A", 99.0), 2: ("b", 20.0)}
+
+
+def test_skewed_rank_matches_window_and_splits_hot_key(spark):
+    """skewed_rank (SCALE.md's rank-skew follow-up, closed in r4): the
+    range-split + offset-stitch plan must equal the non-scalable
+    row_number window spelling row-for-row on a corpus whose hot key
+    holds ~77% of all rows — and that hot key must actually SPAN
+    multiple range partitions (otherwise the test exercises nothing: a
+    one-partition key is the plain per-key case)."""
+    from pyspark.sql import Window
+
+    n_hot, n_cold_users, n_cold_each = 20_000, 100, 60
+    hot = spark.range(n_hot).select(
+        F.lit(0).alias("user_id"),
+        (F.col("id") * 37 % 9973).alias("value"),
+        F.col("id").alias("event_id"),
+    )
+    cold = spark.range(n_cold_users * n_cold_each).select(
+        (F.col("id") % n_cold_users + 1).alias("user_id"),
+        (F.col("id") * 91 % 9973).alias("value"),
+        (F.col("id") + n_hot).alias("event_id"),
+    )
+    df = hot.unionByName(cold)
+    got = {
+        (r["user_id"], r["event_id"]): r["rnk"]
+        for r in K.skewed_rank(
+            df, ["user_id"], ["value", "event_id"], num_partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    want = {
+        (r["user_id"], r["event_id"]): r["rnk"]
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # non-vacuity: the hot key spans >= 2 of the operator's range
+    # partitions (replicates the operator's partitioning spec)
+    spans = (
+        df.repartitionByRange(8, F.col("user_id"), F.col("value"), F.col("event_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .filter(F.col("user_id") == 0)
+        .select("_pid")
+        .distinct()
+        .count()
+    )
+    assert spans >= 2, spans
