@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_agg_udaf": R.grouped_agg_udaf,
         # skew
         "skew_join_events": K.skew_join_events,
+        # (registered late in r4 → driver slots at the r5 rotation; local
+        # parity gate covers them now — see _PENDING_NEXT_WINDOW)
+        "skewed_rank_events": K.skewed_rank_events,
+        "bucketed_join_orders": R.bucketed_join_orders,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -170,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design (sketches / scale workloads whose oracle
         # would be a serial graph algorithm)
         "sssp_syn18k": G.sssp_syn18k,
+        # oracle-backed late in r4 (12-dp-quantized rounds, see graph.py)
         "pagerank_nations": G.pagerank_nations,
         "approx_percentile_stats": R.approx_percentile_stats,
         "approx_distinct_users": R.approx_distinct_users,
@@ -251,6 +256,20 @@ _DRIVER_WINDOW = [
     # image_features' first HASH row (real decode since r4)
     "stream_session_timeout",
     "image_features",
+]
+
+
+# Queries that became oracle-backed AFTER the r4 window above was pinned
+# at its 50-slot capacity (the driver hash-checks only positions 1-50 per
+# round).  They are fully covered by the LOCAL parity gate now
+# (tests/test_oracle_parity.py + tools/check_correctness.py, DuckDB at
+# sf0.01) and take driver-window slots at the r5 rotation — the
+# docs-consistency invariant lists them explicitly so the deferral is
+# visible, not silent.
+_PENDING_NEXT_WINDOW = [
+    "pagerank_nations",
+    "skewed_rank_events",
+    "bucketed_join_orders",
 ]
 
 
@@ -593,6 +612,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sssp_fixpoint": G.SSSP_ORACLE_SQL,
         "connected_components": G.CONNECTED_COMPONENTS_ORACLE_SQL,
+        # oracle-backed late in r4 (after the 50-slot window was pinned):
+        # 10 unrolled PageRank rounds with round(·,12) re-quantization on
+        # both sides makes the float fixpoint bit-reproducible — see
+        # graph.pagerank round_to; joins the driver window at the r5
+        # rotation (_PENDING_NEXT_WINDOW), local parity gate covers it now
+        "pagerank_nations": G.PAGERANK_ORACLE_SQL,
+        # skew-safe per-key rank: (ts, event_id) is a total order within
+        # each event_type, so the stitched rank equals the window spelling
+        "skewed_rank_events": """
+            SELECT event_id, event_type,
+                   CAST(row_number() OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS BIGINT) AS rnk
+            FROM events
+        """,
+        # the bucketed layout changes the PLAN (zero exchanges), never the
+        # answer: same join+agg as the plain spelling
+        "bucketed_join_orders": """
+            SELECT o_custkey AS c_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey
+        """,
         # the custom applyInPandasWithState sessionizer must reproduce the
         # built-in session_window's exact session set — two independent
         # implementations, one external answer (same SQL as

@@ -454,6 +454,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 4,
+    round_to: int | None = None,
 ) -> DataFrame:
     """PageRank with a fixed iteration count — the third consumer of the
     iterative harness, and the canonical 'big sparse matvec per round'
@@ -468,9 +469,15 @@ def pagerank(
     per node) shuffle once per round on the dst aggregation.  Lineage is
     truncated on the same every-k lazy-checkpoint cadence as SSSP/CC, but
     with NO emptiness probe (fixed iterations ⇒ no convergence job at
-    all).  Float sums make the result reduction-order-dependent at the
-    last ulp, so the declared query is rows-only; the differential test
-    pins it to a serial implementation at 1e-9."""
+    all).  Float sums make the raw result reduction-order-dependent at
+    the last ulp; ``round_to`` fixes that by re-quantizing the rank
+    vector to a decimal grid after every affine update (a ≤5·10^-13
+    per-round perturbation), which collapses reduction-order ulp noise
+    and makes the per-round state — hence the final vector — bit-equal
+    across engines.  ``pagerank_nations`` uses round_to=12 and is
+    oracle-checked against a DuckDB unrolled-CTE replica of the same
+    schedule; the unrounded form keeps the serial differential at 1e-9
+    (tests/test_graph.py)."""
     edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -493,23 +500,86 @@ def pagerank(
             "dst", (F.col("rank") / F.col("deg")).alias("c")
         )
         sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        updated = F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+        if round_to is not None:
+            updated = F.round(updated, round_to)
         ranks = nodes.join(
             sums, nodes.node == sums.dst, "left"
-        ).select(
-            "node",
-            (F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
+        ).select("node", updated.alias("rank"))
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
 def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query (rows-only): 10 PageRank rounds over the derived
-    nation ring+chord graph."""
-    return pagerank(spark, derived_nation_graph(spark, sf_dir))
+    """Declared query (oracle-backed since r4): 10 PageRank rounds over
+    the derived nation ring+chord graph, with the rank vector quantized
+    to 12 decimal places after every round so the distributed float sums
+    are bit-reproducible (see ``pagerank`` round_to).  The DuckDB oracle
+    (``PAGERANK_ORACLE_SQL``) unrolls the identical 10-round schedule as
+    chained CTEs over the same SQL-expressed graph; output ranks are
+    rounded to the house 6-dp grid."""
+    ranks = pagerank(spark, derived_nation_graph(spark, sf_dir), round_to=12)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """DuckDB replica of ``pagerank_nations``: the derived nation graph
+    spelled in SQL (same construction as SSSP_ORACLE_SQL, weights
+    dropped — PageRank is unweighted and multi-edges count multiply,
+    matching the Spark operand), then ``iterations`` unrolled CTE rounds
+    of the identical affine update with the identical round(·, 12)
+    re-quantization.  Chained CTEs rather than WITH RECURSIVE because
+    the recursive term may reference the working table only once, and
+    each round needs it twice (full node list + contribution sums)."""
+    rounds = "".join(
+        f""",
+it{k} AS (
+    SELECT n.node,
+           round((1.0 - 0.85) / (SELECT count(*) FROM nodes)
+                 + 0.85 * coalesce(c.s, 0.0), 12) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT a.dst AS node, sum(r.rank / a.deg) AS s
+        FROM it{k - 1} r JOIN adj a ON r.node = a.src
+        GROUP BY a.dst
+    ) c USING (node)
+)"""
+        for k in range(1, iterations + 1)
+    )
+    return f"""
+WITH edges0 AS (
+    SELECT src, dst FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS src,
+               CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT) AS src,
+               CAST((n_nationkey * 2) % 25 AS BIGINT) AS dst FROM nation
+    ) WHERE src <> dst
+),
+edges AS (
+    SELECT src, dst FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges0
+),
+nodes AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL
+        SELECT dst AS node FROM edges)
+),
+adj AS (
+    SELECT e.src, e.dst, d.deg
+    FROM edges e
+    JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) d USING (src)
+),
+it0 AS (
+    SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes
+){rounds}
+SELECT node, round(rank, 6) AS rank FROM it{iterations}
+"""
+
+
+PAGERANK_ORACLE_SQL = _pagerank_oracle_sql()
 
 
 def connected_components_star(

@@ -263,3 +263,22 @@ def skewed_rank(
         .withColumn(rank_col, (F.col("_lrank") + F.col("_offset")).cast("long"))
         .drop("_pid", "_lrank", "_offset")
     )
+
+
+def skewed_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (oracle-backed): per-event-type ``row_number`` over
+    the events table via ``skewed_rank`` — the skew-safe spelling.  The
+    events corpus is the canonical hot-key shape (5 event types over all
+    rows), so the naive ``Window.partitionBy(event_type)`` puts ~20% of
+    the table in each of 5 single tasks; here every key SPANS range
+    partitions and ranks are stitched from broadcast span offsets (see
+    ``skewed_rank``).  (ts, event_id) is a total order within each key —
+    event_id is unique — so the rank is deterministic and the DuckDB
+    window oracle reproduces it exactly."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    ranked = skewed_rank(
+        events, key_cols=["event_type"], order_cols=["ts", "event_id"]
+    )
+    return ranked.select("event_id", "event_type", "rnk")
