@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity gate covers them now — see _PENDING_NEXT_WINDOW)
         "skewed_rank_events": K.skewed_rank_events,
         "bucketed_join_orders": R.bucketed_join_orders,
+        "quality_filter_c4": P.quality_filter_c4,
+        "stream_static_join": SJ.stream_static_join_query,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -270,6 +272,8 @@ _PENDING_NEXT_WINDOW = [
     "pagerank_nations",
     "skewed_rank_events",
     "bucketed_join_orders",
+    "quality_filter_c4",
+    "stream_static_join",
 ]
 
 
@@ -636,6 +640,33 @@ def oracle_sql() -> dict[str, str]:
                        AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY o_custkey
+        """,
+        # C4-style rule gate: thresholds compare the ROUNDED features so
+        # both engines' double arithmetic is bit-identical
+        "quality_filter_c4": """
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                           AS n_words,
+                       round(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                             / len(string_split(lower(text), ' ')), 6)
+                           AS mean_word_len,
+                       round(CAST(len(list_filter(
+                                 string_split(lower(text), ' '),
+                                 t -> t IN ('the','a','of','to','and')))
+                             AS DOUBLE)
+                             / len(string_split(lower(text), ' ')), 6)
+                           AS stop_ratio
+                FROM documents)
+            SELECT doc_id, n_words, mean_word_len, stop_ratio,
+                   (n_words >= 30 AND mean_word_len <= 5.0
+                    AND stop_ratio >= 0.03) AS keep
+            FROM f
+        """,
+        # stream-static enrichment: stateless per-batch join == batch join
+        "stream_static_join": """
+            SELECT event_id, user_id, c_mktsegment
+            FROM events JOIN customer ON user_id = c_custkey
         """,
         # the custom applyInPandasWithState sessionizer must reproduce the
         # built-in session_window's exact session set — two independent

@@ -278,3 +278,40 @@ def quality_topk_per_lang(spark: SparkSession, sf_dir: str, k: int = 3) -> DataF
         .filter(F.col("rn") <= k)
         .select("lang", "doc_id", "quality_score", F.col("rn").alias("rank"))
     )
+
+
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: C4-style rule-based quality gate over documents —
+    the cheap heuristic pass a crawl corpus goes through before any
+    model-based scoring (Raffel et al., "Exploring the Limits of Transfer
+    Learning", the C4 cleaning rules, re-expressed relationally).  Three
+    rules over per-doc features: minimum length (≥ 30 words), plausible
+    mean word length (≤ 5.0 chars — prose, not code/tables), and a
+    minimum stopword ratio (≥ 3% of tokens from a tiny function-word set
+    — the classic "is this natural language" signal).  Emits every doc
+    with its features and the keep verdict, so the downstream filter is
+    one ``WHERE keep``.
+
+    Everything is codegen-side array/string arithmetic — split, filter,
+    size — no UDF, no shuffle at all (pure projection: the 100 TB shape
+    is map-only).  Thresholds compare the ROUNDED features so the DuckDB
+    oracle's double arithmetic is bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(toks).cast("long")
+    mwl = F.round(
+        F.length(F.translate(F.col("text"), " ", "")).cast("double") / n_words, 6
+    )
+    stop_cnt = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "to", "and"))
+    )
+    stop_ratio = F.round(stop_cnt.cast("double") / n_words, 6)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            (n_words >= 30) & (mwl <= 5.0) & (stop_ratio >= 0.03)
+        ).alias("keep"),
+    )

@@ -543,6 +543,25 @@ def stream_stream_join(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id")
 
 
+def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the event
+    stream joins against a STATIC dimension snapshot (customer) — the
+    most common production streaming shape (fact stream × slowly-changing
+    dimension) and the one join form that needs NO state at all: the
+    static side is re-planned into each micro-batch, no watermark, no
+    buffering, nothing to evict.  The dimension is explicitly
+    ``broadcast()`` — at 100 TB/day of events the stream side never
+    shuffles for this join; a dimension too big to broadcast would
+    instead be bucketed on the join key at write time.  Inner join:
+    events without a dimension row are dropped (the corpus' user_id
+    range is a subset of custkey, so nothing drops here — row count
+    stays meaningful)."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_mktsegment")
+
+
 _REPLAY_COUNTER = 0
 
 
@@ -654,6 +673,24 @@ def stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         stream_stream_join(stream_events_multibatch(spark, sf_dir)),
         f"q_stream_ssjoin_{_REPLAY_COUNTER}",
+        output_mode="append",
+    )
+
+
+def stream_static_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the stream-static enrichment join replayed over 4
+    micro-batches in append mode.  Stateless per-batch semantics mean the
+    union of batch outputs equals the batch join exactly — that equality
+    is the oracle (and the non-trivial claim under replay is that each
+    micro-batch re-resolves the same static snapshot)."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    from ..sources import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    return run_stream_to_memory(
+        stream_static_enrich(stream_events_multibatch(spark, sf_dir), customer),
+        f"q_stream_static_{_REPLAY_COUNTER}",
         output_mode="append",
     )
 

@@ -111,3 +111,25 @@ def test_pack_training_chunks_contiguous_and_bounded(spark):
             # worth of tokens (docs are < context long in this corpus)
             assert r.chunk_tokens <= 2048 + 99
             assert r.first_doc <= r.last_doc
+
+
+def test_quality_filter_c4_nonvacuous_and_map_only(spark):
+    """The C4 rule gate must actually split the corpus (a filter that
+    keeps or drops everything passes an oracle match vacuously) and must
+    stay a pure projection — zero exchanges, the map-only 100 TB shape."""
+    df = P.quality_filter_c4(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    rows = df.collect()
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped, "filter is vacuous on this corpus"
+    # each rule is individually responsible for at least one drop or the
+    # threshold is dead weight
+    assert any(r.n_words < 30 for r in dropped)
+    assert any(r.stop_ratio < 0.03 for r in dropped)
+    for r in rows:
+        assert r.keep == (
+            r.n_words >= 30
+            and r.mean_word_len <= 5.0
+            and r.stop_ratio >= 0.03
+        )
