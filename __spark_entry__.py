@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_orders": R.bucketed_join_orders,
         "quality_filter_c4": P.quality_filter_c4,
         "stream_static_join": SJ.stream_static_join_query,
+        "embedding_kmeans_exact": S.embedding_kmeans_exact,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -274,6 +275,7 @@ _PENDING_NEXT_WINDOW = [
     "bucketed_join_orders",
     "quality_filter_c4",
     "stream_static_join",
+    "embedding_kmeans_exact",
 ]
 
 
@@ -668,6 +670,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, c_mktsegment
             FROM events JOIN customer ON user_id = c_custkey
         """,
+        # bit-reproducible Lloyd's k-means: exact decimal sums remove both
+        # reduction-order dependencies (centroid mean, distance sum), so
+        # 3 unrolled CTE rounds replicate the Spark schedule exactly
+        "embedding_kmeans_exact": S.KMEANS_EXACT_ORACLE_SQL,
         # the custom applyInPandasWithState sessionizer must reproduce the
         # built-in session_window's exact session set — two independent
         # implementations, one external answer (same SQL as

@@ -500,3 +500,22 @@ def test_kmeans_properties(spark):
     assert sorted((r.cluster, r.n_vectors) for r in rows) == sorted(
         (r.cluster, r.n_vectors) for r in again
     )
+
+
+def test_kmeans_exact_moves_assignments_and_conserves_n(spark):
+    """The bit-reproducible k-means must do real clustering work, not
+    just echo its seed: final cluster sizes differ from the uniform
+    ``vec_id % k`` seeding (which the oracle would match vacuously if
+    zero iterations ran), N is conserved, and inertia is positive."""
+    from firebird_mapreduce_spark.operators.similarity import (
+        embedding_kmeans_exact,
+    )
+    from firebird_mapreduce_spark.sources import load_table
+
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    rows = embedding_kmeans_exact(spark, SF_SMOKE).collect()
+    assert sum(r.n_vectors for r in rows) == n
+    sizes = sorted(r.n_vectors for r in rows)
+    # uniform seed puts exactly n/k everywhere; iterations must break it
+    assert sizes != [n // len(rows)] * len(rows), "assignments never moved"
+    assert all(r.inertia > 0 for r in rows)
