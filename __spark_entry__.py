@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_c4": P.quality_filter_c4,
         "stream_static_join": SJ.stream_static_join_query,
         "embedding_kmeans_exact": S.embedding_kmeans_exact,
+        "lang_mix_downsample": P.lang_mix_downsample,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -276,6 +277,7 @@ _PENDING_NEXT_WINDOW = [
     "quality_filter_c4",
     "stream_static_join",
     "embedding_kmeans_exact",
+    "lang_mix_downsample",
 ]
 
 
@@ -674,6 +676,33 @@ def oracle_sql() -> dict[str, str]:
         # reduction-order dependencies (centroid mean, distance sum), so
         # 3 unrolled CTE rounds replicate the Spark schedule exactly
         "embedding_kmeans_exact": S.KMEANS_EXACT_ORACLE_SQL,
+        # dynamic mix rebalance: computed per-lang rates (min_count /
+        # lang_count), md5-prefix membership — identical IEEE arithmetic
+        "lang_mix_downsample": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+            ),
+            cuts AS (
+                SELECT lang,
+                       CAST(floor(
+                            CAST((SELECT min(n_lang) FROM counts) AS DOUBLE)
+                            / n_lang * 4294967296.0) AS BIGINT) AS cut
+                FROM counts
+            ),
+            k AS (
+                SELECT d.lang, d.doc_id,
+                       (CAST('0x' || substr(
+                            md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) < c.cut) AS kept
+                FROM documents d JOIN cuts c USING (lang)
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   min(CASE WHEN kept THEN doc_id END) AS min_kept,
+                   max(CASE WHEN kept THEN doc_id END) AS max_kept
+            FROM k GROUP BY lang
+        """,
         # the custom applyInPandasWithState sessionizer must reproduce the
         # built-in session_window's exact session set — two independent
         # implementations, one external answer (same SQL as

@@ -72,16 +72,15 @@ HEADLINE = [
     # bucketed co-located join: run 0 of the per-run array pays the
     # one-time bucketed write, runs 1+ are the amortized zero-exchange
     # join+agg (plan-asserted in tests/test_bucketing.py; math in
-    # SCALE.md).  Bench-only entry — becomes a driver-window query when
-    # the r5 window rotates (the r4 window is at its 50-slot capacity).
+    # SCALE.md).  Registered with an oracle late in r4; takes a
+    # driver-window slot at the r5 rotation.
     "bucketed_join_orders",
+    # late-r4 additions: the skew-safe per-key rank (range shuffle +
+    # broadcast span offsets — no per-key single task) and the map-only
+    # C4 rule gate (zero exchanges, pure scan bandwidth)
+    "skewed_rank_events",
+    "quality_filter_c4",
 ]
-
-from firebird_mapreduce_spark.operators.relational import (  # noqa: E402
-    bucketed_join_orders,
-)
-
-EXTRA_BENCH = {"bucketed_join_orders": bucketed_join_orders}
 
 
 def run_query(df) -> None:
@@ -106,7 +105,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     per_run: dict[str, list[float]] = {}
     for name in HEADLINE:
-        fn = queries.get(name) or EXTRA_BENCH[name]
+        fn = queries[name]
         samples = []
         for _ in range(runs):
             start = time.perf_counter()

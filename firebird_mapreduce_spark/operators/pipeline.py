@@ -315,3 +315,48 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_words >= 30) & (mwl <= 5.0) & (stop_ratio >= 0.03)
         ).alias("keep"),
     )
+
+
+def lang_mix_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: dynamic data mixing — downsample every language
+    to (approximately) the SMALLEST language's document count, the
+    corpus-rebalancing step of pretraining-mix assembly.  Unlike
+    ``stratified_sample`` (fixed per-language rates), the rates here are
+    COMPUTED from the data: rate = min_count / lang_count, so the target
+    mix is uniform regardless of the input skew.
+
+    Plan shape for 100 TB: one tiny per-language count aggregate, the
+    single-row global min cross-joined (broadcast) onto it, the
+    resulting cut table broadcast back onto the corpus — the big table
+    is touched by exactly one scan + one map-side hash join + one final
+    aggregate; no RNG (md5-prefix membership, stable under reruns and
+    appends, oracle-checkable).  The cut is ``floor(rate · 2^32)``
+    compared against the first 8 md5 hex digits as an integer — both
+    sides exact IEEE doubles, so membership is bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    target = counts.agg(F.min("n_lang").alias("n_target"))
+    cuts = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        F.floor(
+            F.col("n_target").cast("double")
+            / F.col("n_lang")
+            * F.lit(4294967296.0)
+        ).alias("cut"),
+    )
+    hashv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    kept = hashv < F.col("cut")
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("min_kept"),
+            F.max(F.when(kept, F.col("doc_id"))).alias("max_kept"),
+        )
+    )

@@ -71,3 +71,14 @@ def test_driver_window_covers_every_query():
                 f"{name} is oracle-backed but has no post-regeneration "
                 "hash-green driver row"
             )
+
+
+def test_bench_headline_entries_are_registered():
+    """Every bench HEADLINE entry must resolve in queries() — bench.py
+    indexes the registry directly, so a renamed/unregistered query would
+    only fail at driver bench time otherwise."""
+    import bench
+
+    queries = entrymod.queries()
+    for name in bench.HEADLINE:
+        assert name in queries, f"bench entry {name} not in queries()"

@@ -133,3 +133,22 @@ def test_quality_filter_c4_nonvacuous_and_map_only(spark):
             and r.mean_word_len <= 5.0
             and r.stop_ratio >= 0.03
         )
+
+
+def test_lang_mix_downsample_rebalances_toward_uniform(spark):
+    """Computed rates must actually rebalance: the smallest language is
+    kept whole (rate 1 ⇒ cut = 2^32 > any 8-hex-digit hash), and every
+    language's kept count lands near the smallest language's total
+    (binomial noise around n_target, not the original skew)."""
+    rows = P.lang_mix_downsample(spark, SF_SMOKE).collect()
+    n_min = min(r.n_total for r in rows)
+    smallest = next(r for r in rows if r.n_total == n_min)
+    assert smallest.n_kept == smallest.n_total, "min language was sampled"
+    skew_before = max(r.n_total for r in rows) / n_min
+    assert skew_before > 1.5, "corpus not skewed; test is vacuous"
+    for r in rows:
+        # 4-sigma binomial tolerance around the uniform target
+        sigma = (n_min * (1 - n_min / r.n_total)) ** 0.5
+        assert abs(r.n_kept - n_min) <= 4 * sigma + 1, (
+            r.lang, r.n_kept, n_min
+        )
