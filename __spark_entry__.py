@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": SJ.stream_static_join_query,
         "embedding_kmeans_exact": S.embedding_kmeans_exact,
         "lang_mix_downsample": P.lang_mix_downsample,
+        "above_avg_balance": R.above_avg_balance,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -278,6 +279,7 @@ _PENDING_NEXT_WINDOW = [
     "stream_static_join",
     "embedding_kmeans_exact",
     "lang_mix_downsample",
+    "above_avg_balance",
 ]
 
 
@@ -676,6 +678,19 @@ def oracle_sql() -> dict[str, str]:
         # reduction-order dependencies (centroid mean, distance sum), so
         # 3 unrolled CTE rounds replicate the Spark schedule exactly
         "embedding_kmeans_exact": S.KMEANS_EXACT_ORACLE_SQL,
+        # correlated scalar subquery, written in its decorrelated form on
+        # both sides (CTE aggregate + join); filter on the UNROUNDED avg
+        "above_avg_balance": """
+            WITH a AS (
+                SELECT c_nationkey,
+                       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*) AS nation_avg
+                FROM customer GROUP BY c_nationkey)
+            SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+                   round(a.nation_avg, 6) AS nation_avg
+            FROM customer c JOIN a USING (c_nationkey)
+            WHERE c.c_acctbal > a.nation_avg
+        """,
         # dynamic mix rebalance: computed per-lang rates (min_count /
         # lang_count), md5-prefix membership — identical IEEE arithmetic
         "lang_mix_downsample": """

@@ -1171,3 +1171,35 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         orders, changes.unionByName(late), ["o_orderkey"], dedupe_updates=False
     )
+
+
+def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: correlated scalar subquery, decorrelated — each
+    customer compared against THEIR nation's average balance
+    (``WHERE c_acctbal > (SELECT avg(...) WHERE same nation)``).  The
+    classic optimizer rewrite is what this plan states directly: one
+    partial-aggregated per-nation average (25 rows), broadcast back onto
+    the customer table, filter — the correlated probe becomes a map-side
+    hash join instead of a per-row subquery execution.  At 100 TB the
+    aggregate is the only shuffle and its output is dimension-sized.
+
+    Averages derive from exact DECIMAL sums (house discipline) so the
+    filter threshold is bit-identical cross-engine; the comparison uses
+    the UNROUNDED average (ties are exact-equality events on identical
+    doubles, excluded by ``>`` on both sides identically), the output
+    column rounds to the 6-dp grid."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    avgs = cust.groupBy("c_nationkey").agg(
+        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(avgs), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.round("nation_avg", 6).alias("nation_avg"),
+        )
+    )

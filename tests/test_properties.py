@@ -382,3 +382,40 @@ def test_round6_pos_fast_path_matches_decimal_rule(v):
     for i in np.flatnonzero(np.abs(acc - 5e-07) <= 1e-12):
         bit[i] = round6_pos(float(acc[i]))
     assert bool(bit[0]) == round6_pos(v), v
+
+
+@SPARK_SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key (few keys -> heavy collisions)
+            st.integers(-50, 50),       # order value (ties likely)
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    parts=st.integers(2, 6),
+)
+def test_skewed_rank_matches_window_on_random_inputs(spark, data, parts):
+    """Randomized differential for the skew-safe rank: arbitrary key
+    collisions, order-value ties (broken by the unique row id), and
+    partition counts smaller/larger than the key count must all equal
+    the row_number window spelling exactly."""
+    from pyspark.sql import Window
+
+    from firebird_mapreduce_spark.operators.skew import skewed_rank
+
+    rows = [(k, v, i) for i, (k, v) in enumerate(data)]
+    df = spark.createDataFrame(rows, "k int, v int, rid int")
+    got = {
+        r["rid"]: r["rnk"]
+        for r in skewed_rank(
+            df, ["k"], ["v", "rid"], num_partitions=parts
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("v", "rid")
+    want = {
+        r["rid"]: r["rnk"]
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
