@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_exact": S.embedding_kmeans_exact,
         "lang_mix_downsample": P.lang_mix_downsample,
         "above_avg_balance": R.above_avg_balance,
+        "unigram_logprob": T.unigram_logprob,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -280,6 +281,7 @@ _PENDING_NEXT_WINDOW = [
     "embedding_kmeans_exact",
     "lang_mix_downsample",
     "above_avg_balance",
+    "unigram_logprob",
 ]
 
 
@@ -690,6 +692,32 @@ def oracle_sql() -> dict[str, str]:
                    round(a.nation_avg, 6) AS nation_avg
             FROM customer c JOIN a USING (c_nationkey)
             WHERE c.c_acctbal > a.nation_avg
+        """,
+        # unigram LM quality score: per-token log-probs rounded to 9 dp
+        # and summed as exact DECIMAL(18,9); only the final mean is float
+        "unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split(lower(text), ' ')) AS token
+                FROM documents
+            ),
+            model AS (
+                SELECT token, count(*) AS cnt FROM toks GROUP BY token
+            ),
+            lp AS (
+                SELECT token,
+                       CAST(round(ln(CAST(cnt AS DOUBLE)
+                                     / (SELECT CAST(sum(cnt) AS DOUBLE)
+                                        FROM model)), 9)
+                            AS DECIMAL(18,9)) AS lp
+                FROM model
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(l.lp) AS DOUBLE) / count(*), 6)
+                       AS logprob_score
+            FROM toks t JOIN lp l USING (token)
+            GROUP BY t.doc_id
         """,
         # dynamic mix rebalance: computed per-lang rates (min_count /
         # lang_count), md5-prefix membership — identical IEEE arithmetic

@@ -174,6 +174,55 @@ def lang_id_chargram_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.mapInPandas(score_batches, schema=out_schema)
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality score: train a unigram
+    LM on the corpus itself, then score every document by its mean token
+    log-probability (low score = unusual token mix = likely boilerplate
+    or noise; the classic LM-perplexity pre-training filter with a
+    unigram proxy model).
+
+    Two-pass dataflow, each pass one shuffle:
+      1. model: explode tokens -> groupBy(token).count() (map-side
+         partial agg; output is vocab-sized, i.e. tiny) -> per-token
+         log-prob ln(cnt/total).
+      2. score: re-join tokens against the BROADCAST model -> one
+         groupBy(doc_id) -> mean log-prob.
+    At 100 TB the model side stays broadcastable because vocabulary
+    grows sub-linearly in corpus size (cap to top-K tokens with an OOV
+    floor if it doesn't); the corpus-side work is two scans and two
+    map-side-combined shuffles, never a wide join.
+
+    Oracle discipline: per-token log-probs are rounded to 9 dp and
+    carried as DECIMAL(18,9), so the per-doc sum is EXACT (no
+    reduction-order noise); only the final mean is a double, rounded to
+    6 dp.  ln() runs on bit-identical double inputs on both sides
+    (exact-integer ratio), leaving at most a 1-ulp libm gap that the
+    9 dp rounding collapses outside an ~1e-16 tie window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = model.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.ln(F.col("cnt").cast("double") / F.col("total")), 9)
+        .cast("decimal(18,9)")
+        .alias("lp"),
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("_sum_lp"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
+        ).alias("logprob_score"),
+    )
+
+
 def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF tier (one input row -> n output rows with arbitrary
     logic): split each document into 20-token chunks — the

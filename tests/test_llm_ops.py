@@ -519,3 +519,29 @@ def test_kmeans_exact_moves_assignments_and_conserves_n(spark):
     # uniform seed puts exactly n/k everywhere; iterations must break it
     assert sizes != [n // len(rows)] * len(rows), "assignments never moved"
     assert all(r.inertia > 0 for r in rows)
+
+
+def test_unigram_logprob_semantics(spark):
+    """The unigram LM score must be a real mean log-probability: strictly
+    negative (no token covers the whole corpus), bounded below by the
+    rarest token's log-prob, token counts agreeing with token_count's
+    whitespace accounting, and docs dominated by the corpus's most common
+    token must outscore docs of hapax tokens."""
+    scored = T.unigram_logprob(spark, SF_SMOKE)
+    tc = T.token_count(spark, SF_SMOKE)
+    joined = scored.join(tc, "doc_id").collect()
+    assert len(joined) > 0
+    assert all(r.n_tokens == r.ws_tokens for r in joined)
+    assert all(r.logprob_score < 0 for r in joined)
+    # bound: every mean log-prob lies within [ln(1/total), ln(max/total)]
+    from firebird_mapreduce_spark.functions.hashing import tokens as tok
+
+    docs = T.load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(tok(F.col("text"))).alias("t"))
+    total = toks.count()
+    cnts = [r.c for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()]
+    import math
+
+    lo = math.log(min(cnts) / total) - 1e-6
+    hi = math.log(max(cnts) / total) + 1e-6
+    assert all(lo <= r.logprob_score <= hi for r in joined), (lo, hi)
