@@ -201,7 +201,15 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Materialize the vocab-sized model once: without this, the grand
+    # total's lineage re-derives the model and the corpus is scanned a
+    # third time (plan-audited in PLANS.md) — at 100 TB that extra full
+    # scan is the dominant cost of the query.
+    model = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = model.agg(F.sum("cnt").cast("double").alias("total"))
     lp = model.crossJoin(F.broadcast(total)).select(
         "token",
