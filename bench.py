@@ -80,6 +80,9 @@ HEADLINE = [
     # C4 rule gate (zero exchanges, pure scan bandwidth)
     "skewed_rank_events",
     "quality_filter_c4",
+    # unigram-LM quality scoring: two corpus scans (model train + score),
+    # broadcast vocab model, exact-decimal per-doc log-prob sums
+    "unigram_logprob",
 ]
 
 

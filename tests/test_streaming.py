@@ -419,3 +419,83 @@ def test_evicted_dedup_key_reemits_after_horizon(spark, tmp_path):
     )
     got = sorted((r["user_id"], r["event_id"]) for r in result.collect())
     assert got == [(1, 1), (1, 4), (2, 2), (3, 3)], got
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Stop/restart recovery — the production durability contract: a query
+    killed after 2 of 4 micro-batches and restarted with the SAME
+    checkpointLocation must (a) resume from the recorded offsets instead
+    of re-reading consumed files, (b) restore the persisted watermark and
+    window state, and (c) leave its durable append sink bit-identical to
+    an uninterrupted run of the same replay.  If restart re-processed
+    from scratch, state would reset, already-finalized windows would be
+    re-emitted, and the sink comparison below would show duplicates."""
+    import shutil
+
+    from firebird_mapreduce_spark.streaming.jobs import (
+        _events_file_stream,
+        _events_split_dir,
+    )
+
+    split = _events_split_dir(spark, SF_SMOKE, n_files=4)
+    parts = sorted(
+        f for f in os.listdir(split)
+        if f.endswith(".parquet") and f.startswith("part_")
+    )
+    assert len(parts) == 4
+
+    def make_src(dest: str, names: list[str]) -> None:
+        os.makedirs(dest, exist_ok=True)
+        for i, name in enumerate(names):
+            out = os.path.join(dest, name)
+            shutil.copy(os.path.join(split, name), out)
+            # keep the split dir's strictly-increasing mtime contract so
+            # maxFilesPerTrigger=1 replays in event-time order
+            os.utime(out, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run_to_parquet(src: str, sink: str, ckpt: str) -> None:
+        stream = tumbling_window_stream(
+            _events_file_stream(spark, src, "*.parquet", split,
+                                max_files_per_trigger=1)
+        )
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+
+    # uninterrupted reference run: all 4 batches, one process lifetime
+    src_a = str(tmp_path / "src_a")
+    make_src(src_a, parts)
+    run_to_parquet(src_a, str(tmp_path / "sink_a"), str(tmp_path / "ckpt_a"))
+
+    # interrupted run: 2 batches, stop, 2 more files arrive, restart
+    src_b = str(tmp_path / "src_b")
+    make_src(src_b, parts[:2])
+    sink_b, ckpt_b = str(tmp_path / "sink_b"), str(tmp_path / "ckpt_b")
+    run_to_parquet(src_b, sink_b, ckpt_b)
+    make_src(src_b, parts)  # files 0/1 rewritten identically, 2/3 new
+    run_to_parquet(src_b, sink_b, ckpt_b)
+
+    a = _rows(spark.read.parquet(str(tmp_path / "sink_a")), "hour_start", "cnt")
+    b = _rows(spark.read.parquet(sink_b), "hour_start", "cnt")
+    assert len(b) == len(set(b)), "restart re-emitted finalized windows"
+    assert a == b
+    # restart must be an incremental read: the offsets log keeps growing
+    # past the pre-restart batches instead of starting a fresh batch 0
+    offsets_dir = os.path.join(ckpt_b, "offsets")
+    n_batches = len(os.listdir(offsets_dir))
+    assert n_batches >= 4, "restart collapsed the replay into one batch"
