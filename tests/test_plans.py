@@ -269,3 +269,44 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     assigned, _ = kmeans_fit(emb, k=4, iterations=1)
     plan = plan_string(assigned, "simple")
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_big_join_side(spark):
+    """Runtime row-level filtering (Spark 3.3+): on a shuffle join whose
+    build side carries a selective filter, Catalyst injects a bloom
+    filter built from the small side into the big side's scan, pruning
+    shuffle input before the join.  The application-side threshold is
+    10 GB by default, so at sf0.001 the injection must be coaxed with
+    lowered thresholds — at the 100 TB target the DEFAULTS fire; this
+    pins that the engine's join shapes are eligible (no UDF/barrier in
+    the way), not the thresholds themselves."""
+    from firebird_mapreduce_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, SF_SMOKE, "lineitem")
+        df = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+        plan = plan_string(df, "simple").lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan[:2000]
+        rows = df.collect()
+        assert rows and rows[0]["cnt"] > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
