@@ -419,3 +419,34 @@ def test_skewed_rank_matches_window_on_random_inputs(spark, data, parts):
         for r in df.withColumn("rnk", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_hll_sketches_merge_losslessly(spark):
+    """Mergeability is THE distributed-scale property of the HLL sketch:
+    at 1000 executors each shard sketches locally and only the fixed-size
+    registers travel.  The DataSketches union at equal lgConfigK is a
+    deterministic register-max, so unioning 7 per-shard sketches must
+    give the IDENTICAL estimate to sketching the whole table in one pass
+    — exact equality, not epsilon.  (approx_distinct_users' HLL++ is the
+    same algebra internally; this pins the property on the API where the
+    sketch is a first-class mergeable value.)"""
+    from firebird_mapreduce_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    whole = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est")
+    ).collect()[0]["est"]
+    shard_sketches = events.withColumn(
+        "shard", F.pmod(F.col("event_id"), F.lit(7))
+    ).groupBy("shard").agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    assert shard_sketches.count() == 7
+    merged = shard_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    assert whole == merged
+    # and the estimate is a real approximation of the exact answer
+    exact = events.select("user_id").distinct().count()
+    assert abs(whole - exact) / exact < 0.05, (whole, exact)
