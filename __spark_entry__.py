@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from firebird_mapreduce_spark.mapreduce import mapreduce_group_count
 from firebird_mapreduce_spark.operators import dedup as D
 from firebird_mapreduce_spark.operators import graph as G
+from firebird_mapreduce_spark.operators import layout as L
 from firebird_mapreduce_spark.operators import multimodal as M
 from firebird_mapreduce_spark.operators import pipeline as P
 from firebird_mapreduce_spark.operators import relational as R
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix_downsample": P.lang_mix_downsample,
         "above_avg_balance": R.above_avg_balance,
         "unigram_logprob": T.unigram_logprob,
+        "zorder_key_events": L.zorder_key_events,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -282,6 +284,7 @@ _PENDING_NEXT_WINDOW = [
     "lang_mix_downsample",
     "above_avg_balance",
     "unigram_logprob",
+    "zorder_key_events",
 ]
 
 
@@ -342,6 +345,21 @@ _MINHASH_CTES = """docs AS ({docs}),
             banded AS (
                 SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bsig
                 FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS b))"""
+
+
+# Z-order key oracle, generated from the SAME magic-number spread steps
+# the Spark column expression uses (functions.zorder._SPREAD_STEPS) so
+# the two bit pipelines can never drift.
+def _zorder_key_sql() -> str:
+    from firebird_mapreduce_spark.functions.zorder import z2_sql
+
+    zkey = z2_sql("user_id", "CAST(floor(value) AS BIGINT)")
+    return f"""
+        SELECT event_id, user_id,
+               CAST(floor(value) AS BIGINT) AS value_bucket,
+               {zkey} AS zkey
+        FROM events
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1046,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "lang_id_chargram": _lang_id_chargram_sql(),
+        "zorder_key_events": _zorder_key_sql(),
         "lang_id": """
             SELECT doc_id,
                    CASE WHEN contains(p, ' the ') OR contains(p, ' and ') THEN 'en'

@@ -1,0 +1,63 @@
+"""Storage-layout operators: Z-order writes and the pruning they buy.
+
+The reference engine has no storage layer (in-memory vectors,
+``firebird.h:174-179``); at the 100 TB target, file layout IS a query
+operator — the difference between a scan touching 2% or 100% of row
+groups for the same predicate.  This module provides the Z-order
+(Morton-interleave) layout write and the declared key-computation
+query; ``tools/measure_zorder.py`` measures the row-group pruning it
+buys and SCALE.md records the numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.zorder import z2
+from ..sources import load_table
+
+
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key over events' (user_id, floor(value)) — the 2-D sort
+    key a layout write clusters on.  Pure codegen projection (five
+    shift/or/mask steps per dimension, no UDF, zero exchanges); the
+    DuckDB oracle recomputes the identical bit arithmetic via
+    ``functions.zorder.z2_sql``.
+
+    At 100 TB the two dimensions are first quantile-bucketed to 16 bits;
+    this corpus's domains (user_id ≤ 149, value < 491) already fit raw.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.floor("value").cast("long").alias("value_bucket"),
+        z2(F.col("user_id"), F.floor("value").cast("long")).alias("zkey"),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    path: str,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` Z-ordered on ``(a_col, b_col)``: range-partition by
+    the interleaved key (so each output file owns a contiguous Z-range —
+    an axis-aligned rectangle family of the 2-D space), sort within
+    partitions (so row groups inside a file cluster too), drop the key.
+
+    This is the write-side half of Z-order pruning: parquet min/max
+    stats per row group do the read-side half for free in ANY engine
+    (Spark scan pushdown, DuckDB zone maps), no index structure needed.
+    """
+    keyed = df.withColumn("__zkey", z2(F.col(a_col), F.col(b_col)))
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Measure the row-group pruning a Z-order layout buys at sf0.1 —
+the deterministic signal behind SCALE.md's layout numbers (row groups a
+min/max check must touch; engine-independent, no timing noise).
+
+Usage:  python tools/measure_zorder.py [sf_dir]   (default sf0.1)
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from firebird_mapreduce_spark.operators.layout import write_zordered
+from firebird_mapreduce_spark.session import get_session
+from firebird_mapreduce_spark.sources import load_table
+
+N_FILES = 32
+
+
+def overlapping_groups(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+    hit = total = 0
+    for f in glob.glob(path + "/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        names = [
+            meta.row_group(0).column(i).path_in_schema
+            for i in range(meta.num_columns)
+        ]
+        j = names.index(col)
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(j).statistics
+            total += 1
+            if st.min <= hi and st.max >= lo:
+                hit += 1
+    return hit, total
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session("measure-zorder")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_bucket", F.floor("value").cast("long")
+    )
+    base = tempfile.mkdtemp(prefix="zorder_measure_")
+    try:
+        linear = os.path.join(base, "linear")
+        zordered = os.path.join(base, "zorder")
+        (
+            ev.repartitionByRange(N_FILES, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(linear)
+        )
+        write_zordered(ev, "user_id", "value_bucket", zordered, num_files=N_FILES)
+        preds = [
+            ("value_bucket", 64, 127),
+            ("value_bucket", 256, 383),
+            ("user_id", 10, 19),
+            ("user_id", 64, 95),
+        ]
+        out = {"sf_dir": sf_dir, "n_files": N_FILES, "rows": ev.count(), "preds": {}}
+        for col, lo, hi in preds:
+            lin = overlapping_groups(linear, col, lo, hi)
+            zor = overlapping_groups(zordered, col, lo, hi)
+            out["preds"][f"{col}[{lo},{hi}]"] = {
+                "linear_sorted_by_user_id": f"{lin[0]}/{lin[1]}",
+                "zorder": f"{zor[0]}/{zor[1]}",
+            }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
