@@ -1,0 +1,139 @@
+"""Versioned parquet table: atomic snapshot commits, time travel, and an
+idempotent CDC-apply streaming sink — the minimum table-format contract
+(what Delta/Iceberg provide) built from plain parquet + an append-only
+JSON commit log, for environments without a lakehouse format.
+
+Reference parity note: the reference engine has no persistent sink at
+all (results live in ``std::vector``, ``firebird.h:174-179``); this
+module exists for the production streaming posture — `foreachBatch`
+upsert with exactly-once semantics under batch retries.
+
+Design (all driver-side metadata, all data distributed):
+- Each commit writes a FULL snapshot to ``<path>/v<version>/`` and then
+  appends one JSON line ``{"version": N, "batch_id": B}`` to
+  ``<path>/_commits`` via write-temp + ``os.replace`` — atomic on POSIX,
+  so a reader never observes a half-written log and a crash between
+  snapshot write and log append simply leaves an orphan directory that
+  the next commit overwrites.
+- Readers resolve the latest (or any historical) version from the log —
+  snapshot isolation and time travel for free.
+- ``apply_cdc_batch`` records the micro-batch id in the commit line;
+  re-delivery of an already-applied batch (Structured Streaming retries
+  after a failure BEFORE the sink's effect was recorded) is detected and
+  skipped, which upgrades foreachBatch's at-least-once contract to
+  exactly-once — the idempotent-sink recipe from the Spark docs, made
+  concrete.
+
+At 100 TB a full-snapshot-per-commit is the right shape ONLY for
+dimension-sized tables (the CDC target here); fact-scale targets want
+partition-level rewrites (merge keys bucketed, rewrite only touched
+buckets) — the commit-log mechanics stay identical, the snapshot write
+narrows to changed buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.relational import merge_upsert
+
+
+class VersionedParquetTable:
+    """A parquet directory with an append-only commit log.
+
+    ``path/_commits`` holds one JSON line per commit; ``path/v<N>/`` holds
+    snapshot N.  The log is the source of truth — orphan snapshot dirs
+    (crash between data write and log append) are invisible to readers.
+    """
+
+    def __init__(self, path: str, key_cols: list[str]):
+        self.path = path
+        self.key_cols = list(key_cols)
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def commits(self) -> list[dict]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def latest_version(self) -> int | None:
+        log = self.commits()
+        return log[-1]["version"] if log else None
+
+    def applied_batch_ids(self) -> set[int]:
+        return {
+            c["batch_id"] for c in self.commits() if c.get("batch_id") is not None
+        }
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read (latest by default; any logged version for time
+        travel).  Raises ``ValueError`` for an empty table or an unknown
+        version rather than returning a half-state."""
+        log = self.commits()
+        if not log:
+            raise ValueError(f"versioned table at {self.path} has no commits")
+        versions = {c["version"] for c in log}
+        if version is None:
+            version = log[-1]["version"]
+        elif version not in versions:
+            raise ValueError(f"version {version} not in commit log {sorted(versions)}")
+        return spark.read.parquet(os.path.join(self.path, f"v{version}"))
+
+    def _append_log(self, entry: dict) -> None:
+        # write-temp + atomic replace: the log is small (one line per
+        # commit), so rewriting it whole keeps the update a single
+        # os.replace — no reader ever sees a torn line.
+        lines = self.commits() + [entry]
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
+        with os.fdopen(fd, "w") as fh:
+            for e in lines:
+                fh.write(json.dumps(e) + "\n")
+        os.replace(tmp, self._log_path)
+
+    def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
+        """Write ``df`` as the next snapshot and log it. Returns the new
+        version number."""
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{version}"))
+        self._append_log({"version": version, "batch_id": batch_id})
+        return version
+
+    def apply_cdc_batch(self, updates: DataFrame, batch_id: int) -> bool:
+        """foreachBatch body: merge ``updates`` into the latest snapshot
+        (update-wins on ``key_cols``) and commit — SKIPPING batches whose
+        id is already in the log, so sink retries cannot double-apply.
+        Returns True if applied, False if skipped as a duplicate."""
+        if batch_id in self.applied_batch_ids():
+            return False
+        spark = updates.sparkSession
+        if self.latest_version() is None:
+            merged = updates
+            if self.key_cols:
+                merged = merge_upsert(
+                    updates.limit(0), updates, self.key_cols
+                )
+        else:
+            merged = merge_upsert(self.read(spark), updates, self.key_cols)
+        # the merge reads the CURRENT snapshot and writes the NEXT dir, so
+        # there is no read-overwrite hazard and no checkpoint/localCheckpoint
+        # is needed before the write
+        self.commit(merged, batch_id=batch_id)
+        return True
+
+    def foreach_batch_writer(self):
+        """The callable to hand to ``writeStream.foreachBatch``."""
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_cdc_batch(batch_df, batch_id)
+
+        return apply

@@ -499,3 +499,84 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     offsets_dir = os.path.join(ckpt_b, "offsets")
     n_batches = len(os.listdir(offsets_dir))
     assert n_batches >= 4, "restart collapsed the replay into one batch"
+
+
+def test_versioned_cdc_sink_exactly_once_with_time_travel(spark, tmp_path):
+    """foreachBatch CDC apply into the versioned parquet table: the
+    4-batch event replay upserts one row per user (update-wins), so the
+    final snapshot must equal the batch argmax-by-(ts,…) answer over the
+    whole corpus; every micro-batch leaves a time-travelable snapshot;
+    and re-delivering an already-applied batch id (the Structured
+    Streaming retry case foreachBatch is documented to require
+    idempotence for) is a no-op — at-least-once upgraded to
+    exactly-once by the commit log."""
+    from firebird_mapreduce_spark.sources.versioned import VersionedParquetTable
+    from firebird_mapreduce_spark.streaming.jobs import (
+        _events_file_stream,
+        _events_split_dir,
+    )
+
+    split = _events_split_dir(spark, SF_SMOKE, n_files=4)
+    stream = _events_file_stream(
+        spark, split, "part_*.parquet", split, max_files_per_trigger=1
+    ).select("user_id", "ts", "value")
+
+    table = VersionedParquetTable(str(tmp_path / "users"), key_cols=["user_id"])
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(table.foreach_batch_writer())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    assert table.latest_version() == 3  # one snapshot per micro-batch
+    final = table.read(spark)
+
+    # batch oracle: merge dedupe keeps the greatest (ts, value) tuple per
+    # user within a batch, and later batches overwrite — over event-time-
+    # ordered batches that composes to the global greatest (ts, value)
+    from pyspark.sql import Window
+
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("value").desc_nulls_last()
+    )
+    expect = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    assert _rows(final, "user_id", "ts", "value") == _rows(
+        expect, "user_id", "ts", "value"
+    )
+
+    # time travel: every logged version is readable and row counts are
+    # monotone (upserts never drop users)
+    counts = [table.read(spark, v).count() for v in range(4)]
+    assert counts == sorted(counts) and counts[-1] == final.count()
+
+    # retry idempotence: re-deliver batch 0's data under its batch id
+    batch0 = spark.read.schema(final.schema).parquet(
+        os.path.join(split, "part_000.parquet")
+    )
+    assert table.apply_cdc_batch(batch0.select("user_id", "ts", "value"), 0) is False
+    assert table.latest_version() == 3  # nothing re-applied
+
+    # unknown version / empty table raise instead of returning half-state
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table.read(spark, 99)
+    empty = VersionedParquetTable(str(tmp_path / "none"), key_cols=["user_id"])
+    with _pytest.raises(ValueError):
+        empty.read(spark)
