@@ -163,30 +163,45 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically smallest term.
 
     One exploded (doc, term) pass feeds both tf and df; N arrives as a
-    broadcast one-row aggregate, never a driver round-trip."""
+    broadcast one-row aggregate, never a driver round-trip.  The df
+    branch's lineage is recomputed rather than checkpointed (column
+    pruning drops tf's count there, so the exchange is not reusable):
+    one extra map-side corpus scan, chosen over materializing the
+    corpus-sized tf table in executor storage."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).filter(
         F.col("term") != ""
     )
     tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df falls out of tf for free (one row per (doc, term) already) — a
-    # separate pairs.distinct() would tokenize the corpus a second time
+    # separate pairs.distinct() would tokenize the corpus a second time.
+    # dfreq is vocab-sized, so it is BROADCAST: joining it by shuffle
+    # would repartition the whole (doc, term) table on term just to tag
+    # each row with a df — the wrong side of the join pays at 100 TB.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # doc_id is the table key, so N is a plain count — countDistinct here
+    # would add a doc_id-hash exchange just to dedupe an already-unique key
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "term", "tf", "df", "tfidf")
+    # arg-max per doc as a partial-aggregating min_by instead of a sort
+    # window: the ordering (tfidf DESC, term ASC) becomes the struct min
+    # of (-tfidf, term) — IEEE negation is exact, term is unique per doc
+    # after the tf groupBy, so the winner is identical and deterministic;
+    # the agg combines map-side and never materializes a per-doc sort.
+    best = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("term", "tf", "df", "tfidf"),
+            F.struct((-F.col("tfidf")).alias("neg"), F.col("term")),
+        ).alias("b")
     )
+    return best.select("doc_id", "b.term", "b.tf", "b.df", "b.tfidf")
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
