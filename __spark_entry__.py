@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_balance": R.above_avg_balance,
         "unigram_logprob": T.unigram_logprob,
         "zorder_key_events": L.zorder_key_events,
+        "profile_events": P.profile_events,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -285,6 +286,7 @@ _PENDING_NEXT_WINDOW = [
     "above_avg_balance",
     "unigram_logprob",
     "zorder_key_events",
+    "profile_events",
 ]
 
 
@@ -1065,6 +1067,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
+        # per-column profiling report: formatters chosen per type so both
+        # engines emit identical text (see operators.pipeline.profile_events)
+        "profile_events": """
+            SELECT 'event_id' AS col_name,
+                   count(*) - count(event_id) AS null_cnt,
+                   count(DISTINCT event_id) AS distinct_cnt,
+                   CAST(min(event_id) AS VARCHAR) AS min_str,
+                   CAST(max(event_id) AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*) - count(ts), count(DISTINCT ts),
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*) - count(event_type),
+                   count(DISTINCT event_type),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*) - count(value),
+                   count(DISTINCT value),
+                   printf('%.2f', min(value)), printf('%.2f', max(value))
+            FROM events
+            UNION ALL
+            SELECT 'props', count(*) - count(props),
+                   count(DISTINCT props),
+                   min(props), max(props)
+            FROM events
+        """,
         "lang_id": """
             SELECT doc_id,
                    CASE WHEN contains(p, ' the ') OR contains(p, ' and ') THEN 'en'

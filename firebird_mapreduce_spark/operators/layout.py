@@ -37,6 +37,56 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    preserve_sort: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet directory to ~``target_bytes`` files.
+
+    The small-files problem is the silent scan killer at 100 TB: a
+    streaming sink or over-parallel write leaves thousands of KB-sized
+    files, and every query then pays per-file open/footer costs that
+    dwarf the data read (plus driver memory for the file index).
+    Compaction = read → ``repartition(ceil(bytes/target))`` → rewrite.
+
+    The new file count comes from the CURRENT on-disk byte size (cheap
+    driver-side listing, no data read), so the pass sizes itself.  With
+    ``preserve_sort`` the rewrite range-partitions + sorts on those
+    columns instead of round-robin, keeping row-group min/max clustering
+    (e.g. after a Z-order write, pass the z-key-producing columns'
+    sort to keep pruning).  Writes to a temp sibling then swaps, so a
+    concurrent reader sees old or new, never a mix.  Returns the new
+    file count.
+    """
+    import math
+    import os
+    import shutil
+
+    data_files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in data_files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "_compact_tmp"
+    if preserve_sort:
+        out = df.repartitionByRange(n_out, *preserve_sort).sortWithinPartitions(
+            *preserve_sort
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "_compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_out
+
+
 def write_zordered(
     df: DataFrame,
     a_col: str,

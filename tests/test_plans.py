@@ -374,3 +374,48 @@ def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
     lin_u, _ = overlapping_groups(linear, "user_id", 10, 19)
     z_u, _ = overlapping_groups(zordered, "user_id", 10, 19)
     assert lin_u <= z_u < z_total, (lin_u, z_u, z_total)
+
+
+def test_compact_files_merges_small_files_and_keeps_rows(spark, tmp_path):
+    """Small-files compaction: 64 tiny files collapse to the byte-sized
+    target count, rows survive exactly, and ``preserve_sort`` keeps the
+    per-file min/max clustering a later range predicate prunes on."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from firebird_mapreduce_spark.operators.layout import compact_files
+    from firebird_mapreduce_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    path = str(tmp_path / "frag")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    n_before = len(glob.glob(path + "/*.parquet"))
+    assert n_before == 64
+    total_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(path + "/*.parquet")
+    )
+    rows = ev.count()
+
+    n_out = compact_files(spark, path, target_bytes=total_bytes // 3 + 1,
+                          preserve_sort=["user_id"])
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == n_out <= 4
+    assert spark.read.parquet(path).count() == rows
+    # preserve_sort: per-file user_id ranges must not all span the domain
+    spans = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = [
+            meta.row_group(0).column(i).path_in_schema
+            for i in range(meta.num_columns)
+        ]
+        j = names.index("user_id")
+        st = meta.row_group(0).column(j).statistics
+        spans.append((st.min, st.max))
+    spans.sort()
+    # range partitioning gives (near) disjoint spans: each file's min is
+    # >= the previous file's max - allow equality at boundaries
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert lo2 >= hi1, spans
