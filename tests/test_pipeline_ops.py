@@ -152,3 +152,27 @@ def test_lang_mix_downsample_rebalances_toward_uniform(spark):
         assert abs(r.n_kept - n_min) <= 4 * sigma + 1, (
             r.lang, r.n_kept, n_min
         )
+
+
+def test_observe_metrics_account_without_second_pass(spark):
+    """Pipeline accounting via ``observe()``: keep/drop counters ride the
+    SAME job that materializes the filter output — at 100 TB a separate
+    count() would re-scan the corpus just for bookkeeping.  The observed
+    metrics must equal the independently computed answers."""
+    from pyspark.sql import Observation
+
+    from firebird_mapreduce_spark.operators.pipeline import quality_filter_c4
+    from tests.conftest import SF_SMOKE
+
+    gated = quality_filter_c4(spark, SF_SMOKE)
+    obs = Observation("c4_accounting")
+    observed = gated.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+    kept_rows = observed.filter("keep").count()  # the one real job
+    metrics = obs.get
+    assert metrics["n_kept"] == kept_rows
+    assert metrics["n_total"] == gated.count()
+    assert 0 < metrics["n_kept"] < metrics["n_total"]
