@@ -450,3 +450,38 @@ def test_hll_sketches_merge_losslessly(spark):
     # and the estimate is a real approximation of the exact answer
     exact = events.select("user_id").distinct().count()
     assert abs(whole - exact) / exact < 0.05, (whole, exact)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_interleave_is_bijective_and_locality_preserving(spark, pairs):
+    """The Morton key must be a bijection on 16-bit pairs (deinterleaving
+    the even/odd bits recovers exactly the inputs — no collisions, so
+    range-partitioning on z never merges distinct (a,b) cells), and
+    block-local: pairs sharing their top k bits in BOTH dimensions share
+    the top 2k bits of z (the prefix property that makes a z-range an
+    axis-aligned rectangle — the entire basis of the pruning claim)."""
+    from firebird_mapreduce_spark.functions.zorder import z2
+
+    df = spark.createDataFrame(pairs, "a LONG, b LONG").select(
+        "a", "b", z2(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        # deinterleave even bits -> a, odd bits -> b
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
+        for k in (4, 8):
+            # prefix property: top-k bits of each dim determine top-2k of z
+            za = sum((((r.a >> (16 - k + i)) & 1) << (2 * i) for i in range(k)))
+            zb = sum((((r.b >> (16 - k + i)) & 1) << (2 * i + 1) for i in range(k)))
+            assert (r.z >> (2 * (16 - k))) == za | zb
