@@ -83,6 +83,12 @@ HEADLINE = [
     # unigram-LM quality scoring: two corpus scans (model train + score),
     # broadcast vocab model, exact-decimal per-doc log-prob sums
     "unigram_logprob",
+    # reworked late r4: broadcast vocab-side df + partial-agg arg-max
+    "tfidf_top_terms",
+    # codegen Morton-interleave projection (zero exchanges)
+    "zorder_key_events",
+    # one-pass per-column profiling report
+    "profile_events",
 ]
 
 
