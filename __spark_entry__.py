@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": T.unigram_logprob,
         "zorder_key_events": L.zorder_key_events,
         "profile_events": P.profile_events,
+        "tpch_q5_sql": R.tpch_q5_sql,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -287,6 +288,7 @@ _PENDING_NEXT_WINDOW = [
     "unigram_logprob",
     "zorder_key_events",
     "profile_events",
+    "tpch_q5_sql",
 ]
 
 
@@ -1067,6 +1069,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
+        # the SQL-surface flagship: same decimal-exact Q5 arithmetic,
+        # EUROPE/1995 (distinct evidence from tpch_revenue_by_nation)
+        "tpch_q5_sql": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(
+                       CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l.l_discount AS DECIMAL(4,2)))
+                       AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+              AND o.o_orderdate >= '1995-01-01'
+              AND o.o_orderdate < '1996-01-01'
+            GROUP BY n.n_name
+        """,
         # per-column profiling report: formatters chosen per type so both
         # engines emit identical text (see operators.pipeline.profile_events)
         "profile_events": """

@@ -1046,6 +1046,42 @@ def tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q5_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the Q5-shaped flagship written as ONE
+    ``spark.sql`` statement over temp views registered from the same
+    adaptive readers (footer-sniffing timestamp handling and all) — the
+    API a SQL-first user of the engine gets, compiled by the same
+    Catalyst into the same broadcast-dim/shuffle-fact plan as the
+    DataFrame spelling (equality pinned in tests/test_plans.py).
+    EUROPE/1995 so the result set is distinct evidence from
+    ``tpch_revenue_by_nation``'s ASIA/1996.  Broadcast hints are the SQL
+    spelling of ``F.broadcast``; revenue arithmetic is the exact-decimal
+    house form."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q5_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n, r) */
+               n.n_name,
+               CAST(sum(CAST(
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l.l_discount AS DECIMAL(4,2)))
+                   AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM q5_lineitem l
+        JOIN q5_orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN q5_customer c ON o.o_custkey = c.c_custkey
+        JOIN q5_nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN q5_region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND o.o_orderdate >= '1995-01-01'
+          AND o.o_orderdate < '1996-01-01'
+        GROUP BY n.n_name
+        """
+    )
+
+
 def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per user, how many events (and the max
     value seen) in the trailing 30 minutes INCLUDING the current row — the

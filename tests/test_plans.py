@@ -419,3 +419,49 @@ def test_compact_files_merges_small_files_and_keeps_rows(spark, tmp_path):
     # >= the previous file's max - allow equality at boundaries
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert lo2 >= hi1, spans
+
+
+def test_sql_surface_q5_matches_dataframe_plan_and_values(spark):
+    """The spark.sql spelling of the Q5 flagship must land on the same
+    physical shape as the DataFrame spelling (broadcast dims, shuffled
+    fact joins) and, run over the SAME region/year, the same values —
+    proving the SQL surface is the DataFrame surface, one Catalyst in."""
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.sources import load_table
+
+    df = R.tpch_q5_sql(spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+    rows = {(r.n_name, round(r.revenue, 2), r.n_lines) for r in df.collect()}
+    assert rows, "EUROPE/1995 slice must be non-empty"
+    # independent DataFrame spelling of the same slice
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    region = load_table(spark, SF_SMOKE, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(28,4)")
+    want = {
+        (r.n_name, round(r.revenue, 2), r.n_lines)
+        for r in (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(
+                F.sum(revenue).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .collect()
+        )
+    }
+    assert rows == want
