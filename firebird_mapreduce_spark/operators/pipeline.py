@@ -378,19 +378,22 @@ def lang_mix_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass data-profiling report over ``events`` — per column:
-    null count, exact distinct count, and deterministically formatted
-    min/max — the data-quality dashboard every ingest pipeline fronts a
-    corpus with (schema drift, null storms, and cardinality explosions
-    all show up here before they poison training runs).
+    """Data-profiling report over ``events`` — per column: null count,
+    exact distinct count, and deterministically formatted min/max — the
+    data-quality dashboard every ingest pipeline fronts a corpus with
+    (schema drift, null storms, and cardinality explosions all show up
+    here before they poison training runs).
 
-    One aggregation computes every metric (Catalyst expands the multiple
-    DISTINCTs into one pass over a row multiplication — acceptable for a
-    profiling sweep; at 100 TB swap the exact distincts for
+    Spelling: one aggregation branch PER COLUMN, unioned into the long
+    report (the driver receives six rows, never data).  Each branch's
+    scan prunes to its single column, so total bytes read stay ~one full
+    scan of the table while every distinct aggregate runs as an ordinary
+    partial→final pair — measured 4× faster at sf0.1 than the
+    single-pass multi-DISTINCT form, whose Expand multiplies every row
+    by the column count before the shuffle (the A/B and the trade are in
+    SCALE.md).  At 100 TB swap the exact distincts for
     ``approx_count_distinct``/HLL sketches, whose lossless mergeability
-    is pinned in test_properties.py).  The wide one-row result is then
-    exploded to the long (col_name, metrics) report — driver receives
-    six rows, never data.
+    is pinned in test_properties.py.
 
     Formatting is the cross-engine discipline: bigints via plain string
     cast, doubles via ``%.2f`` (inputs are exact 2-dp), timestamps via
@@ -398,15 +401,6 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin produces the identical text.
     """
     ev = load_table(spark, sf_dir, "events")
-
-    def metrics(col: str, fmt) -> list:
-        return [
-            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}_nulls"),
-            F.countDistinct(col).alias(f"{col}_distinct"),
-            fmt(F.min(col)).alias(f"{col}_min"),
-            fmt(F.max(col)).alias(f"{col}_max"),
-        ]
-
     as_str = lambda c: c.cast("string")  # noqa: E731
     as_2f = lambda c: F.format_string("%.2f", c)  # noqa: E731
     as_ts = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")  # noqa: E731
@@ -418,23 +412,17 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value": as_2f,
         "props": as_str,
     }
-    wide = ev.agg(
-        *[m for col, fmt in plan.items() for m in metrics(col, fmt)]
-    )
-    report = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(col).alias("col_name"),
-                    F.col(f"{col}_nulls").alias("null_cnt"),
-                    F.col(f"{col}_distinct").alias("distinct_cnt"),
-                    F.col(f"{col}_min").alias("min_str"),
-                    F.col(f"{col}_max").alias("max_str"),
-                )
-                for col in plan
-            ]
+    branches = [
+        ev.agg(
+            F.lit(col).alias("col_name"),
+            (F.count(F.lit(1)) - F.count(col)).alias("null_cnt"),
+            F.countDistinct(col).alias("distinct_cnt"),
+            fmt(F.min(col)).alias("min_str"),
+            fmt(F.max(col)).alias("max_str"),
         )
-    ).alias("r")
-    return wide.select(report).select(
-        "r.col_name", "r.null_cnt", "r.distinct_cnt", "r.min_str", "r.max_str"
-    )
+        for col, fmt in plan.items()
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
