@@ -77,12 +77,74 @@ def shapes(spark):
             .agg(F.count(F.lit(1)).alias("uniq"), F.sum("c").alias("total"))
         )
 
+    def zorder_key(n):
+        # late-r4 Morton projection: pure codegen bit arithmetic — must
+        # run at scan speed (any sub-linear throughput here means the
+        # shift/or/mask chain fell out of codegen)
+        from firebird_mapreduce_spark.functions.zorder import z2
+
+        return (
+            spark.range(n)
+            .select(
+                z2(
+                    (F.col("id") % 65536),
+                    ((F.col("id") * 7919) % 65536),
+                ).alias("z")
+            )
+            .groupBy()
+            .agg(F.sum("z").alias("checksum"))
+        )
+
+    def unigram_score(n):
+        # late-r4 LM-scoring shape on a synthetic token stream (one row =
+        # one token occurrence): vocab-sized model aggregate, broadcast
+        # join back over the stream, per-doc sum — the two
+        # map-side-combined shuffles of unigram_logprob without the text
+        # explode (which is scan-side and covered by word_count/bench)
+        toks = spark.range(n).select(
+            (F.col("id") / 100).cast("long").alias("doc_id"),
+            ((F.col("id") * 2654435761) % 50_000).alias("token"),
+        )
+        model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            toks.join(F.broadcast(model), "token")
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").alias("s"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("s").alias("chk"))
+        )
+
+    def profile_columns(n):
+        # late-r4 profiling shape: one pruned aggregation branch per
+        # column (3 here), unioned — each branch a partial→final pair
+        df = spark.range(n).select(
+            "id",
+            (F.col("id") % 1009).alias("a"),
+            ((F.col("id") * 31) % 497).alias("b"),
+        )
+        branches = [
+            df.agg(
+                F.lit(c).alias("col_name"),
+                F.countDistinct(c).alias("distinct_cnt"),
+                F.min(c).cast("string").alias("mn"),
+                F.max(c).cast("string").alias("mx"),
+            )
+            for c in ("id", "a", "b")
+        ]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
     return {
         "agg_100keys": agg,
         "shuffle_join": shuffle_join,
         "broadcast_join": broadcast_join,
         "window_rank": window_rank,
         "exact_dedup": exact_dedup,
+        "zorder_key": zorder_key,
+        "unigram_score": unigram_score,
+        "profile_columns": profile_columns,
     }
 
 
