@@ -580,3 +580,56 @@ def test_versioned_cdc_sink_exactly_once_with_time_travel(spark, tmp_path):
     empty = VersionedParquetTable(str(tmp_path / "none"), key_cols=["user_id"])
     with _pytest.raises(ValueError):
         empty.read(spark)
+
+
+def test_custom_streaming_source_offsets_resume_exactly_once(spark, tmp_path):
+    """Custom streaming source (Spark 4 DataSourceStreamReader) with real
+    offset management: run 1 consumes the feed's first batch; a RESTART
+    with the same checkpoint consumes exactly the next batch — no
+    replays, no gaps — because Spark restores the committed offset and
+    the source consults the external head instead of a reset counter.
+    The payload is a pure function of the global row index, so the
+    union of both runs must be exactly rows 0..2N-1, each once."""
+    from firebird_mapreduce_spark.streaming.eventgen_source import (
+        register,
+        row_at,
+    )
+
+    register(spark)
+    head = str(tmp_path / "head")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("eventgen")
+            .option("rowsPerBatch", "300")
+            .option("partitionsPerBatch", "3")
+            .option("headFile", head)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert first == [row_at(i) for i in range(300)]
+
+    run_once()  # restart: same checkpoint, feed advanced one more batch
+    both = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert both == [row_at(i) for i in range(600)], (
+        "restart must resume at the committed offset: no replay, no gap"
+    )
