@@ -30,6 +30,9 @@ from firebird_mapreduce_spark.operators import similarity as S
 from firebird_mapreduce_spark.operators import skew as K
 from firebird_mapreduce_spark.operators import text as T
 from firebird_mapreduce_spark.streaming import jobs as SJ
+from firebird_mapreduce_spark.streaming.eventgen_source import (
+    stream_custom_source_query as _stream_custom_source,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -108,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_events": L.zorder_key_events,
         "profile_events": P.profile_events,
         "tpch_q5_sql": R.tpch_q5_sql,
+        "stream_custom_source": _stream_custom_source,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -289,6 +293,7 @@ _PENDING_NEXT_WINDOW = [
     "zorder_key_events",
     "profile_events",
     "tpch_q5_sql",
+    "stream_custom_source",
 ]
 
 
@@ -1069,6 +1074,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
+        # custom streaming source: the payload is a pure function of the
+        # row index, so a range expression regenerates the batch exactly
+        "stream_custom_source": """
+            SELECT i AS event_id,
+                   i % 50 AS user_id,
+                   CASE i % 3 WHEN 0 THEN 'click'
+                              WHEN 1 THEN 'view'
+                              ELSE 'purchase' END AS event_type,
+                   CAST(i % 100 AS DOUBLE) / 2 AS value
+            FROM (SELECT unnest(range(0, 1000)) AS i)
+        """,
         # the SQL-surface flagship: same decimal-exact Q5 arithmetic,
         # EUROPE/1995 (distinct evidence from tpch_revenue_by_nation)
         "tpch_q5_sql": """

@@ -115,3 +115,38 @@ class EventGenStreamReader(DataSourceStreamReader):
 
 def register(spark) -> None:
     spark.dataSource.register(EventGenDataSource)
+
+
+_QUERY_COUNTER = 0
+
+
+def stream_custom_source_query(spark, sf_dir: str):
+    """Declared query: one availableNow batch from the registered custom
+    source, replayed to a memory sink — 1000 generated events whose
+    payload is a pure function of the row index, so a DuckDB ``range``
+    expression regenerates them exactly (the custom-source path gets a
+    hash oracle, not just a smoke check).  ``sf_dir`` is unused: the
+    source IS the data."""
+    import tempfile
+
+    global _QUERY_COUNTER
+    _QUERY_COUNTER += 1
+    register(spark)
+    head = tempfile.mktemp(prefix="eventgen_head_")
+    name = f"q_eventgen_{_QUERY_COUNTER}"
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rowsPerBatch", "1000")
+        .option("partitionsPerBatch", "4")
+        .option("headFile", head)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
