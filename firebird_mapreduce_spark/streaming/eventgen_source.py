@@ -127,12 +127,17 @@ def stream_custom_source_query(spark, sf_dir: str):
     expression regenerates them exactly (the custom-source path gets a
     hash oracle, not just a smoke check).  ``sf_dir`` is unused: the
     source IS the data."""
+    import os
     import tempfile
 
     global _QUERY_COUNTER
     _QUERY_COUNTER += 1
     register(spark)
-    head = tempfile.mktemp(prefix="eventgen_head_")
+    # a FRESH head per call: the query must be deterministic (always the
+    # feed's first batch), so the "external system" starts empty
+    fd, head = tempfile.mkstemp(prefix="eventgen_head_")
+    os.close(fd)
+    os.remove(head)
     name = f"q_eventgen_{_QUERY_COUNTER}"
     stream = (
         spark.readStream.format("eventgen")
