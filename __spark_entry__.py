@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": P.profile_events,
         "tpch_q5_sql": R.tpch_q5_sql,
         "stream_custom_source": _stream_custom_source,
+        "variant_extract_events": R.variant_extract_events,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -294,6 +295,7 @@ _PENDING_NEXT_WINDOW = [
     "profile_events",
     "tpch_q5_sql",
     "stream_custom_source",
+    "variant_extract_events",
 ]
 
 
@@ -1074,6 +1076,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
+        # VARIANT-typed extraction summarized per value (DuckDB reads the
+        # same paths from the JSON text)
+        "variant_extract_events": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+                   count(*) AS n_events,
+                   min(event_id) AS min_event,
+                   max(event_id) AS max_event
+            FROM events
+            GROUP BY 1
+        """,
         # custom streaming source: the payload is a pure function of the
         # row index, so a range expression regenerates the batch exactly
         "stream_custom_source": """

@@ -485,3 +485,26 @@ def test_zorder_interleave_is_bijective_and_locality_preserving(spark, pairs):
             za = sum((((r.a >> (16 - k + i)) & 1) << (2 * i) for i in range(k)))
             zb = sum((((r.b >> (16 - k + i)) & 1) << (2 * i + 1) for i in range(k)))
             assert (r.z >> (2 * (16 - k))) == za | zb
+
+
+def test_count_min_sketch_is_partitioning_invariant(spark):
+    """Count-min sketch as a distributed aggregate: the sketch is a
+    commutative monoid (cell-wise adds), so the SAME seed over the SAME
+    rows must yield BYTE-IDENTICAL sketches regardless of how the rows
+    are partitioned — 1 partition vs 13 exercises completely different
+    partial-aggregation merge trees.  A sketch whose bytes depended on
+    partitioning would be useless as a map-side-combined aggregate at
+    1000 executors."""
+    from firebird_mapreduce_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        F.col("user_id").cast("int").alias("u")
+    )
+    sketch = lambda df: df.agg(  # noqa: E731
+        F.count_min_sketch("u", F.lit(0.005), F.lit(0.99), F.lit(12345)).alias("s")
+    ).collect()[0]["s"]
+    one = sketch(events.repartition(1))
+    many = sketch(events.repartition(13))
+    assert bytes(one) == bytes(many)
+    assert len(bytes(one)) > 100  # real sketch payload, not a stub
