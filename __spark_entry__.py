@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_sql": R.tpch_q5_sql,
         "stream_custom_source": _stream_custom_source,
         "variant_extract_events": R.variant_extract_events,
+        "curation_pipeline": P.curation_pipeline,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -296,6 +297,7 @@ _PENDING_NEXT_WINDOW = [
     "tpch_q5_sql",
     "stream_custom_source",
     "variant_extract_events",
+    "curation_pipeline",
 ]
 
 
@@ -1076,6 +1078,67 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
+        # end-to-end curation funnel: the same quality/dedup/mix stage
+        # expressions as the individual oracles, replayed as one CTE chain
+        "curation_pipeline": """
+            WITH corpus AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text, lang FROM documents
+            ),
+            q AS (
+                SELECT doc_id, text, lang,
+                       (CAST(len(string_split(lower(text), ' ')) AS BIGINT) >= 30
+                        AND round(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                              / len(string_split(lower(text), ' ')), 6) <= 5.0
+                        AND round(CAST(len(list_filter(
+                                  string_split(lower(text), ' '),
+                                  t -> t IN ('the','a','of','to','and')))
+                              AS DOUBLE)
+                              / len(string_split(lower(text), ' ')), 6) >= 0.03)
+                           AS keep
+                FROM corpus
+            ),
+            kept AS (SELECT * FROM q WHERE keep),
+            surv AS (
+                SELECT md5(text) AS h, min(doc_id) AS doc_id
+                FROM kept GROUP BY 1
+            ),
+            uniq AS (
+                SELECT s.doc_id, k.lang
+                FROM surv s JOIN kept k USING (doc_id)
+            ),
+            counts AS (SELECT lang, count(*) AS n_uniq FROM uniq GROUP BY lang),
+            cuts AS (
+                SELECT lang,
+                       CAST(floor(
+                            CAST((SELECT min(n_uniq) FROM counts) AS DOUBLE)
+                            / n_uniq * 4294967296.0) AS BIGINT) AS cut
+                FROM counts
+            ),
+            staged AS (
+                SELECT u.lang, u.doc_id,
+                       (CAST('0x' || substr(
+                            md5('mix|' || CAST(u.doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) < c.cut) AS fin
+                FROM uniq u JOIN cuts c USING (lang)
+            ),
+            base AS (
+                SELECT lang, count(*) AS n_corpus,
+                       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_quality
+                FROM q GROUP BY lang
+            )
+            SELECT b.lang, b.n_corpus, b.n_quality,
+                   f.n_unique, f.n_final, f.min_final, f.max_final
+            FROM base b JOIN (
+                SELECT lang, count(*) AS n_unique,
+                       CAST(sum(CASE WHEN fin THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_final,
+                       min(CASE WHEN fin THEN doc_id END) AS min_final,
+                       max(CASE WHEN fin THEN doc_id END) AS max_final
+                FROM staged GROUP BY lang) f USING (lang)
+        """,
         # VARIANT-typed extraction summarized per value (DuckDB reads the
         # same paths from the JSON text)
         "variant_extract_events": """

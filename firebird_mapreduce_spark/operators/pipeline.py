@@ -426,3 +426,70 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline as ONE declared query — the composed
+    workflow a corpus actually runs, not isolated operators: planted
+    exact duplicates → C4-style quality gate → exact content dedup →
+    dynamic language-mix downsampling, reported as a per-language funnel
+    (corpus → quality → unique → final) with min/max surviving ids.
+
+    Every stage reuses the verified building block's exact expressions
+    (`quality_filter_c4` rules, `dedup_exact_hash` min-id survivorship,
+    `lang_mix_downsample` md5-prefix cuts), and the oracle replays the
+    same chain as nested CTEs — so the INTEGRATION is externally
+    verified, not just the parts.  Plan shape at 100 TB: the corpus is
+    scanned once into the quality projection (map-only), dedup is one
+    content-hash shuffle of survivors, the mix cut table is vocabulary-
+    sized and broadcast; stage accounting aggregates are group-key-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text", "lang")
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(toks).cast("long")
+    mwl = F.round(
+        F.length(F.translate(F.col("text"), " ", "")).cast("double") / n_words, 6
+    )
+    stop_ratio = F.round(
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "a", "of", "to", "and"))
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    q = corpus.withColumn(
+        "keep", (n_words >= 30) & (mwl <= 5.0) & (stop_ratio >= 0.03)
+    )
+    kept = q.filter("keep")
+    survivors = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    uniq = survivors.select("doc_id").join(kept.select("doc_id", "lang"), "doc_id")
+    counts = uniq.groupBy("lang").agg(F.count(F.lit(1)).alias("n_uniq"))
+    target = counts.agg(F.min("n_uniq").alias("n_target"))
+    cuts = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        F.floor(
+            F.col("n_target").cast("double") / F.col("n_uniq") * F.lit(4294967296.0)
+        ).alias("cut"),
+    )
+    hashv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long")
+    staged = uniq.join(F.broadcast(cuts), "lang").withColumn(
+        "fin", hashv < F.col("cut")
+    )
+    base = q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality"),
+    )
+    funnel = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("fin").cast("long")).alias("n_final"),
+        F.min(F.when(F.col("fin"), F.col("doc_id"))).alias("min_final"),
+        F.max(F.when(F.col("fin"), F.col("doc_id"))).alias("max_final"),
+    )
+    return base.join(funnel, "lang")

@@ -176,3 +176,26 @@ def test_observe_metrics_account_without_second_pass(spark):
     assert metrics["n_kept"] == kept_rows
     assert metrics["n_total"] == gated.count()
     assert 0 < metrics["n_kept"] < metrics["n_total"]
+
+
+def test_curation_pipeline_funnel_drops_at_every_stage(spark):
+    """The composed pipeline is only meaningful if each stage does real
+    work: quality drops some rows, dedup exactly halves the kept set
+    (every doc has one planted exact copy, and quality flags are
+    identical for copies since features depend only on text), and the
+    mix downsampling cuts the non-minimum languages."""
+    from firebird_mapreduce_spark.operators.pipeline import curation_pipeline
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.lang: r for r in curation_pipeline(spark, SF_SMOKE).collect()}
+    assert len(rows) >= 2
+    tot = lambda f: sum(getattr(r, f) for r in rows.values())  # noqa: E731
+    assert tot("n_corpus") > tot("n_quality"), "quality gate dropped nothing"
+    assert tot("n_quality") == 2 * tot("n_unique"), "dedup must halve (1 copy each)"
+    assert tot("n_unique") > tot("n_final"), "mix stage dropped nothing"
+    # mix targets the smallest language: the min language keeps ~all docs
+    min_lang = min(rows.values(), key=lambda r: r.n_unique)
+    assert min_lang.n_final >= int(0.8 * min_lang.n_unique)
+    for r in rows.values():
+        if r.n_final > 0:
+            assert r.min_final is not None and r.max_final >= r.min_final
