@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_custom_source": _stream_custom_source,
         "variant_extract_events": R.variant_extract_events,
         "curation_pipeline": P.curation_pipeline,
+        "lateral_topk_per_nation": R.lateral_topk_per_nation,
         # iterative graph
         "sssp_fixpoint": G.sssp_fixpoint,
         "connected_components": G.connected_components_query,
@@ -298,6 +299,7 @@ _PENDING_NEXT_WINDOW = [
     "stream_custom_source",
     "variant_extract_events",
     "curation_pipeline",
+    "lateral_topk_per_nation",
 ]
 
 
@@ -1078,6 +1080,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
+        # correlated LATERAL: identical statement runs on DuckDB
+        "lateral_topk_per_nation": """
+            SELECT n.n_name, t.c_custkey, t.c_acctbal
+            FROM nation n,
+            LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                     WHERE c.c_nationkey = n.n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """,
         # end-to-end curation funnel: the same quality/dedup/mix stage
         # expressions as the individual oracles, replayed as one CTE chain
         "curation_pipeline": """

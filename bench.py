@@ -89,6 +89,8 @@ HEADLINE = [
     "zorder_key_events",
     # one-pass per-column profiling report
     "profile_events",
+    # the end-to-end curation funnel (quality -> dedup -> mix, one query)
+    "curation_pipeline",
 ]
 
 

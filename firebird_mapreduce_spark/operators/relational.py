@@ -720,6 +720,27 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: for each nation, its top-2 customers by
+    balance — the per-row-subquery shape SQL users reach for before
+    discovering window functions.  Catalyst decorrelates the LATERAL
+    into a ranked join (same physical family as the window spelling),
+    so declaring it this way costs nothing at scale; DuckDB runs the
+    identical statement.  Deterministic total order via the
+    (balance DESC, custkey) tie-break."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM lat_nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """
+    )
+
+
 def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
     shreds the JSON string into the binary variant encoding ONCE, then
