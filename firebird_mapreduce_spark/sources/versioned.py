@@ -81,11 +81,15 @@ class VersionedParquetTable:
         log = self.commits()
         if not log:
             raise ValueError(f"versioned table at {self.path} has no commits")
-        versions = {c["version"] for c in log}
+        by_version = {c["version"]: c for c in log}
         if version is None:
             version = log[-1]["version"]
-        elif version not in versions:
-            raise ValueError(f"version {version} not in commit log {sorted(versions)}")
+        elif version not in by_version:
+            raise ValueError(
+                f"version {version} not in commit log {sorted(by_version)}"
+            )
+        if by_version[version].get("vacuumed"):
+            raise ValueError(f"version {version} was vacuumed; data removed")
         return spark.read.parquet(os.path.join(self.path, f"v{version}"))
 
     def _append_log(self, entry: dict) -> None:
@@ -129,6 +133,37 @@ class VersionedParquetTable:
         # is needed before the write
         self.commit(merged, batch_id=batch_id)
         return True
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop snapshot DATA for all but the newest ``keep_last``
+        versions (every table format's retention story: full history in
+        the log forever, bounded bytes on disk).  Vacuumed versions stay
+        in the commit log flagged ``vacuumed`` — the batch-id dedupe
+        contract is unaffected, and a time-travel read of a vacuumed
+        version raises a clear error instead of returning a half-state.
+        Returns the versions whose data was removed."""
+        import shutil
+
+        log = self.commits()
+        if len(log) <= keep_last:
+            return []
+        keep = {c["version"] for c in log[-keep_last:]}
+        removed = []
+        new_log = []
+        for c in log:
+            if c["version"] not in keep and not c.get("vacuumed"):
+                snap = os.path.join(self.path, f"v{c['version']}")
+                if os.path.isdir(snap):
+                    shutil.rmtree(snap)
+                removed.append(c["version"])
+                c = {**c, "vacuumed": True}
+            new_log.append(c)
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
+        with os.fdopen(fd, "w") as fh:
+            for e in new_log:
+                fh.write(json.dumps(e) + "\n")
+        os.replace(tmp, self._log_path)
+        return removed
 
     def foreach_batch_writer(self):
         """The callable to hand to ``writeStream.foreachBatch``."""

@@ -234,3 +234,36 @@ def test_skewed_rank_matches_window_and_splits_hot_key(spark):
         .count()
     )
     assert spans >= 2, spans
+
+
+def test_map_in_arrow_tier_matches_codegen(spark):
+    """The lowest-level Arrow escape hatch (``mapInArrow`` — RecordBatch
+    in, RecordBatch out, no pandas materialization) completes the UDF
+    tier ladder (codegen → pandas_udf → mapInPandas → mapInArrow): a
+    batch-level computation must equal the codegen column expression
+    exactly, and empty batches must pass through."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+    def lengths(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.compute.utf8_length(batch.column("text")),
+                ],
+                names=["doc_id", "n_chars"],
+            )
+
+    arrow = docs.mapInArrow(lengths, "doc_id LONG, n_chars INT")
+    codegen = docs.select("doc_id", F.length("text").alias("n_chars"))
+    a = sorted((r.doc_id, r.n_chars) for r in arrow.collect())
+    b = sorted((r.doc_id, r.n_chars) for r in codegen.collect())
+    assert a == b and len(a) > 0

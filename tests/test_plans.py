@@ -465,3 +465,21 @@ def test_sql_surface_q5_matches_dataframe_plan_and_values(spark):
         )
     }
     assert rows == want
+
+
+def test_compact_files_round_robin_branch(spark, tmp_path):
+    """compact_files without preserve_sort: plain repartition —
+    row-exact, byte-sized file count, no ordering promise."""
+    import glob
+
+    from firebird_mapreduce_spark.operators.layout import compact_files
+    from firebird_mapreduce_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id")
+    path = str(tmp_path / "rr")
+    ev.repartition(32).write.mode("overwrite").parquet(path)
+    rows = ev.count()
+    n_out = compact_files(spark, path, target_bytes=10**12)  # everything fits
+    assert n_out == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == rows

@@ -633,3 +633,34 @@ def test_custom_streaming_source_offsets_resume_exactly_once(spark, tmp_path):
     assert both == [row_at(i) for i in range(600)], (
         "restart must resume at the committed offset: no replay, no gap"
     )
+
+
+def test_versioned_table_vacuum_bounds_disk_and_keeps_dedupe(spark, tmp_path):
+    """Retention: vacuum removes old snapshots' DATA but keeps the full
+    commit history, so (a) disk is bounded, (b) batch-id retry dedupe
+    still sees vacuumed batches, and (c) time travel to a vacuumed
+    version raises a clear error rather than a half-state."""
+    import os as _os
+
+    from firebird_mapreduce_spark.sources.versioned import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=["k"])
+    for b in range(4):
+        df = spark.createDataFrame([(b, b * 10)], "k LONG, v LONG")
+        assert t.apply_cdc_batch(df, b) is True
+    assert t.latest_version() == 3
+
+    removed = t.vacuum(keep_last=2)
+    assert removed == [0, 1]
+    dirs = {d for d in _os.listdir(str(tmp_path / "t")) if d.startswith("v")}
+    assert dirs == {"v2", "v3"}
+    # latest read unaffected; history intact; vacuumed read raises
+    assert t.read(spark).count() == 4
+    assert len(t.commits()) == 4
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(spark, 0)
+    # retry of a vacuumed batch is STILL a no-op (log remembers it)
+    df0 = spark.createDataFrame([(0, 0)], "k LONG, v LONG")
+    assert t.apply_cdc_batch(df0, 0) is False
+    # vacuum is idempotent
+    assert t.vacuum(keep_last=2) == []
