@@ -483,3 +483,18 @@ def test_compact_files_round_robin_branch(spark, tmp_path):
     assert n_out == 1
     assert len(glob.glob(path + "/*.parquet")) == 1
     assert spark.read.parquet(path).count() == rows
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL must not execute as a per-row subquery:
+    Catalyst rewrites it to a ranked join whose WindowGroupLimit prunes
+    each group to the top-k BEFORE the shuffle (map-side top-k — the
+    property that makes the spelling safe at a billion customers), with
+    the tiny nation side broadcast."""
+    df = R.lateral_topk_per_nation(spark, SF_SMOKE)
+    plan = plan_string(df, "simple")
+    assert "WindowGroupLimit" in plan
+    assert has_broadcast_hash_join(df)
+    assert count_exchanges(df) == 1
+    rows = df.collect()
+    assert len(rows) == 50  # 25 nations x top-2
