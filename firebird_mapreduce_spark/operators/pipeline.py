@@ -439,10 +439,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`quality_filter_c4` rules, `dedup_exact_hash` min-id survivorship,
     `lang_mix_downsample` md5-prefix cuts), and the oracle replays the
     same chain as nested CTEs — so the INTEGRATION is externally
-    verified, not just the parts.  Plan shape at 100 TB: the corpus is
-    scanned once into the quality projection (map-only), dedup is one
-    content-hash shuffle of survivors, the mix cut table is vocabulary-
-    sized and broadcast; stage accounting aggregates are group-key-sized.
+    verified, not just the parts.  Plan shape at 100 TB: the quality
+    projection is map-only; dedup is one content-hash shuffle of
+    survivors; the mix cut table is language-count-sized and broadcast;
+    stage-accounting aggregates are group-key-sized.  The corpus IS
+    scanned twice — once for the main funnel path and once for the
+    per-language input/quality counts (`base`) — the same
+    recompute-vs-materialize trade as `tfidf_top_terms`'s df branch: a
+    second columnar scan beats persisting a corpus-sized intermediate.
+    In a production run the accounting side rides ``observe()`` on the
+    main pass instead (see
+    test_observe_metrics_account_without_second_pass); here it is a
+    declared output so the oracle can check the whole funnel.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     corpus = docs.unionByName(
