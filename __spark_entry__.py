@@ -1140,8 +1140,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM q GROUP BY lang
             )
             SELECT b.lang, b.n_corpus, b.n_quality,
-                   f.n_unique, f.n_final, f.min_final, f.max_final
-            FROM base b JOIN (
+                   coalesce(f.n_unique, 0) AS n_unique,
+                   coalesce(f.n_final, 0) AS n_final,
+                   f.min_final, f.max_final
+            FROM base b LEFT JOIN (
                 SELECT lang, count(*) AS n_unique,
                        CAST(sum(CASE WHEN fin THEN 1 ELSE 0 END) AS BIGINT)
                            AS n_final,

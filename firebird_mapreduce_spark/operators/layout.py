@@ -52,27 +52,47 @@ def compact_files(
     Compaction = read → ``repartition(ceil(bytes/target))`` → rewrite.
 
     The new file count comes from the CURRENT on-disk byte size (cheap
-    driver-side listing, no data read), so the pass sizes itself.  With
-    ``preserve_sort`` the rewrite range-partitions + sorts on those
+    driver-side tree walk, no data read — subdirectories count too, so
+    Hive-partitioned layouts size correctly), so the pass sizes itself.
+    With ``preserve_sort`` the rewrite range-partitions + sorts on those
     columns instead of round-robin, keeping row-group min/max clustering
     (e.g. after a Z-order write, pass the z-key-producing columns'
-    sort to keep pruning).  Writes to a temp sibling then swaps, so a
-    concurrent reader sees old or new, never a mix.  Returns the new
-    file count.
+    sort to keep pruning).  Returns the new file count.
+
+    Swap semantics are SINGLE-WRITER, NO-CONCURRENT-READER: the rewrite
+    lands in ``<path>_compact_tmp`` and is swapped in via two renames,
+    between which ``path`` briefly does not exist (local filesystems have
+    no atomic directory exchange; a production lakehouse does this swap
+    through a table-format commit instead).  The pass is crash-safe for
+    the *data*: on entry it recovers a ``<path>_compact_old`` stranded by
+    a prior crash (restoring it if the second rename never landed,
+    deleting it if it did), so a rerun always starts clean.
     """
     import math
     import os
     import shutil
 
-    data_files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    ]
-    total = sum(os.path.getsize(f) for f in data_files)
+    old = path.rstrip("/") + "_compact_old"
+    tmp = path.rstrip("/") + "_compact_tmp"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            # Prior run completed the swap but died before cleanup.
+            shutil.rmtree(old)
+        else:
+            # Prior run crashed between the two renames: restore.
+            os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "_compact_tmp"
     if preserve_sort:
         out = df.repartitionByRange(n_out, *preserve_sort).sortWithinPartitions(
             *preserve_sort
@@ -80,7 +100,6 @@ def compact_files(
     else:
         out = df.repartition(n_out)
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "_compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -500,4 +500,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("fin"), F.col("doc_id"))).alias("min_final"),
         F.max(F.when(F.col("fin"), F.col("doc_id"))).alias("max_final"),
     )
-    return base.join(funnel, "lang")
+    # LEFT join so a language whose docs are ALL removed by the quality
+    # gate still reports n_unique=0/n_final=0 instead of vanishing from
+    # the funnel — a silently-missing language is the one funnel failure
+    # mode a curation report must not have (oracle mirrors the left join).
+    return base.join(funnel, "lang", "left").select(
+        "lang",
+        "n_corpus",
+        "n_quality",
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        "min_final",
+        "max_final",
+    )

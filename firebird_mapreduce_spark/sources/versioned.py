@@ -42,12 +42,27 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.relational import merge_upsert
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A second committer raced the single-writer commit log."""
+
+
 class VersionedParquetTable:
     """A parquet directory with an append-only commit log.
 
     ``path/_commits`` holds one JSON line per commit; ``path/v<N>/`` holds
     snapshot N.  The log is the source of truth — orphan snapshot dirs
     (crash between data write and log append) are invisible to readers.
+
+    CONCURRENCY CONTRACT: one writer per table.  The log update is a
+    read-modify-write, so two concurrent committers could silently drop
+    each other's lines; ``_append_log`` therefore takes an ``O_EXCL``
+    lock file for the duration of the update and raises
+    ``ConcurrentCommitError`` loudly if another committer holds it —
+    lost history is the one failure the batch-id dedupe contract cannot
+    survive, so contention must fail, not race.  (Real table formats
+    solve this with optimistic-concurrency commit protocols; a second
+    foreachBatch query targeting the same table should use its own
+    table path or serialize through one query.)
     """
 
     def __init__(self, path: str, key_cols: list[str]):
@@ -95,13 +110,29 @@ class VersionedParquetTable:
     def _append_log(self, entry: dict) -> None:
         # write-temp + atomic replace: the log is small (one line per
         # commit), so rewriting it whole keeps the update a single
-        # os.replace — no reader ever sees a torn line.
-        lines = self.commits() + [entry]
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
-        with os.fdopen(fd, "w") as fh:
-            for e in lines:
-                fh.write(json.dumps(e) + "\n")
-        os.replace(tmp, self._log_path)
+        # os.replace — no reader ever sees a torn line.  The whole
+        # read-modify-write runs under an O_EXCL lock file so a second
+        # concurrent committer fails loudly instead of silently dropping
+        # this commit's line (see class docstring).
+        lock = os.path.join(self.path, "_commits.lock")
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"another committer holds {lock}; versioned tables are "
+                "single-writer (delete the lock only if the other writer "
+                "is known dead)"
+            ) from None
+        try:
+            lines = self.commits() + [entry]
+            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
+            with os.fdopen(fd, "w") as fh:
+                for e in lines:
+                    fh.write(json.dumps(e) + "\n")
+            os.replace(tmp, self._log_path)
+        finally:
+            os.close(lock_fd)
+            os.unlink(lock)
 
     def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
         """Write ``df`` as the next snapshot and log it. Returns the new
@@ -158,11 +189,24 @@ class VersionedParquetTable:
                 removed.append(c["version"])
                 c = {**c, "vacuumed": True}
             new_log.append(c)
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
-        with os.fdopen(fd, "w") as fh:
-            for e in new_log:
-                fh.write(json.dumps(e) + "\n")
-        os.replace(tmp, self._log_path)
+        # same single-writer lock as _append_log: vacuum also rewrites
+        # the log and must not race a concurrent commit.
+        lock = os.path.join(self.path, "_commits.lock")
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"another committer holds {lock}; cannot vacuum"
+            ) from None
+        try:
+            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
+            with os.fdopen(fd, "w") as fh:
+                for e in new_log:
+                    fh.write(json.dumps(e) + "\n")
+            os.replace(tmp, self._log_path)
+        finally:
+            os.close(lock_fd)
+            os.unlink(lock)
         return removed
 
     def foreach_batch_writer(self):

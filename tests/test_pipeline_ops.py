@@ -199,3 +199,28 @@ def test_curation_pipeline_funnel_drops_at_every_stage(spark):
     for r in rows.values():
         if r.n_final > 0:
             assert r.min_final is not None and r.max_final >= r.min_final
+
+
+def test_curation_pipeline_reports_fully_filtered_language(spark, tmp_path):
+    """A language whose docs ALL fail the quality gate must still appear
+    in the funnel with n_unique=0/n_final=0 (left join + coalesce), not
+    silently vanish — the report is the curation audit trail."""
+    from firebird_mapreduce_spark.operators.pipeline import curation_pipeline
+    from firebird_mapreduce_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    bad = spark.createDataFrame(
+        [(900000 + i, "too short", "xx") for i in range(5)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.unionByName(bad).coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    rows = {r.lang: r for r in curation_pipeline(spark, sf_dir).collect()}
+    assert "xx" in rows, "fully-filtered language dropped from the funnel"
+    xx = rows["xx"]
+    assert xx.n_corpus == 10 and xx.n_quality == 0
+    assert xx.n_unique == 0 and xx.n_final == 0
+    assert xx.min_final is None and xx.max_final is None

@@ -498,3 +498,53 @@ def test_lateral_decorrelates_to_window_group_limit(spark):
     assert count_exchanges(df) == 1
     rows = df.collect()
     assert len(rows) == 50  # 25 nations x top-2
+
+
+def test_compact_files_recovers_from_crash_and_sizes_partitioned_dirs(
+    spark, tmp_path
+):
+    """Crash-safety + partitioned sizing for compact_files:
+
+    (a) a ``_compact_old`` stranded by a crash BETWEEN the two swap
+    renames (path missing) is restored on the next run; (b) one stranded
+    AFTER the swap (path present) is deleted so the rename can land; and
+    (c) a Hive-partitioned layout (data in subdirectories) sums its real
+    byte size, so the output file count respects target_bytes instead of
+    collapsing to 1."""
+    import glob
+    import os
+    import shutil
+
+    from firebird_mapreduce_spark.operators.layout import compact_files
+    from firebird_mapreduce_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    rows = ev.count()
+
+    # (a) crash between renames: only _compact_old exists
+    path = str(tmp_path / "crashed_mid")
+    ev.repartition(8).write.mode("overwrite").parquet(path)
+    os.rename(path, path + "_compact_old")
+    assert not os.path.exists(path)
+    n_out = compact_files(spark, path, target_bytes=10**12)
+    assert n_out == 1
+    assert spark.read.parquet(path).count() == rows
+    assert not os.path.exists(path + "_compact_old")
+
+    # (b) crash after swap, before cleanup: both dirs exist
+    path2 = str(tmp_path / "crashed_post")
+    ev.repartition(8).write.mode("overwrite").parquet(path2)
+    shutil.copytree(path2, path2 + "_compact_old")
+    compact_files(spark, path2, target_bytes=10**12)
+    assert spark.read.parquet(path2).count() == rows
+    assert not os.path.exists(path2 + "_compact_old")
+
+    # (c) Hive-partitioned input: bytes live under user_id=*/ subdirs
+    part = str(tmp_path / "partitioned")
+    ev.write.mode("overwrite").partitionBy("user_id").parquet(part)
+    nested = glob.glob(part + "/user_id=*/*.parquet")
+    assert nested, "precondition: partitioned layout"
+    total = sum(os.path.getsize(f) for f in nested)
+    n_out = compact_files(spark, part, target_bytes=max(1, total // 4))
+    assert n_out >= 2, "partitioned bytes must be counted, not sized as 0"
+    assert spark.read.parquet(part).count() == rows

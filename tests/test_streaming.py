@@ -664,3 +664,34 @@ def test_versioned_table_vacuum_bounds_disk_and_keeps_dedupe(spark, tmp_path):
     assert t.apply_cdc_batch(df0, 0) is False
     # vacuum is idempotent
     assert t.vacuum(keep_last=2) == []
+
+
+def test_versioned_table_concurrent_commit_fails_loudly(spark, tmp_path):
+    """The commit log is single-writer: a second committer racing the
+    read-modify-write must raise ConcurrentCommitError (lost log lines
+    would silently break the batch-id exactly-once contract), and the
+    lock must release on both the success and failure paths."""
+    import os as _os
+
+    from firebird_mapreduce_spark.sources.versioned import (
+        ConcurrentCommitError,
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=["k"])
+    df = spark.createDataFrame([(1, 10)], "k LONG, v LONG")
+    assert t.apply_cdc_batch(df, 0) is True
+
+    lock = str(tmp_path / "t" / "_commits.lock")
+    fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            t.apply_cdc_batch(spark.createDataFrame([(2, 20)], "k LONG, v LONG"), 1)
+        with pytest.raises(ConcurrentCommitError):
+            t.vacuum(keep_last=0)
+    finally:
+        _os.close(fd)
+        _os.unlink(lock)
+    # lock released by the raced committer's failure path → next commit lands
+    assert t.apply_cdc_batch(spark.createDataFrame([(2, 20)], "k LONG, v LONG"), 1)
+    assert len(t.commits()) == 2 and not _os.path.exists(lock)
