@@ -1426,12 +1426,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.bucket = qb.bucket AND a.vec_id <> 0
             ORDER BY sim DESC, a.vec_id LIMIT 10
         """,
+        # Banded near-dup mining: candidates share (label, table, 8-bit
+        # SRP signature) for any of 8 md5-parity tables (the identical
+        # hyperplane regeneration as embedding_lsh_ann_multi's oracle),
+        # deduped, then exact-cosine reranked — the banding IS the
+        # declared semantics (same contract as dedup_minhash_lsh), so the
+        # oracle replays it instead of scanning all within-label pairs.
         "embedding_neardup_topk": """
-            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            WITH sigs AS (
+                SELECT vec_id, label, tt.t AS tbl,
+                       CAST(list_sum(list_transform(range(0, 8), p ->
+                           CASE WHEN round(list_sum(list_transform(range(0, 64),
+                               j -> embedding[j+1]::DOUBLE *
+                                    (CASE WHEN substr(md5(tt.t::VARCHAR || '|'
+                                                        || p::VARCHAR || '|'
+                                                        || j::VARCHAR), 1, 1)
+                                          IN ('8','9','a','b','c','d','e','f')
+                                     THEN 1.0 ELSE -1.0 END))), 6) > 0
+                           THEN CAST(power(2, p) AS BIGINT) ELSE 0 END))
+                           AS BIGINT) AS sig
+                FROM embeddings CROSS JOIN range(0, 8) tt(t)),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM sigs a
+                JOIN sigs b ON a.label = b.label AND a.tbl = b.tbl
+                           AND a.sig = b.sig AND a.vec_id < b.vec_id)
+            SELECT c.a_id, c.b_id,
                    round(list_cosine_similarity(
-                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-            FROM embeddings a
-            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+                       ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.a_id
+            JOIN embeddings eb ON eb.vec_id = c.b_id
             ORDER BY sim DESC, a_id, b_id LIMIT 50
         """,
         # MERGE outcomes: matched rows take the update's values, unmatched

