@@ -200,6 +200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed since r4: REAL PNG decode feeds the features
         "image_features": M.image_features,
         "embedding_kmeans": S.embedding_kmeans,
+        # r5: IVF with the k-means fit as its coarse quantizer — the
+        # kmeans_fit -> IVF composition, oracle-backed via the exact
+        # decimal schedule (VERDICT r4 item 3)
+        "embedding_knn_ivf_fitted": S.embedding_knn_ivf_fitted,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -284,6 +288,7 @@ _DRIVER_WINDOW = [
 # docs-consistency invariant lists them explicitly so the deferral is
 # visible, not silent.
 _PENDING_NEXT_WINDOW = [
+    "embedding_knn_ivf_fitted",
     "pagerank_nations",
     "skewed_rank_events",
     "bucketed_join_orders",
@@ -713,6 +718,9 @@ def oracle_sql() -> dict[str, str]:
         # reduction-order dependencies (centroid mean, distance sum), so
         # 3 unrolled CTE rounds replicate the Spark schedule exactly
         "embedding_kmeans_exact": S.KMEANS_EXACT_ORACLE_SQL,
+        # IVF probe on the fitted quantizer: same exact schedule, then
+        # probe the query's own cluster + exact-cosine rerank (r5)
+        "embedding_knn_ivf_fitted": S.KNN_IVF_FITTED_ORACLE_SQL,
         # correlated scalar subquery, written in its decorrelated form on
         # both sides (CTE aggregate + join); filter on the UNROUNDED avg
         "above_avg_balance": """

@@ -742,38 +742,16 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_kmeans_exact(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = N_CENTROIDS,
-    iterations: int = 3,
+def _kmeans_exact_assign(
+    emb: DataFrame, k: int = N_CENTROIDS, iterations: int = 3
 ) -> DataFrame:
-    """Declared query (oracle-backed): Lloyd's k-means made
-    BIT-REPRODUCIBLE across engines — the companion to the rows-only
-    ``embedding_kmeans``, proving the iteration *schedule* (not just
-    properties of the result) against an external replica.
-
-    Float k-means is reduction-order-dependent twice per round (centroid
-    mean, distance sum); this spelling removes both order dependencies
-    with exact decimal arithmetic instead of tolerances:
-
-    - components quantized once to the house 6-dp grid;
-    - centroid mean = exact DECIMAL(18,9) sum → one double division
-      (order-independent because the decimal sum is exact);
-    - squared-residual terms quantized to DECIMAL(28,15) and summed
-      exactly, so the per-(vector, cluster) distance is identical no
-      matter the aggregation order; ties broken by cluster id via a
-      struct min.
-
-    Deterministic ``vec_id % k`` seeding; the final sizes (41-59 at
-    sf0.01 from a uniform 50-each seed) show the rounds genuinely move
-    assignments.  The DuckDB oracle (``KMEANS_EXACT_ORACLE_SQL``)
-    unrolls the same schedule as chained CTEs over the same exploded
-    relational form.  This exploded join (N·d·k rows per round) is the
-    oracle-comparable spelling; the 100 TB serving path remains
-    ``kmeans_fit`` (array columns + broadcast centroids, float sums) —
-    exactness here is what certifies that path's algorithm."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """The bit-reproducible Lloyd's schedule shared by
+    ``embedding_kmeans_exact`` (cluster summary) and
+    ``embedding_knn_ivf_fitted`` (IVF coarse quantizer): returns
+    ``(vec_id, cluster, dist2)`` after ``iterations`` exact-decimal
+    rounds from the deterministic ``vec_id % k`` seed.  See
+    ``embedding_kmeans_exact``'s docstring for why every reduction is
+    order-independent (decimal sums, struct-min tie-breaks)."""
     comp = (
         emb.select("vec_id", F.posexplode("embedding").alias("d", "vf"))
         .select(
@@ -812,10 +790,46 @@ def embedding_kmeans_exact(
             F.min(F.struct("dist2", "cluster")).alias("s")
         )
         assign = best.select("vec_id", F.col("s.cluster").alias("cluster"))
-    final = best.select(
+    return best.select(
         "vec_id",
         F.col("s.cluster").alias("cluster"),
         F.col("s.dist2").alias("dist2"),
+    )
+
+
+def embedding_kmeans_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+) -> DataFrame:
+    """Declared query (oracle-backed): Lloyd's k-means made
+    BIT-REPRODUCIBLE across engines — the companion to the rows-only
+    ``embedding_kmeans``, proving the iteration *schedule* (not just
+    properties of the result) against an external replica.
+
+    Float k-means is reduction-order-dependent twice per round (centroid
+    mean, distance sum); this spelling removes both order dependencies
+    with exact decimal arithmetic instead of tolerances:
+
+    - components quantized once to the house 6-dp grid;
+    - centroid mean = exact DECIMAL(18,9) sum → one double division
+      (order-independent because the decimal sum is exact);
+    - squared-residual terms quantized to DECIMAL(28,15) and summed
+      exactly, so the per-(vector, cluster) distance is identical no
+      matter the aggregation order; ties broken by cluster id via a
+      struct min.
+
+    Deterministic ``vec_id % k`` seeding; the final sizes (41-59 at
+    sf0.01 from a uniform 50-each seed) show the rounds genuinely move
+    assignments.  The DuckDB oracle (``KMEANS_EXACT_ORACLE_SQL``)
+    unrolls the same schedule as chained CTEs over the same exploded
+    relational form.  This exploded join (N·d·k rows per round) is the
+    oracle-comparable spelling; the 100 TB serving path remains
+    ``kmeans_fit`` (array columns + broadcast centroids, float sums) —
+    exactness here is what certifies that path's algorithm."""
+    final = _kmeans_exact_assign(
+        load_table(spark, sf_dir, "embeddings"), k, iterations
     )
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
@@ -823,11 +837,68 @@ def embedding_kmeans_exact(
     )
 
 
-def _kmeans_exact_oracle_sql(k: int = N_CENTROIDS, iterations: int = 3) -> str:
-    """DuckDB replica of ``embedding_kmeans_exact``: identical exploded
-    form, identical decimal quantization points, ``iterations`` unrolled
-    CTE rounds (centroid → distance → QUALIFY-argmin), same struct-order
-    tie-break (ORDER BY dist2, cluster)."""
+def embedding_knn_ivf_fitted(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+) -> DataFrame:
+    """IVF ANN whose coarse quantizer IS the k-means fit — the
+    composition the `embedding_knn_ivf` docstring promises ("in
+    production k-means fitted"), demonstrated and oracle-backed: the
+    partition assignment comes from ``_kmeans_exact_assign``'s
+    bit-reproducible Lloyd's schedule (deterministic ``vec_id % k`` seed,
+    exact-decimal rounds), the query probes ONLY the cluster that owns
+    its own vector, and candidates are exact-cosine reranked to top-10.
+    The DuckDB oracle replays the identical schedule
+    (``KNN_IVF_FITTED_ORACLE_SQL`` extends the ``embedding_kmeans_exact``
+    CTE chain with the probe + rerank), so unlike a float-centroid fit
+    this IVF variant is hash-verified end to end.
+
+    Measured vs brute force (`tools/measure_ivf_fitted.py`, in SCALE.md):
+    recall@10 with probe-cost (bucket fraction scanned) — the fitted
+    quantizer's recall/cost point alongside the stand-in-centroid
+    `embedding_knn_ivf` and the LSH surface.
+
+    Scale: the fit is the one-time index build (its per-iteration
+    dataflow is `kmeans_fit`'s — broadcast centroids, k·d-key recenter;
+    the exact-decimal spelling trades constant-factor cost for
+    verifiability).  Serving reads ONE cluster: with the table written
+    ``partitionBy(cluster)`` the probe is a partition-pruned scan of
+    ~N/k vectors, and more probes (multi-cluster) buy recall exactly as
+    IVF-probe tuning always does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one pass for the assignment, reused by both the query-bucket lookup
+    # and the probe filter (localCheckpoint: the fit is the index build,
+    # not something to recompute per action)
+    assign = _kmeans_exact_assign(emb, k, iterations).localCheckpoint(
+        eager=True
+    )
+    qcluster = F.broadcast(
+        assign.filter(F.col("vec_id") == QUERY_VEC_ID).select("cluster")
+    )
+    probed = assign.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        qcluster, "cluster"
+    )
+    query_vec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        probed.join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def _kmeans_exact_cte_chain(k: int = N_CENTROIDS, iterations: int = 3) -> str:
+    """The shared WITH-chain for the exact-k-means oracles: identical
+    exploded form, identical decimal quantization points, ``iterations``
+    unrolled CTE rounds (centroid → distance → QUALIFY-argmin), same
+    struct-order tie-break (ORDER BY dist2, cluster).  Ends at CTE
+    ``a{iterations}`` = (vec_id, cluster, dist2)."""
     rounds = "".join(
         f""",
 c{t} AS (
@@ -856,11 +927,38 @@ WITH comp AS (
            round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
     FROM embeddings
 ),
-a0 AS (SELECT vec_id, vec_id % {k} AS cluster FROM embeddings){rounds}
+a0 AS (SELECT vec_id, vec_id % {k} AS cluster FROM embeddings){rounds}"""
+
+
+def _kmeans_exact_oracle_sql(k: int = N_CENTROIDS, iterations: int = 3) -> str:
+    """DuckDB replica of ``embedding_kmeans_exact`` — the shared schedule
+    chain plus the per-cluster summary."""
+    return f"""{_kmeans_exact_cte_chain(k, iterations)}
 SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
        round(CAST(sum(dist2) AS DOUBLE), 6) AS inertia
 FROM a{iterations} GROUP BY cluster
 """
 
 
+def _knn_ivf_fitted_oracle_sql(
+    k: int = N_CENTROIDS, iterations: int = 3
+) -> str:
+    """DuckDB replica of ``embedding_knn_ivf_fitted`` — the shared
+    schedule chain, then probe the query's own cluster and exact-cosine
+    rerank to top-10 (same rounding and tie-break as the Spark side)."""
+    return f"""{_kmeans_exact_cte_chain(k, iterations)},
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT cluster FROM a{iterations} WHERE vec_id = 0)
+SELECT a.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) AS sim
+FROM a{iterations} a
+JOIN qb USING (cluster)
+JOIN embeddings e ON e.vec_id = a.vec_id
+CROSS JOIN qv
+WHERE a.vec_id <> 0
+ORDER BY sim DESC, a.vec_id LIMIT 10
+"""
+
+
 KMEANS_EXACT_ORACLE_SQL = _kmeans_exact_oracle_sql()
+KNN_IVF_FITTED_ORACLE_SQL = _knn_ivf_fitted_oracle_sql()

@@ -579,3 +579,44 @@ def test_neardup_topk_banded_candidates_subset_of_exact(spark):
     # candidate generation prunes: the banded top-50's weakest pair can
     # not beat the exact top-50's strongest (it's a subset of all pairs)
     assert got[0].sim <= max(exact_all.values())
+
+
+def test_ivf_fitted_probes_single_cluster_and_reranks_exactly(spark):
+    """The fitted-quantizer IVF must (a) return top-10 drawn ONLY from
+    the query's own k-means cluster, (b) rerank those candidates by the
+    exact cosine (values must match brute force for the same vec_ids),
+    and (c) exclude the query vector itself."""
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        _kmeans_exact_assign,
+        _query_vector,
+        _py_cosine,
+        _py_round6,
+        embedding_knn_ivf_fitted,
+    )
+    from firebird_mapreduce_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = embedding_knn_ivf_fitted(spark, SF_SMOKE).collect()
+    assert len(got) == 10
+    assert QUERY_VEC_ID not in {r.vec_id for r in got}
+    assign = {
+        r.vec_id: r.cluster
+        for r in _kmeans_exact_assign(
+            load_table(spark, SF_SMOKE, "embeddings")
+        ).collect()
+    }
+    qc = assign[QUERY_VEC_ID]
+    assert all(assign[r.vec_id] == qc for r in got)
+    # exact-cosine rerank: recompute each returned sim on the driver
+    q = _query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id").isin([r.vec_id for r in got]))
+        .collect()
+    }
+    for r in got:
+        assert r.sim == _py_round6(_py_cosine(q, emb[r.vec_id]))
