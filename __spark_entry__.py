@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans_fit -> IVF composition, oracle-backed via the exact
         # decimal schedule (VERDICT r4 item 3)
         "embedding_knn_ivf_fitted": S.embedding_knn_ivf_fitted,
+        # r5: zero-exchange dedup over the content-hash-bucketed layout
+        # (pay the text_hash shuffle once at write; VERDICT r4 item 4)
+        "dedup_exact_bucketed": D.dedup_exact_bucketed,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -289,6 +292,7 @@ _DRIVER_WINDOW = [
 # visible, not silent.
 _PENDING_NEXT_WINDOW = [
     "embedding_knn_ivf_fitted",
+    "dedup_exact_bucketed",
     "pagerank_nations",
     "skewed_rank_events",
     "bucketed_join_orders",
@@ -1292,6 +1296,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ---- deduplication (augmented corpus: original ∪ planted copies) ----
         "dedup_exact_hash": f"""
+            WITH docs AS ({D.AUGMENTED_DOCS_SQL})
+            SELECT md5(text) AS text_hash,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS dup_cnt
+            FROM docs GROUP BY md5(text)
+        """,
+        # identical semantics over the bucketed layout — the oracle is the
+        # same aggregation (bucketing changes the plan, not the answer)
+        "dedup_exact_bucketed": f"""
             WITH docs AS ({D.AUGMENTED_DOCS_SQL})
             SELECT md5(text) AS text_hash,
                    CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -75,6 +75,10 @@ HEADLINE = [
     # SCALE.md).  Registered with an oracle late in r4; takes a
     # driver-window slot at the r5 rotation.
     "bucketed_join_orders",
+    # r5: zero-exchange dedup over the content-hash-bucketed layout —
+    # run 0 pays the one-time bucketed write, runs 1+ show the amortized
+    # cost vs dedup_exact_hash's per-pass shuffle (SCALE.md table)
+    "dedup_exact_bucketed",
     # late-r4 additions: the skew-safe per-key rank (range shuffle +
     # broadcast span offsets — no per-key single task) and the map-only
     # C4 rule gate (zero exchanges, pure scan bandwidth)

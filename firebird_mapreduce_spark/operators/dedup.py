@@ -82,6 +82,39 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a content-hash-BUCKETED layout: same output as
+    ``dedup_exact_hash``, ZERO exchanges at query time — the repeated-pass
+    shape SCALE.md's 1M→100M probe prescribes (exact dedup was the honest
+    hard case: 0.8 M rows/s at 100M in the spill regime, dominated by the
+    text_hash shuffle).  A corpus that is deduped on every ingest batch
+    pays that shuffle once: the first call writes
+    ``bucketBy(8, text_hash)`` into the warehouse (idempotent via the
+    corpus content tag, stale layouts dropped — shared machinery with
+    ``bucketed_join_orders``), and every subsequent dedup group-by on
+    text_hash consumes the bucketing with no Exchange in the plan
+    (asserted in tests/test_bucketing.py; write-amortization A/B in
+    SCALE.md).  At 100 TB the bucketed write is the ingest-time layout
+    decision and incremental batches dedup against bucket-local state."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    tag = corpus_tag(sf_dir, "documents")
+    hashed = ensure_bucketed_table(
+        spark,
+        "docs_hashbkt_",
+        tag,
+        8,
+        ["text_hash"],
+        lambda: augmented_documents(spark, sf_dir).select(
+            F.md5(F.col("text")).alias("text_hash"), "doc_id"
+        ),
+    )
+    return hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+    )
+
+
 def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the relational form used by the
     Jaccard join path (window-lead generation; docs with < n tokens have no

@@ -261,6 +261,61 @@ def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "r_name")
 
 
+def corpus_tag(sf_dir: str, *tables: str) -> str:
+    """Content tag (md5 of the source parquet bytes) for idempotent
+    one-time bucketed writes: the same corpus reuses the layout, a
+    regenerated corpus gets a fresh table name and the stale one is
+    dropped by ``ensure_bucketed_table``."""
+    import hashlib
+
+    tags = []
+    for t in tables:
+        with open(os.path.join(sf_dir, f"{t}.parquet"), "rb") as fh:
+            tags.append(hashlib.md5(fh.read()).hexdigest())
+    return hashlib.md5("|".join(tags).encode()).hexdigest()[:8]
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    prefix: str,
+    tag: str,
+    n_buckets: int,
+    key_cols: list[str],
+    build,
+) -> DataFrame:
+    """Idempotent pay-the-shuffle-once machinery shared by every bucketed
+    layout (``bucketed_join_orders``, ``dedup_exact_bucketed``): write
+    ``build()`` as ``{prefix}{tag}`` bucketed+sorted on ``key_cols`` if it
+    does not exist, dropping stale same-prefix tables from older corpora
+    and orphaned warehouse directories (the warehouse DIRECTORY outlives
+    the in-memory catalog: a fresh session sees tableExists == False
+    while the managed location from a previous session still exists, and
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tbl = f"{prefix}{tag}"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and t.name != tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    if os.path.isdir(warehouse):
+        for d in os.listdir(warehouse):
+            if d.startswith(prefix) and not spark.catalog.tableExists(d):
+                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+    if not spark.catalog.tableExists(tbl):
+        (
+            build()
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *key_cols)
+            .sortBy(*key_cols)
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
 def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join + same-key aggregation with ZERO
     exchanges — the pre-shuffle layout strategy for REPEATED big-big
@@ -280,56 +335,27 @@ def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortization visible: run 0 carries the one-time write, runs 1+ are
     the repeated-join cost (SCALE.md).  Decimal-exact revenue per the
     engine's aggregate discipline."""
-    import hashlib
-    import shutil
-    from urllib.parse import urlparse
-
-    tags = []
-    for t in ("orders", "customer"):
-        with open(os.path.join(sf_dir, f"{t}.parquet"), "rb") as fh:
-            tags.append(hashlib.md5(fh.read()).hexdigest())
-    tag = hashlib.md5("|".join(tags).encode()).hexdigest()[:8]
-    o_tbl, c_tbl = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
-    # prune bucketed tables from an older corpus so the warehouse doesn't
-    # accumulate stale layouts across regenerations
-    for t in spark.catalog.listTables():
-        if (
-            t.name.startswith(("orders_bkt_", "customer_bkt_"))
-            and t.name not in (o_tbl, c_tbl)
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-    # the warehouse DIRECTORY outlives the (in-memory) catalog: a fresh
-    # session sees tableExists == False while the managed location from a
-    # previous session still exists, and saveAsTable then fails with
-    # LOCATION_ALREADY_EXISTS — remove orphaned/stale locations first
-    warehouse = urlparse(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    ).path
-    if os.path.isdir(warehouse):
-        for d in os.listdir(warehouse):
-            if d.startswith(
-                ("orders_bkt_", "customer_bkt_")
-            ) and not spark.catalog.tableExists(d):
-                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
-    if not spark.catalog.tableExists(o_tbl):
-        (
-            load_table(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_custkey", "o_totalprice")
-            .write.mode("overwrite")
-            .bucketBy(8, "o_custkey")
-            .sortBy("o_custkey")
-            .saveAsTable(o_tbl)
-        )
-    if not spark.catalog.tableExists(c_tbl):
-        (
-            load_table(spark, sf_dir, "customer")
-            .select("c_custkey", "c_name")
-            .write.mode("overwrite")
-            .bucketBy(8, "c_custkey")
-            .sortBy("c_custkey")
-            .saveAsTable(c_tbl)
-        )
-    orders, customer = spark.table(o_tbl), spark.table(c_tbl)
+    tag = corpus_tag(sf_dir, "orders", "customer")
+    orders = ensure_bucketed_table(
+        spark,
+        "orders_bkt_",
+        tag,
+        8,
+        ["o_custkey"],
+        lambda: load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+    )
+    customer = ensure_bucketed_table(
+        spark,
+        "customer_bkt_",
+        tag,
+        8,
+        ["c_custkey"],
+        lambda: load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name"
+        ),
+    )
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .groupBy("c_custkey")

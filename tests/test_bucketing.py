@@ -136,3 +136,20 @@ def test_ivf_bucket_layout_partition_prunes(spark, tmp_path):
     # relation's full FileIndex before filter pushdown).
     inputs = {f for f in os.listdir(path) if f.startswith("bucket=")}
     assert len(inputs) == 10
+
+
+def test_dedup_exact_bucketed_zero_exchange_matches_shuffle_spelling(spark):
+    """The bucketed dedup must consume the content-hash bucketing with
+    ZERO exchanges at query time (the shuffle was paid once at write),
+    and equal dedup_exact_hash — the shuffle spelling — row-for-row."""
+    from firebird_mapreduce_spark.operators.dedup import (
+        dedup_exact_bucketed,
+        dedup_exact_hash,
+    )
+
+    out = dedup_exact_bucketed(spark, SF_SMOKE)
+    assert count_exchanges(out) == 0, plan_string(out, "simple")
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(out) == rows(dedup_exact_hash(spark, SF_SMOKE))
+    # idempotence: second call reuses the warehouse table, still 0-exchange
+    assert count_exchanges(dedup_exact_bucketed(spark, SF_SMOKE)) == 0
