@@ -184,3 +184,20 @@ def test_star_cc_matches_label_prop_and_converges_log_rounds(spark):
     }
     assert set(out) == set(range(400))
     assert set(out.values()) == {0}
+
+
+def test_sssp_probe_spellings_reach_identical_fixpoint(spark):
+    """Both convergence-probe spellings — the eager-checkpoint observe()
+    metric (r5 default) and the lazy-checkpoint isEmpty() baseline —
+    must reach the identical fixpoint (the A/B tool asserts this at 18k
+    nodes; this pins it in the suite on the oracle graph)."""
+    from firebird_mapreduce_spark.operators.graph import (
+        derived_nation_graph,
+        sssp,
+    )
+    from tests.conftest import SF_SMOKE
+
+    edges = derived_nation_graph(spark, SF_SMOKE)
+    a = {r.node: r.dist for r in sssp(spark, edges, 0, probe="observe").collect()}
+    b = {r.node: r.dist for r in sssp(spark, edges, 0, probe="isEmpty").collect()}
+    assert a == b and len(a) == 25
