@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: zero-exchange dedup over the content-hash-bucketed layout
         # (pay the text_hash shuffle once at write; VERDICT r4 item 4)
         "dedup_exact_bucketed": D.dedup_exact_bucketed,
+        # r5: 3-D Morton key (VERDICT r4 item 6) — same codegen bit
+        # pipeline discipline as the 2-D key, oracle via z3_sql
+        "zorder3_key_events": L.zorder3_key_events,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -303,6 +306,7 @@ _PENDING_NEXT_WINDOW = [
     "above_avg_balance",
     "unigram_logprob",
     "zorder_key_events",
+    "zorder3_key_events",
     "profile_events",
     "tpch_q5_sql",
     "stream_custom_source",
@@ -374,6 +378,20 @@ _MINHASH_CTES = """docs AS ({docs}),
 # Z-order key oracle, generated from the SAME magic-number spread steps
 # the Spark column expression uses (functions.zorder._SPREAD_STEPS) so
 # the two bit pipelines can never drift.
+def _zorder3_key_sql() -> str:
+    from firebird_mapreduce_spark.functions.zorder import z3_sql
+
+    tb = "CAST('0x' || substr(md5(event_type), 1, 4) AS BIGINT)"
+    zkey = z3_sql("user_id", "CAST(floor(value) AS BIGINT)", tb)
+    return f"""
+        SELECT event_id, user_id,
+               CAST(floor(value) AS BIGINT) AS value_bucket,
+               {tb} AS type_bucket,
+               {zkey} AS zkey
+        FROM events
+    """
+
+
 def _zorder_key_sql() -> str:
     from firebird_mapreduce_spark.functions.zorder import z2_sql
 
@@ -1092,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
+        "zorder3_key_events": _zorder3_key_sql(),
         # correlated LATERAL: identical statement runs on DuckDB
         "lateral_topk_per_nation": """
             SELECT n.n_name, t.c_custkey, t.c_acctbal

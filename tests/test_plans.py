@@ -548,3 +548,69 @@ def test_compact_files_recovers_from_crash_and_sizes_partitioned_dirs(
     n_out = compact_files(spark, part, target_bytes=max(1, total // 4))
     assert n_out >= 2, "partitioned bytes must be counted, not sized as 0"
     assert spark.read.parquet(part).count() == rows
+
+
+def test_z3_z4_match_reference_interleave_in_both_engines(spark):
+    """The 3-D and 4-D Morton keys must be bit-identical to a plain
+    per-bit reference interleave, in Spark AND DuckDB (the oracle uses
+    the SQL twins), across random and boundary inputs — magic-number
+    spreads are exactly the kind of code a single wrong mask silently
+    corrupts."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.functions.zorder import (
+        z3,
+        z3_sql,
+        z4,
+        z4_sql,
+    )
+
+    def ref(vals, bits):
+        out = 0
+        for i in range(bits):
+            for d, v in enumerate(vals):
+                out |= ((v >> i) & 1) << (i * len(vals) + d)
+        return out
+
+    rnd = random.Random(7)
+    rows = [
+        (
+            rnd.randrange(65536),
+            rnd.randrange(65536),
+            rnd.randrange(65536),
+            rnd.randrange(32768),
+        )
+        for _ in range(500)
+    ] + [
+        (0, 0, 0, 0),
+        (65535, 65535, 65535, 32767),
+        (1, 0, 0, 0),
+        (0, 1, 0, 0),
+        (0, 0, 1, 0),
+        (0, 0, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "a LONG, b LONG, c LONG, d LONG")
+    got = df.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        z3(F.col("a"), F.col("b"), F.col("c")).alias("z3"),
+        z4(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("z4"),
+    ).collect()
+    for r in got:
+        assert r.z3 == ref([r.a, r.b, r.c], 16)
+        assert r.z4 == ref([r.a & 0x7FFF, r.b & 0x7FFF, r.c & 0x7FFF, r.d], 15)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT, c BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    q = (
+        f"SELECT a, b, c, d, {z3_sql('a', 'b', 'c')} AS z3, "
+        f"{z4_sql('a', 'b', 'c', 'd')} AS z4 FROM t"
+    )
+    for a, b, c, d, x3, x4 in con.execute(q).fetchall():
+        assert x3 == ref([a, b, c], 16)
+        assert x4 == ref([a & 0x7FFF, b & 0x7FFF, c & 0x7FFF, d], 15)

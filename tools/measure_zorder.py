@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from firebird_mapreduce_spark.operators.layout import write_zordered
+from firebird_mapreduce_spark.operators.layout import (
+    write_zordered,
+    write_zordered_nd,
+)
 from firebird_mapreduce_spark.session import get_session
 from firebird_mapreduce_spark.sources import load_table
 
@@ -44,12 +47,23 @@ def overlapping_groups(path: str, col: str, lo: int, hi: int) -> tuple[int, int]
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    three = "--three" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_session("measure-zorder")
     spark.sparkContext.setLogLevel("ERROR")
     ev = load_table(spark, sf_dir, "events").withColumn(
         "value_bucket", F.floor("value").cast("long")
     )
+    if three:
+        # 16-bit md5 bucket of event_type — the third layout dimension
+        # of the declared zorder3_key_events query
+        ev = ev.withColumn(
+            "type_bucket",
+            F.conv(F.substring(F.md5(F.col("event_type")), 1, 4), 16, 10).cast(
+                "long"
+            ),
+        )
     base = tempfile.mkdtemp(prefix="zorder_measure_")
     try:
         linear = os.path.join(base, "linear")
@@ -60,14 +74,34 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(linear)
         )
-        write_zordered(ev, "user_id", "value_bucket", zordered, num_files=N_FILES)
-        preds = [
-            ("value_bucket", 64, 127),
-            ("value_bucket", 256, 383),
-            ("user_id", 10, 19),
-            ("user_id", 64, 95),
-        ]
-        out = {"sf_dir": sf_dir, "n_files": N_FILES, "rows": ev.count(), "preds": {}}
+        if three:
+            write_zordered_nd(
+                ev,
+                ["user_id", "value_bucket", "type_bucket"],
+                zordered,
+                num_files=N_FILES,
+            )
+            preds = [
+                ("value_bucket", 64, 127),
+                ("value_bucket", 256, 383),
+                ("user_id", 10, 19),
+                ("user_id", 64, 95),
+                # one md5 bucket ~ one event_type: point-ish range
+                ("type_bucket", 0, 4095),
+                ("type_bucket", 32768, 36863),
+            ]
+        else:
+            write_zordered(
+                ev, "user_id", "value_bucket", zordered, num_files=N_FILES
+            )
+            preds = [
+                ("value_bucket", 64, 127),
+                ("value_bucket", 256, 383),
+                ("user_id", 10, 19),
+                ("user_id", 64, 95),
+            ]
+        out = {"sf_dir": sf_dir, "n_files": N_FILES, "rows": ev.count(),
+               "dims": 3 if three else 2, "preds": {}}
         for col, lo, hi in preds:
             lin = overlapping_groups(linear, col, lo, hi)
             zor = overlapping_groups(zordered, col, lo, hi)
