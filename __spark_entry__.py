@@ -216,84 +216,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry for ROUND 4 (see queries() docstring):
-# the corpus was regenerated before round 3, so rounds 1-2's driver rows
-# are stale evidence — this window re-checks EXACTLY the 49 queries the
-# round-3 window did not cover (every query whose latest driver row
-# predates the regeneration), plus image_features, which was in the r3
-# window only as a rows-only stub and is oracle-backed as of r4 (real
-# PNG decode), so it needs its first HASH row.  Result: r3 ∪ r4 covers
-# all 99 registered queries with post-regeneration driver evidence, and
-# every oracle-backed query has a post-regeneration hash row
+# Positions 1-50 of the registry for ROUND 5 (see queries() docstring):
+# the r5 rotation promised in VERDICT r4 item 1.  Groups, in order:
+# (a) the 19 queries that became oracle-backed after the r4 window was
+# pinned full (_PENDING_NEXT_WINDOW as of r4) — their FIRST driver rows;
+# (b) re-checks whose implementation changed in r5 AFTER their r4 driver
+# row (neardup pair mining re-tiered to SRP-banded candidates, SSSP probe
+# merged into the checkpoint via observe());
+# (c) re-checks whose implementation changed in r4 AFTER their r3 driver
+# row (codegen simhash64, the recall-0.94 multi-probe LSH default);
+# (d)-(f) refreshes of the oldest (r3) evidence: the streaming-state
+# family, the join family, and core relational/mapreduce;
+# (g) sssp_syn18k rows-only re-check (observe() probe changed it in r5).
+# Result: every registered query has a post-regeneration driver row in
+# r3 ∪ r4 ∪ r5, every oracle-backed one a hash row, and every operator
+# whose code changed this round gets fresh driver evidence
 # (tests/test_docs_consistency.py asserts the union invariant).
 _DRIVER_WINDOW = [
-    # (a) oracle-backed queries whose latest driver hash row is r1/r2
-    # (pre-regeneration) — the bulk of the window
-    "group_count",
-    "numbercount_10m",
-    "group_sum_avg",
-    "grouping_sets_revenue",
-    "percentile_stats",
-    "global_sort_rank",
-    "topk_orders",
-    "window_rank",
-    "tumbling_window_count",
-    "reduce_side_join",
-    "range_join_sessionize",
-    "asof_purchase_prior_click",
-    "grouped_agg_udaf",
-    "sssp_fixpoint",
-    "connected_components",
-    "triangle_count",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_cc",
-    "embedding_knn",
-    "embedding_knn_ivf",
-    "embedding_neardup_topk",
-    "binary_meta",
-    "stats_moments",
-    "conditional_agg",
-    "timeseries_gapfill",
-    "revenue_share_window",
-    "vector_stats",
-    "bigram_topk",
-    "window_range_interval",
-    "pii_redact",
-    "contamination_check",
-    "inverted_index",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "quality_topk_per_lang",
-    "pack_training_chunks",
-    "text_repetition",
-    "deterministic_split",
-    "embedding_lsh_ann",
-    "frame_sample",
-    "scan_project",
-    "distinct_dedup",
-    "cube_revenue",
-    "connected_components_star",
-    # (b) rows-only re-check (sketch values are engine-specific)
-    "approx_distinct_users",
-    # (c) new or newly-oracle-backed this round: the append-mode
-    # event-time-timeout sessionizer's first driver row, and
-    # image_features' first HASH row (real decode since r4)
-    "stream_session_timeout",
-    "image_features",
-]
-
-
-# Queries that became oracle-backed AFTER the r4 window above was pinned
-# at its 50-slot capacity (the driver hash-checks only positions 1-50 per
-# round).  They are fully covered by the LOCAL parity gate now
-# (tests/test_oracle_parity.py + tools/check_correctness.py, DuckDB at
-# sf0.01) and take driver-window slots at the r5 rotation — the
-# docs-consistency invariant lists them explicitly so the deferral is
-# visible, not silent.
-_PENDING_NEXT_WINDOW = [
+    # (a) first driver rows — oracle-backed after the r4 pinning
     "embedding_knn_ivf_fitted",
     "dedup_exact_bucketed",
     "pagerank_nations",
@@ -313,7 +253,53 @@ _PENDING_NEXT_WINDOW = [
     "variant_extract_events",
     "curation_pipeline",
     "lateral_topk_per_nation",
+    # (b) changed in r5 after their r4 row
+    "embedding_neardup_topk",
+    "sssp_fixpoint",
+    # (c) changed in r4 after their r3 row
+    "dedup_simhash64",
+    "embedding_lsh_ann_multi",
+    # (d) streaming-state family, last row r3
+    "stream_session_window",
+    "stream_running_count",
+    "stream_session_custom",
+    "stream_dedup",
+    "stream_stream_join",
+    "stream_group_count",
+    "stream_tumbling_window",
+    # (e) join family, last row r3
+    "left_outer_join",
+    "full_outer_join",
+    "broadcast_join",
+    "semi_anti_join",
+    "bucketed_theta_join",
+    "skew_join_events",
+    "merge_upsert_orders",
+    # (f) core relational / mapreduce, last row r3
+    "filter_predicate",
+    "flatmap_tokenize",
+    "group_min",
+    "rollup_revenue",
+    "pivot_events",
+    "argmax_order_per_cust",
+    "window_lag_lead",
+    "tpch_revenue_by_nation",
+    "set_ops_customers",
+    "json_extract_events",
+    "mapreduce_group_count",
+    "salted_group_count",
+    # (g) rows-only re-check, changed in r5
+    "sssp_syn18k",
 ]
+
+
+# Queries registered AFTER the r5 window above was pinned at its 50-slot
+# capacity (the driver hash-checks only positions 1-50 per round).  Each
+# is covered by the LOCAL parity gate (tests/test_oracle_parity.py +
+# tools/check_correctness.py, DuckDB at sf0.01) and takes a driver-window
+# slot at the r6 rotation — listed explicitly so the deferral is visible,
+# not silent.
+_PENDING_NEXT_WINDOW = []
 
 
 # Char-trigram language-ID oracle, generated from the SAME profile table

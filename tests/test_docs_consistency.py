@@ -42,12 +42,14 @@ def test_every_query_named_in_coverage():
 
 
 def test_driver_window_covers_every_query():
-    """Round-4 invariant — POST-REGENERATION evidence only (the corpus
+    """Round-5 invariant — POST-REGENERATION evidence only (the corpus
     was regenerated before round 3, so r1/r2 rows no longer certify the
-    current data): (1) every REGISTERED query has a driver row in r3 ∪
-    this round's 50-query window; (2) every ORACLE-BACKED query has a
-    hash row via r3-hash-green ∪ the window.  (The driver checks only
-    the first 50 registered queries per round.)"""
+    current data): (1) every REGISTERED query has a driver row in
+    r3 ∪ r4 ∪ this round's 50-query window; (2) every ORACLE-BACKED
+    query has a hash row via r3/r4-hash-green ∪ the window.  Queries
+    registered after the r5 window was pinned full sit in
+    _PENDING_NEXT_WINDOW (local parity gate only) until the r6 rotation.
+    (The driver checks only the first 50 registered queries per round.)"""
     import json
 
     queries = list(entrymod.queries())
@@ -56,14 +58,15 @@ def test_driver_window_covers_every_query():
     assert window == entrymod._DRIVER_WINDOW
     assert len(set(window)) == 50
     r3 = json.load(open("/root/repo/CORRECTNESS_r03.json"))
-    hash_green = {k for k, v in r3.items() if v.get("hash_match")}
-    # queries oracle-backed after the r4 window was pinned full: covered
-    # by the LOCAL parity gate now, take driver slots at the r5 rotation
-    # (__spark_entry__._PENDING_NEXT_WINDOW documents each)
+    r4 = json.load(open("/root/repo/CORRECTNESS_r04.json"))
+    driver_rows = set(r3) | set(r4)
+    hash_green = {k for k, v in r3.items() if v.get("hash_match")} | {
+        k for k, v in r4.items() if v.get("hash_match")
+    }
     pending = set(entrymod._PENDING_NEXT_WINDOW)
     assert pending.isdisjoint(window), "pending query already in window"
     for name in queries:
-        assert name in r3 or name in window or name in pending, (
+        assert name in driver_rows or name in window or name in pending, (
             f"{name} has no post-regeneration driver row"
         )
         if name in oracles:
