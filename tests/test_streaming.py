@@ -695,3 +695,80 @@ def test_versioned_table_concurrent_commit_fails_loudly(spark, tmp_path):
     # lock released by the raced committer's failure path → next commit lands
     assert t.apply_cdc_batch(spark.createDataFrame([(2, 20)], "k LONG, v LONG"), 1)
     assert len(t.commits()) == 2 and not _os.path.exists(lock)
+
+
+def test_crash_between_sink_commit_and_offset_commit_replays_range(
+    spark, tmp_path
+):
+    """The ugliest failure window for the custom source's half-open-range
+    contract: the batch's SINK commit lands (parquet `_spark_metadata`
+    entry written) but the process dies before the checkpoint's offset
+    COMMIT (`commits/N`) — simulated by deleting `commits/1` after a
+    clean run.  On restart Spark must re-execute batch 1 over the exact
+    recorded range [start, end) from `offsets/1` (NOT re-plan it via
+    `latestOffset`, which has feed-advancing side effects), and the file
+    sink's metadata log must dedupe the replayed writes.  The union of
+    all three runs must be exactly rows 0..899, each once — no gap at
+    the crashed batch, no duplicate from its replay."""
+    from firebird_mapreduce_spark.streaming.eventgen_source import (
+        register,
+        row_at,
+    )
+
+    register(spark)
+    head = str(tmp_path / "head")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("eventgen")
+            .option("rowsPerBatch", "300")
+            .option("partitionsPerBatch", "3")
+            .option("headFile", head)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 0: rows [0, 300)
+    run_once()  # batch 1: rows [300, 600)
+    assert os.path.exists(os.path.join(ckpt, "commits", "1"))
+    # crash window: sink metadata for batch 1 is durable, offset commit
+    # is not (drop the local-FS checksum sidecar too — a lost commit on a
+    # real DFS has no orphan crc, and Hadoop's ChecksumFileSystem turns a
+    # stale one into a spurious FileAlreadyExistsException on recovery)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert os.path.exists(os.path.join(sink, "_spark_metadata", "1"))
+
+    run_once()  # recovery: replay batch 1 from offsets/1 — nothing else
+    got = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [row_at(i) for i in range(600)], (
+        "recovered batch must reuse the recorded [300,600) range exactly "
+        "once — a re-planned range would leave a gap, a non-deduping "
+        "sink a duplicate"
+    )
+    # the replay never consulted latestOffset: the external feed's head
+    # is untouched, so the recovery could not have advanced past the
+    # crashed batch or double-advanced the feed
+    assert open(head).read().strip() == "600"
+
+    run_once()  # next trigger advances the feed normally: batch 2
+    got = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [row_at(i) for i in range(900)]
