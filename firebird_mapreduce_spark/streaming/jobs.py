@@ -6,8 +6,10 @@ analogue of the reference's user-defined ``reduce``,
 Scale notes: these jobs run identically against Kafka/file sources on a
 cluster; watermarks bound state (an unwatermarked windowed agg leaks state
 forever), ``availableNow`` gives the batch-replay mode used in tests, and
-state-heavy operators should run on RocksDB state store in production
-(``spark.sql.streaming.stateStore.providerClass``).
+stateful operators run on the RocksDB state store provider by default
+(``run_stream_to_memory``; off-heap state is the production posture —
+outputs are provider-independent, A/B-pinned in tests/test_streaming.py,
+throughput delta in SCALE.md).
 """
 
 from __future__ import annotations
@@ -695,23 +697,43 @@ def stream_static_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,
     output_mode: str = "complete",
+    state_store_provider: str | None = ROCKSDB_PROVIDER,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the available data
     (``availableNow`` trigger) into an in-memory table and return it as a
     batch DataFrame — the test/replay harness for streaming jobs.
 
+    Stateful operators run on the **RocksDB state store** by default: the
+    default HDFS-backed provider keeps every key's state as JVM objects on
+    the executor heap, which at 100 TB/day session cardinality is an OOM,
+    while RocksDB spills to local SSD and keeps the heap flat — the
+    production setting (outputs are provider-independent; pinned by an A/B
+    test, throughput delta in SCALE.md).  Pass ``state_store_provider=None``
+    for the session default.
+
     The ``nanosAsLong`` legacy conf the events scan needs is flipped only
     for the lifetime of the replay and then restored — microbatch scans
     consult it at execution time, which happens entirely inside
-    ``start()``..``awaitTermination()``."""
+    ``start()``..``awaitTermination()``.  Same save/restore for the state
+    store provider (it, too, is read at query start)."""
     spark = df.sparkSession
-    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
+    confs = {"spark.sql.legacy.parquet.nanosAsLong": "true"}
+    if state_store_provider is not None:
+        confs["spark.sql.streaming.stateStore.providerClass"] = (
+            state_store_provider
+        )
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         query = (
             df.writeStream.format("memory")
@@ -722,8 +744,9 @@ def run_stream_to_memory(
         )
         query.awaitTermination()
     finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     return spark.table(name)

@@ -772,3 +772,42 @@ def test_crash_between_sink_commit_and_offset_commit_replays_range(
         for r in spark.read.parquet(sink).collect()
     )
     assert got == [row_at(i) for i in range(900)]
+
+
+def test_rocksdb_and_hdfs_state_stores_produce_identical_sessions(spark):
+    """State-store provider A/B: the applyInPandasWithState sessionizer
+    replayed over 4 micro-batches must produce the identical session set
+    on the default HDFS-backed (heap) provider and on RocksDB — the
+    production provider `run_stream_to_memory` now defaults to (off-heap
+    state is the only posture that survives 100 TB/day session
+    cardinality).  State round-trips through a completely different
+    serialization path per provider, so any encoder asymmetry diverges
+    the outputs."""
+    from firebird_mapreduce_spark.streaming.jobs import (
+        ROCKSDB_PROVIDER,
+        custom_session_stream,
+    )
+
+    cols = ("user_id", "session_start", "session_end", "n_events")
+    out = {}
+    for label, provider in (
+        ("hdfs", None),
+        ("rocksdb", ROCKSDB_PROVIDER),
+    ):
+        df = run_stream_to_memory(
+            custom_session_stream(stream_events_multibatch(spark, SF_SMOKE)),
+            f"t_provider_{label}",
+            output_mode="update",
+            state_store_provider=provider,
+        )
+        # update mode re-emits open sessions per batch: keep the final row
+        # per (user, session_start) like custom_session_query does
+        pdf = df.toPandas()
+        pdf = (
+            pdf.sort_values(["user_id", "session_start", "session_end"])
+            .groupby(["user_id", "session_start"], as_index=False)
+            .last()
+        )
+        out[label] = sorted(map(tuple, pdf[list(cols)].itertuples(index=False)))
+    assert out["hdfs"] == out["rocksdb"]
+    assert len(out["rocksdb"]) > 100  # non-vacuous
