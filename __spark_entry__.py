@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: 3-D Morton key (VERDICT r4 item 6) — same codegen bit
         # pipeline discipline as the 2-D key, oracle via z3_sql
         "zorder3_key_events": L.zorder3_key_events,
+        # r5: runtime dynamic partition pruning over a Hive-partitioned
+        # fact + stored dim (plan-asserted dynamicpruningexpression)
+        "dpp_join_events": L.dpp_join_events,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -299,7 +302,9 @@ _DRIVER_WINDOW = [
 # tools/check_correctness.py, DuckDB at sf0.01) and takes a driver-window
 # slot at the r6 rotation — listed explicitly so the deferral is visible,
 # not silent.
-_PENDING_NEXT_WINDOW = []
+_PENDING_NEXT_WINDOW = [
+    "dpp_join_events",
+]
 
 
 # Char-trigram language-ID oracle, generated from the SAME profile table
@@ -1097,6 +1102,23 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
         "zorder3_key_events": _zorder3_key_sql(),
+        # DPP: the layout (partitioned fact + stored dim) changes the
+        # PLAN, never the answer — the oracle computes the same join over
+        # the raw table with the dim derived inline
+        "dpp_join_events": """
+            WITH dim AS (
+                SELECT DISTINCT event_type,
+                       CASE WHEN event_type = 'purchase' THEN 'conversion'
+                            ELSE 'engagement' END AS category
+                FROM events)
+            SELECT e.event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_value
+            FROM events e JOIN dim d USING (event_type)
+            WHERE d.category = 'conversion'
+            GROUP BY e.event_type
+        """,
         # correlated LATERAL: identical statement runs on DuckDB
         "lateral_topk_per_nation": """
             SELECT n.n_name, t.c_custkey, t.c_acctbal

@@ -95,6 +95,8 @@ HEADLINE = [
     "profile_events",
     # the end-to-end curation funnel (quality -> dedup -> mix, one query)
     "curation_pipeline",
+    # runtime dynamic partition pruning (partitioned fact x stored dim)
+    "dpp_join_events",
 ]
 
 

@@ -64,6 +64,84 @@ def zorder3_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-time Hive-partitioned layout for events (``partitionBy
+    (event_type)``), idempotent per corpus via the same content-tag +
+    stale-cleanup machinery as the bucketed layouts."""
+    from .relational import corpus_tag, ensure_layout_table
+
+    return ensure_layout_table(
+        spark,
+        "events_part_",
+        corpus_tag(sf_dir, "events"),
+        lambda: load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        ),
+        lambda w: w.partitionBy("event_type"),
+    )
+
+
+def ensure_event_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized event-type dimension (event_type → category) written
+    once per corpus.  It MUST be a stored table, not an expression: a
+    ``CASE WHEN`` category would be constant-folded by Catalyst and the
+    fact's partition filter derived statically (verified — the optimizer
+    rewrites the dim filter to ``event_type = 'purchase'`` and prunes at
+    compile time), which is exactly what production dims cannot offer —
+    there the attribute is data, and pruning can only happen at runtime.
+    """
+    from .relational import corpus_tag, ensure_layout_table
+
+    return ensure_layout_table(
+        spark,
+        "event_dim_",
+        corpus_tag(sf_dir, "events"),
+        lambda: load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("event_type") == "purchase", "conversion").otherwise(
+                "engagement"
+            ),
+        ),
+        lambda w: w,
+    )
+
+
+def dpp_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a Hive-partitioned fact: events
+    laid out ``partitionBy(event_type)`` (one-time write, content-tag
+    idempotent like the bucketed layouts), joined to a STORED dimension
+    table whose selective predicate (``category = 'conversion'``) is on
+    a non-partition data column — static pruning cannot apply (the
+    optimizer cannot know which event_types survive without reading the
+    dim), so Spark injects the runtime ``dynamicpruningexpression``
+    subquery, fed by the reused broadcast of the filtered dim, into the
+    fact scan's PartitionFilters.  At 100 TB this is THE mechanism that
+    keeps date/tenant-partitioned fact scans proportional to the dim
+    filter instead of the table: the 2-of-3-partitions-skipped plan here
+    is the same plan that skips 363 of 365 date partitions in production
+    (plan-asserted in tests/test_plans.py).  The DuckDB oracle computes
+    the identical join over the raw table — results are
+    layout-independent by construction."""
+    fact = ensure_partitioned_events(spark, sf_dir)
+    dim = ensure_event_dim(spark, sf_dir)
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("category") == "conversion")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def compact_files(
     spark: SparkSession,
     path: str,

@@ -275,21 +275,20 @@ def corpus_tag(sf_dir: str, *tables: str) -> str:
     return hashlib.md5("|".join(tags).encode()).hexdigest()[:8]
 
 
-def ensure_bucketed_table(
+def ensure_layout_table(
     spark: SparkSession,
     prefix: str,
     tag: str,
-    n_buckets: int,
-    key_cols: list[str],
     build,
+    configure_writer,
 ) -> DataFrame:
-    """Idempotent pay-the-shuffle-once machinery shared by every bucketed
-    layout (``bucketed_join_orders``, ``dedup_exact_bucketed``): write
-    ``build()`` as ``{prefix}{tag}`` bucketed+sorted on ``key_cols`` if it
-    does not exist, dropping stale same-prefix tables from older corpora
-    and orphaned warehouse directories (the warehouse DIRECTORY outlives
-    the in-memory catalog: a fresh session sees tableExists == False
-    while the managed location from a previous session still exists, and
+    """Idempotent pay-the-write-once machinery shared by every physical
+    layout (bucketed, Hive-partitioned): write ``build()`` as
+    ``{prefix}{tag}`` with ``configure_writer`` applied if it does not
+    exist, dropping stale same-prefix tables from older corpora and
+    orphaned warehouse directories (the warehouse DIRECTORY outlives the
+    in-memory catalog: a fresh session sees tableExists == False while
+    the managed location from a previous session still exists, and
     saveAsTable then fails with LOCATION_ALREADY_EXISTS)."""
     import shutil
     from urllib.parse import urlparse
@@ -306,14 +305,28 @@ def ensure_bucketed_table(
             if d.startswith(prefix) and not spark.catalog.tableExists(d):
                 shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     if not spark.catalog.tableExists(tbl):
-        (
-            build()
-            .write.mode("overwrite")
-            .bucketBy(n_buckets, *key_cols)
-            .sortBy(*key_cols)
-            .saveAsTable(tbl)
-        )
+        configure_writer(build().write.mode("overwrite")).saveAsTable(tbl)
     return spark.table(tbl)
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    prefix: str,
+    tag: str,
+    n_buckets: int,
+    key_cols: list[str],
+    build,
+) -> DataFrame:
+    """Bucketed+sorted layout via :func:`ensure_layout_table` — the
+    pay-the-shuffle-once machinery of ``bucketed_join_orders`` and
+    ``dedup_exact_bucketed``."""
+    return ensure_layout_table(
+        spark,
+        prefix,
+        tag,
+        build,
+        lambda w: w.bucketBy(n_buckets, *key_cols).sortBy(*key_cols),
+    )
 
 
 def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

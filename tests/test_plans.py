@@ -614,3 +614,29 @@ def test_z3_z4_match_reference_interleave_in_both_engines(spark):
     for a, b, c, d, x3, x4 in con.execute(q).fetchall():
         assert x3 == ref([a, b, c], 16)
         assert x4 == ref([a & 0x7FFF, b & 0x7FFF, c & 0x7FFF, d], 15)
+
+
+def test_dpp_join_injects_runtime_partition_pruning(spark):
+    """dpp_join_events must get RUNTIME partition pruning: the stored
+    dim's category filter is data (not a foldable expression — a CASE
+    dim verifiably gets constant-folded into a static partition filter,
+    which is the non-demonstration), so the fact scan's PartitionFilters
+    must carry a dynamicpruningexpression subquery fed by the broadcast
+    dim, and the executed scan must read only the surviving partition's
+    rows."""
+    from firebird_mapreduce_spark.operators.layout import dpp_join_events
+
+    df = dpp_join_events(spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "dynamicpruningexpression" in plan, plan
+    assert has_broadcast_hash_join(df)
+    # the pruning expression hangs off the partitioned FACT scan, not
+    # the dim scan
+    detail = plan.split("Scan parquet spark_catalog.default.events_part_", 2)[
+        -1
+    ].split("(2)")[0]
+    assert "dynamicpruningexpression" in detail, plan
+    # execution evidence: only the surviving partition's group comes back
+    rows = df.collect()
+    assert [r.event_type for r in rows] == ["purchase"]
+    assert rows[0].n_events > 0
