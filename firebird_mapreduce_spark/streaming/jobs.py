@@ -271,6 +271,46 @@ def user_running_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def fold_session_batch(
+    ts_us: list[int],
+    prev: tuple[int, int, int] | None,
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int]]:
+    """The sessionizer's per-key per-batch fold, shared by BOTH stateful
+    API spellings (``applyInPandasWithState`` and the
+    ``transformWithStateInPandas`` v2 processor) so the session logic
+    exists once: sort the batch's event-time micros, extend or close the
+    carried open session, return (rows to emit = closed + open, new open
+    state)."""
+    ts_us = sorted(ts_us)
+    start, last, n = prev if prev is not None else (None, None, 0)
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_us:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last < gap_us:
+            last, n = t, n + 1
+        else:
+            closed.append((start, last, n))
+            start, last, n = t, t, 1
+    return closed + ([(start, last, n)] if n else []), (start, last, n)
+
+
+def _session_rows_frame(user_id, rows, gap_us):
+    import pandas as _pd
+
+    return _pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rows),
+            "session_start": [_pd.Timestamp(s * 1000) for s, _, _ in rows],
+            "session_end": [
+                _pd.Timestamp(e * 1000 + gap_us * 1000) for _, e, _ in rows
+            ],
+            "n_events": [c for _, _, c in rows],
+        }
+    )
+
+
 def custom_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
     """Session windows implemented as a CUSTOM stateful operator
     (``applyInPandasWithState``) instead of the built-in
@@ -308,35 +348,14 @@ def custom_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        import pandas as _pd
-
         ts_us: list[int] = []
         for pdf in batches:
             # event-time micros; arrival order within a batch is arbitrary
             ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
-        ts_us.sort()
-        start, last, n = state.get if state.exists else (None, None, 0)
-        closed: list[tuple[int, int, int]] = []
-        for t in ts_us:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last < gap_us:
-                last, n = t, n + 1
-            else:
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
-        state.update((start, last, n))
-        rows = closed + ([(start, last, n)] if n else [])
-        yield _pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(rows),
-                "session_start": [_pd.Timestamp(s * 1000) for s, _, _ in rows],
-                "session_end": [
-                    _pd.Timestamp(e * 1000 + gap_us * 1000) for _, e, _ in rows
-                ],
-                "n_events": [c for _, _, c in rows],
-            }
-        )
+        prev = state.get if state.exists else None
+        rows, new_state = fold_session_batch(ts_us, prev, gap_us)
+        state.update(new_state)
+        yield _session_rows_frame(key[0], rows, gap_us)
 
     return (
         events.select("user_id", "ts")
@@ -364,6 +383,97 @@ def custom_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = run_stream_to_memory(
         custom_session_stream(stream_events_multibatch(spark, sf_dir)),
         f"q_stream_custom_sessions_{_REPLAY_COUNTER}",
+        output_mode="update",
+    )
+    return result.groupBy("user_id", "session_start").agg(
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
+def tws_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """The SAME sessionizer spelled in Spark 4's successor stateful API,
+    ``transformWithStateInPandas`` (SPARK-40434 "arbitrary stateful
+    processing v2"): a ``StatefulProcessor`` holding the open session in
+    a typed ``ValueState`` instead of ``applyInPandasWithState``'s single
+    state tuple.  Same emission contract as ``custom_session_stream``
+    (closed sessions once, the open session re-emitted per batch), so
+    the SAME DuckDB oracle certifies it — three independent
+    implementations (built-in session_window, GroupState,
+    StatefulProcessor), one external answer.
+
+    The v2 API is the forward surface for custom operators at scale:
+    composable named state variables (value/list/map), per-key timers,
+    state TTL — and it REQUIRES the RocksDB state store provider, which
+    ``run_stream_to_memory`` defaults to.
+
+    ENVIRONMENT GATE: the v2 state IPC speaks protobuf
+    (``pyspark.sql.streaming.proto``); in a container without
+    ``google.protobuf`` the query fails at start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (verified), so this
+    spelling is NOT a registered driver query here — the shared fold is
+    unit-tested directly (``tests/test_streaming.py``) and the E2E
+    parity test skips unless protobuf is importable."""
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint"
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    processor = make_session_processor(gap_us)
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=processor,
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def make_session_processor(gap_us: int):
+    """Build the ``StatefulProcessor`` for :func:`tws_session_stream` —
+    exposed separately so its ``handleInputRows`` can be driven directly
+    by a unit test with a fake ValueState (the container lacks the
+    protobuf runtime the real handle needs)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open_session", "start_us long, last_us long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            ts_us: list[int] = []
+            for pdf in rows:
+                ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+            prev = self._open.get() if self._open.exists() else None
+            out, new_state = fold_session_batch(ts_us, prev, gap_us)
+            self._open.update(new_state)
+            yield _session_rows_frame(key[0], out, gap_us)
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def tws_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the transformWithStateInPandas sessionizer replayed
+    over 4 micro-batches, reduced to final sessions exactly like
+    ``custom_session_query`` and hash-compared against the same
+    relational oracle."""
+    global _REPLAY_COUNTER
+    _REPLAY_COUNTER += 1
+    result = run_stream_to_memory(
+        tws_session_stream(stream_events_multibatch(spark, sf_dir)),
+        f"q_stream_tws_sessions_{_REPLAY_COUNTER}",
         output_mode="update",
     )
     return result.groupBy("user_id", "session_start").agg(
