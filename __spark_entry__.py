@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_sessionize": R.range_join_sessionize,
         "asof_purchase_prior_click": R.asof_purchase_prior_click,
         "bucketed_theta_join": R.bucketed_theta_join,
+        # r5: selective-dim big-big join; the at-scale runtime-bloom-
+        # filtered plan (might_contain on the fact scan) is pinned in
+        # tests/test_plans.py
+        "runtime_bloom_join": R.runtime_bloom_join,
         # set ops / scalar fns / UDAF
         "set_ops_customers": R.set_ops_customers,
         "scalar_functions": R.scalar_functions,
@@ -304,6 +308,7 @@ _DRIVER_WINDOW = [
 # not silent.
 _PENDING_NEXT_WINDOW = [
     "dpp_join_events",
+    "runtime_bloom_join",
 ]
 
 
@@ -1102,6 +1107,19 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
         "zorder3_key_events": _zorder3_key_sql(),
+        # the bloom filter is a runtime plan optimization, never a
+        # semantics change — the oracle is the plain join
+        "runtime_bloom_join": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (CAST(1 AS DECIMAL(18,2))
+                                    - CAST(l_discount AS DECIMAL(4,2)))
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderpriority
+        """,
         # DPP: the layout (partitioned fact + stored dim) changes the
         # PLAN, never the answer — the oracle computes the same join over
         # the raw table with the dim derived inline

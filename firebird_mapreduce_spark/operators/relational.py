@@ -249,6 +249,47 @@ def reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim big-big join — the shape Spark's RUNTIME BLOOM
+    FILTER (SPARK-32268 row-level runtime filtering) exists for: when
+    the dim is too big to broadcast, the filtered dim side's join keys
+    are folded into a bloom filter (partial → merged
+    ``bloom_filter_agg``) and ``might_contain(xxhash64(l_orderkey))``
+    is pushed onto the FACT scan, discarding non-joining rows before
+    the shuffle instead of after the sort-merge.  The row-level sibling
+    of ``dpp_join_events``' partition-level pruning, and the declarative
+    successor of hand-built semi-join reductions.
+
+    The query itself is pure dataflow — locally Catalyst broadcasts the
+    tiny filtered dim and needs no bloom; the at-scale plan (broadcast
+    off, application-side threshold crossed, as a 100 TB lineitem would)
+    is pinned in ``tests/test_plans.py``: might_contain on the fact
+    scan, bloom_filter_agg on the dim side, identical results either
+    way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(4,2)")
+                    )
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-side join with a replicated small table — the analogue of the
     reference sharing the read-only ``graph`` pointer across threads

@@ -640,3 +640,43 @@ def test_dpp_join_injects_runtime_partition_pruning(spark):
     rows = df.collect()
     assert [r.event_type for r in rows] == ["purchase"]
     assert rows[0].n_events > 0
+
+
+def test_runtime_bloom_filter_reduces_fact_scan_at_scale_shape(spark):
+    """runtime_bloom_join under the at-scale planning shape (dim too big
+    to broadcast, fact scan past the application-side threshold — both
+    modeled by conf, exactly what a 100 TB lineitem presents): the plan
+    must inject the row-level runtime filter — bloom_filter_agg over the
+    filtered dim's keys, might_contain(xxhash64(l_orderkey)) pushed onto
+    the FACT side before the join shuffle — and the result must be
+    byte-identical to the default plan (a bloom filter may only discard
+    rows the join would discard)."""
+    from firebird_mapreduce_spark.operators.relational import (
+        runtime_bloom_join,
+    )
+
+    baseline = sorted(map(tuple, runtime_bloom_join(spark, SF_SMOKE).collect()))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = runtime_bloom_join(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the filter sits on the FACT (lineitem) side: it references
+        # l_orderkey, not the dim key
+        might = [ln for ln in plan.splitlines() if "might_contain" in ln]
+        assert any("l_orderkey" in ln for ln in might), might
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
