@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,14 +54,17 @@ class VersionedParquetTable:
     snapshot N.  The log is the source of truth — orphan snapshot dirs
     (crash between data write and log append) are invisible to readers.
 
-    CONCURRENCY CONTRACT: one writer per table.  The log update is a
-    read-modify-write, so two concurrent committers could silently drop
-    each other's lines; ``_append_log`` therefore takes an ``O_EXCL``
-    lock file for the duration of the update and raises
-    ``ConcurrentCommitError`` loudly if another committer holds it —
-    lost history is the one failure the batch-id dedupe contract cannot
-    survive, so contention must fail, not race.  (Real table formats
-    solve this with optimistic-concurrency commit protocols; a second
+    CONCURRENCY CONTRACT: one writer per table.  Every mutating method
+    (``commit``, ``apply_cdc_batch``, ``vacuum``) holds an ``O_EXCL``
+    lock file for its ENTIRE read-modify-write — version selection,
+    dedupe check, snapshot data write/delete, and log rewrite all happen
+    under the lock, not just the final log append.  A second committer
+    raises ``ConcurrentCommitError`` loudly: lost history is the one
+    failure the batch-id dedupe contract cannot survive, and a
+    lock-scoped-to-the-log-write-only would still let two committers
+    pick the same version or let a vacuum erase a commit that landed
+    between its log read and log rewrite.  (Real table formats solve
+    this with optimistic-concurrency commit protocols; a second
     foreachBatch query targeting the same table should use its own
     table path or serialize through one query.)
     """
@@ -107,63 +111,80 @@ class VersionedParquetTable:
             raise ValueError(f"version {version} was vacuumed; data removed")
         return spark.read.parquet(os.path.join(self.path, f"v{version}"))
 
-    def _append_log(self, entry: dict) -> None:
-        # write-temp + atomic replace: the log is small (one line per
-        # commit), so rewriting it whole keeps the update a single
-        # os.replace — no reader ever sees a torn line.  The whole
-        # read-modify-write runs under an O_EXCL lock file so a second
-        # concurrent committer fails loudly instead of silently dropping
-        # this commit's line (see class docstring).
+    @contextmanager
+    def _commit_lock(self, action: str):
+        """Single-writer mutual exclusion for the WHOLE read-modify-write
+        of any mutating method.  ``O_CREAT|O_EXCL`` is atomic on POSIX;
+        a second holder fails loudly; release happens on success AND
+        failure paths."""
         lock = os.path.join(self.path, "_commits.lock")
         try:
             lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             raise ConcurrentCommitError(
-                f"another committer holds {lock}; versioned tables are "
-                "single-writer (delete the lock only if the other writer "
-                "is known dead)"
+                f"another committer holds {lock}; cannot {action} — "
+                "versioned tables are single-writer (delete the lock only "
+                "if the other writer is known dead)"
             ) from None
         try:
-            lines = self.commits() + [entry]
-            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
-            with os.fdopen(fd, "w") as fh:
-                for e in lines:
-                    fh.write(json.dumps(e) + "\n")
-            os.replace(tmp, self._log_path)
+            yield
         finally:
             os.close(lock_fd)
             os.unlink(lock)
 
-    def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
-        """Write ``df`` as the next snapshot and log it. Returns the new
-        version number."""
+    def _rewrite_log(self, lines: list[dict]) -> None:
+        # write-temp + atomic replace: the log is small (one line per
+        # commit), so rewriting it whole keeps the update a single
+        # os.replace — no reader ever sees a torn line.  Callers hold
+        # _commit_lock.
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
+        with os.fdopen(fd, "w") as fh:
+            for e in lines:
+                fh.write(json.dumps(e) + "\n")
+        os.replace(tmp, self._log_path)
+
+    def _commit_locked(self, df: DataFrame, batch_id: int | None) -> int:
+        # version selection AND data write under the caller's lock: a
+        # lock scoped to the log append alone would let two committers
+        # pick the same version and overwrite each other's snapshot dir
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{version}"))
-        self._append_log({"version": version, "batch_id": batch_id})
+        self._rewrite_log(
+            self.commits() + [{"version": version, "batch_id": batch_id}]
+        )
         return version
+
+    def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
+        """Write ``df`` as the next snapshot and log it. Returns the new
+        version number."""
+        with self._commit_lock("commit"):
+            return self._commit_locked(df, batch_id)
 
     def apply_cdc_batch(self, updates: DataFrame, batch_id: int) -> bool:
         """foreachBatch body: merge ``updates`` into the latest snapshot
         (update-wins on ``key_cols``) and commit — SKIPPING batches whose
         id is already in the log, so sink retries cannot double-apply.
-        Returns True if applied, False if skipped as a duplicate."""
-        if batch_id in self.applied_batch_ids():
-            return False
-        spark = updates.sparkSession
-        if self.latest_version() is None:
-            merged = updates
-            if self.key_cols:
-                merged = merge_upsert(
-                    updates.limit(0), updates, self.key_cols
-                )
-        else:
-            merged = merge_upsert(self.read(spark), updates, self.key_cols)
-        # the merge reads the CURRENT snapshot and writes the NEXT dir, so
-        # there is no read-overwrite hazard and no checkpoint/localCheckpoint
-        # is needed before the write
-        self.commit(merged, batch_id=batch_id)
-        return True
+        Returns True if applied, False if skipped as a duplicate.  The
+        dedupe check, merge read, and commit run under ONE lock scope so
+        a racing committer cannot slip between check and apply."""
+        with self._commit_lock(f"apply batch {batch_id}"):
+            if batch_id in self.applied_batch_ids():
+                return False
+            spark = updates.sparkSession
+            if self.latest_version() is None:
+                merged = updates
+                if self.key_cols:
+                    merged = merge_upsert(
+                        updates.limit(0), updates, self.key_cols
+                    )
+            else:
+                merged = merge_upsert(self.read(spark), updates, self.key_cols)
+            # the merge reads the CURRENT snapshot and writes the NEXT
+            # dir, so there is no read-overwrite hazard and no
+            # checkpoint/localCheckpoint is needed before the write
+            self._commit_locked(merged, batch_id=batch_id)
+            return True
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot DATA for all but the newest ``keep_last``
@@ -172,41 +193,28 @@ class VersionedParquetTable:
         in the commit log flagged ``vacuumed`` — the batch-id dedupe
         contract is unaffected, and a time-travel read of a vacuumed
         version raises a clear error instead of returning a half-state.
-        Returns the versions whose data was removed."""
+        Returns the versions whose data was removed.  The log read, data
+        deletion, and log rewrite run under ONE lock scope — a commit
+        landing mid-vacuum can neither lose its log line nor have its
+        fresh snapshot deleted."""
         import shutil
 
-        log = self.commits()
-        if len(log) <= keep_last:
-            return []
-        keep = {c["version"] for c in log[-keep_last:]}
-        removed = []
-        new_log = []
-        for c in log:
-            if c["version"] not in keep and not c.get("vacuumed"):
-                snap = os.path.join(self.path, f"v{c['version']}")
-                if os.path.isdir(snap):
-                    shutil.rmtree(snap)
-                removed.append(c["version"])
-                c = {**c, "vacuumed": True}
-            new_log.append(c)
-        # same single-writer lock as _append_log: vacuum also rewrites
-        # the log and must not race a concurrent commit.
-        lock = os.path.join(self.path, "_commits.lock")
-        try:
-            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"another committer holds {lock}; cannot vacuum"
-            ) from None
-        try:
-            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_commits_tmp")
-            with os.fdopen(fd, "w") as fh:
-                for e in new_log:
-                    fh.write(json.dumps(e) + "\n")
-            os.replace(tmp, self._log_path)
-        finally:
-            os.close(lock_fd)
-            os.unlink(lock)
+        with self._commit_lock("vacuum"):
+            log = self.commits()
+            if len(log) <= keep_last:
+                return []
+            keep = {c["version"] for c in log[-keep_last:]}
+            removed = []
+            new_log = []
+            for c in log:
+                if c["version"] not in keep and not c.get("vacuumed"):
+                    snap = os.path.join(self.path, f"v{c['version']}")
+                    if os.path.isdir(snap):
+                        shutil.rmtree(snap)
+                    removed.append(c["version"])
+                    c = {**c, "vacuumed": True}
+                new_log.append(c)
+            self._rewrite_log(new_log)
         return removed
 
     def foreach_batch_writer(self):

@@ -271,44 +271,49 @@ def user_running_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def fold_session_batch(
-    ts_us: list[int],
-    prev: tuple[int, int, int] | None,
-    gap_us: int,
-) -> tuple[list[tuple[int, int, int]], tuple[int, int, int]]:
+def make_session_fold(gap_us: int):
     """The sessionizer's per-key per-batch fold, shared by BOTH stateful
     API spellings (``applyInPandasWithState`` and the
     ``transformWithStateInPandas`` v2 processor) so the session logic
-    exists once: sort the batch's event-time micros, extend or close the
-    carried open session, return (rows to emit = closed + open, new open
-    state)."""
-    ts_us = sorted(ts_us)
-    start, last, n = prev if prev is not None else (None, None, 0)
-    closed: list[tuple[int, int, int]] = []
-    for t in ts_us:
-        if start is None:
-            start, last, n = t, t, 1
-        elif t - last < gap_us:
-            last, n = t, n + 1
-        else:
-            closed.append((start, last, n))
-            start, last, n = t, t, 1
-    return closed + ([(start, last, n)] if n else []), (start, last, n)
+    exists once.  Returned as closures DEFINED INSIDE this factory so
+    cloudpickle ships them to executors BY VALUE — a module-level helper
+    would pickle by *reference* and require this repo on executor
+    sys.path (same discipline as ``operators.multimodal``).
 
+    ``fold(ts_us, prev)``: sort the batch's event-time micros, extend or
+    close the carried open session, return (rows to emit = closed +
+    open, new open state).  ``frame(user_id, rows)``: the emission
+    DataFrame with session_end = last event + gap."""
 
-def _session_rows_frame(user_id, rows, gap_us):
-    import pandas as _pd
+    def fold(ts_us, prev):
+        ts_us = sorted(ts_us)
+        start, last, n = prev if prev is not None else (None, None, 0)
+        closed = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last < gap_us:
+                last, n = t, n + 1
+            else:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+        return closed + ([(start, last, n)] if n else []), (start, last, n)
 
-    return _pd.DataFrame(
-        {
-            "user_id": [user_id] * len(rows),
-            "session_start": [_pd.Timestamp(s * 1000) for s, _, _ in rows],
-            "session_end": [
-                _pd.Timestamp(e * 1000 + gap_us * 1000) for _, e, _ in rows
-            ],
-            "n_events": [c for _, _, c in rows],
-        }
-    )
+    def frame(user_id, rows):
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "user_id": [user_id] * len(rows),
+                "session_start": [_pd.Timestamp(s * 1000) for s, _, _ in rows],
+                "session_end": [
+                    _pd.Timestamp(e * 1000 + gap_us * 1000) for _, e, _ in rows
+                ],
+                "n_events": [c for _, _, c in rows],
+            }
+        )
+
+    return fold, frame
 
 
 def custom_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
@@ -342,6 +347,9 @@ def custom_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame
     )
     state_schema = "start_us long, last_us long, n long"
     gap_us = gap_minutes * 60 * 1_000_000
+    # factory-built closures ship BY VALUE — the update closure stays
+    # fully self-contained on executors without this repo on sys.path
+    fold, frame = make_session_fold(gap_us)
 
     def update(
         key: tuple[Any, ...],
@@ -353,9 +361,9 @@ def custom_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame
             # event-time micros; arrival order within a batch is arbitrary
             ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
         prev = state.get if state.exists else None
-        rows, new_state = fold_session_batch(ts_us, prev, gap_us)
+        rows, new_state = fold(ts_us, prev)
         state.update(new_state)
-        yield _session_rows_frame(key[0], rows, gap_us)
+        yield frame(key[0], rows)
 
     return (
         events.select("user_id", "ts")
@@ -443,6 +451,8 @@ def make_session_processor(gap_us: int):
         StatefulProcessorHandle,
     )
 
+    fold, frame = make_session_fold(gap_us)
+
     class SessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._open = handle.getValueState(
@@ -454,9 +464,9 @@ def make_session_processor(gap_us: int):
             for pdf in rows:
                 ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
             prev = self._open.get() if self._open.exists() else None
-            out, new_state = fold_session_batch(ts_us, prev, gap_us)
+            out, new_state = fold(ts_us, prev)
             self._open.update(new_state)
-            yield _session_rows_frame(key[0], out, gap_us)
+            yield frame(key[0], out)
 
         def close(self) -> None:
             pass
