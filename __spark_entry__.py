@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: runtime dynamic partition pruning over a Hive-partitioned
         # fact + stored dim (plan-asserted dynamicpruningexpression)
         "dpp_join_events": L.dpp_join_events,
+        # r5: 4-D Morton key (pair-composed, 15 bits/dim), oracle z4_sql
+        "zorder4_key_events": L.zorder4_key_events,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -309,6 +311,7 @@ _DRIVER_WINDOW = [
 _PENDING_NEXT_WINDOW = [
     "dpp_join_events",
     "runtime_bloom_join",
+    "zorder4_key_events",
 ]
 
 
@@ -374,6 +377,21 @@ _MINHASH_CTES = """docs AS ({docs}),
 # Z-order key oracle, generated from the SAME magic-number spread steps
 # the Spark column expression uses (functions.zorder._SPREAD_STEPS) so
 # the two bit pipelines can never drift.
+def _zorder4_key_sql() -> str:
+    from firebird_mapreduce_spark.functions.zorder import z4_sql
+
+    tb = "CAST('0x' || substr(md5(event_type), 1, 4) AS BIGINT)"
+    zkey = z4_sql("user_id", "CAST(floor(value) AS BIGINT)", tb, "hour(ts)")
+    return f"""
+        SELECT event_id, user_id,
+               CAST(floor(value) AS BIGINT) AS value_bucket,
+               {tb} AS type_bucket,
+               CAST(hour(ts) AS BIGINT) AS hour_bucket,
+               {zkey} AS zkey
+        FROM events
+    """
+
+
 def _zorder3_key_sql() -> str:
     from firebird_mapreduce_spark.functions.zorder import z3_sql
 
@@ -1107,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_chargram": _lang_id_chargram_sql(),
         "zorder_key_events": _zorder_key_sql(),
         "zorder3_key_events": _zorder3_key_sql(),
+        "zorder4_key_events": _zorder4_key_sql(),
         # the bloom filter is a runtime plan optimization, never a
         # semantics change — the oracle is the plain join
         "runtime_bloom_join": """

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.zorder import z2, z3
+from ..functions.zorder import z2, z3, z4
 from ..sources import load_table
 
 
@@ -60,6 +60,36 @@ def zorder3_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"),
             F.floor("value").cast("long"),
             type_bucket,
+        ).alias("zkey"),
+    )
+
+
+def zorder4_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-D Z-order key over events' (user_id, floor(value), 16-bit md5
+    bucket of event_type, hour-of-day) — the upper end of useful
+    clustering arity (Delta's OPTIMIZE ZORDER BY guidance tops out
+    around 4 columns; each added dimension dilutes every dimension's
+    prefix, measured in SCALE.md).  The 60-bit key composes two 2-D
+    Morton words (15 bits per dimension — a 16th would put dimension
+    d's top bit on the BIGINT sign and break key ordering); pure
+    codegen, zero exchanges, and the DuckDB oracle recomputes the
+    identical pair-composition via ``functions.zorder.z4_sql``."""
+    events = load_table(spark, sf_dir, "events")
+    type_bucket = F.conv(
+        F.substring(F.md5(F.col("event_type")), 1, 4), 16, 10
+    ).cast("long")
+    hour_bucket = F.hour("ts").cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.floor("value").cast("long").alias("value_bucket"),
+        type_bucket.alias("type_bucket"),
+        hour_bucket.alias("hour_bucket"),
+        z4(
+            F.col("user_id"),
+            F.floor("value").cast("long"),
+            type_bucket,
+            hour_bucket,
         ).alias("zkey"),
     )
 
@@ -240,8 +270,6 @@ def write_zordered_nd(
     range-partition-by-interleaved-key + sort-within recipe as the 2-D
     form, with the Morton key picked by arity (``z2``/``z3``/``z4`` —
     note ``z4`` keeps 15 bits per dimension; see its docstring)."""
-    from ..functions.zorder import z4
-
     keyers = {2: z2, 3: z3, 4: z4}
     if len(cols) not in keyers:
         raise ValueError(f"z-order supports 2-4 columns, got {len(cols)}")
