@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_join_events": L.dpp_join_events,
         # r5: 4-D Morton key (pair-composed, 15 bits/dim), oracle z4_sql
         "zorder4_key_events": L.zorder4_key_events,
+        # r5: interpolated bigram LM (the n-gram generalization of
+        # unigram_logprob; lambda backoff makes higher orders usable)
+        "bigram_logprob": T.bigram_logprob,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -312,6 +315,7 @@ _PENDING_NEXT_WINDOW = [
     "dpp_join_events",
     "runtime_bloom_join",
     "zorder4_key_events",
+    "bigram_logprob",
 ]
 
 
@@ -1126,6 +1130,43 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key_events": _zorder_key_sql(),
         "zorder3_key_events": _zorder3_key_sql(),
         "zorder4_key_events": _zorder4_key_sql(),
+        # bigram LM: exact-integer ratios into ln(), 9-dp DECIMAL
+        # log-probs, identical interpolation literals (0.9 / 0.1) — the
+        # same exactness discipline as unigram_logprob
+        "bigram_logprob": """
+            WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                        FROM documents),
+            toks AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(
+                              range(1, greatest(len(tk), 1)),
+                              i -> array_to_string(tk[i:i+1], ' ')))
+                              AS bigram
+                   FROM tk),
+            bi AS (SELECT bigram, count(*) AS c_bi,
+                          string_split(bigram, ' ')[1] AS w1,
+                          string_split(bigram, ' ')[2] AS w2
+                   FROM bg GROUP BY bigram),
+            ctx AS (SELECT w1, sum(c_bi) AS c_ctx FROM bi GROUP BY w1),
+            uni AS (SELECT token, count(*) AS c_uni FROM toks
+                    GROUP BY token),
+            lp AS (SELECT b.bigram,
+                          CAST(round(ln(
+                              0.9 * (CAST(b.c_bi AS DOUBLE)
+                                     / CAST(c.c_ctx AS DOUBLE))
+                              + 0.1 * (CAST(u.c_uni AS DOUBLE)
+                                       / (SELECT CAST(sum(c_uni) AS DOUBLE)
+                                          FROM uni))), 9)
+                               AS DECIMAL(18,9)) AS lp
+                   FROM bi b JOIN ctx c USING (w1)
+                   JOIN uni u ON u.token = b.w2)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(CAST(sum(l.lp) AS DOUBLE) / count(*), 6)
+                       AS logprob_score
+            FROM bg g JOIN lp l USING (bigram)
+            GROUP BY g.doc_id
+        """,
         # the bloom filter is a runtime plan optimization, never a
         # semantics change — the oracle is the plain join
         "runtime_bloom_join": """

@@ -97,6 +97,8 @@ HEADLINE = [
     "curation_pipeline",
     # runtime dynamic partition pruning (partitioned fact x stored dim)
     "dpp_join_events",
+    # interpolated bigram LM scoring (two model shuffles + broadcast-back)
+    "bigram_logprob",
 ]
 
 

@@ -231,6 +231,96 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score — the n-gram generalization
+    of :func:`unigram_logprob` (CCNet's production filter is a 5-gram
+    KenLM; the interpolation backoff λ·P(w2|w1) + (1−λ)·P(w2) is the
+    mechanism that makes higher-order models usable at all, since most
+    bigrams are unseen for any given context).
+
+    Dataflow (one more model shuffle than unigram, same broadcast-back
+    shape):
+      1. bigram counts: explode ``shingles(toks, 2)`` → groupBy(bigram)
+         (map-side partial agg; model is bigram-vocab-sized).
+      2. context counts c(w1·): groupBy over the MODEL's first tokens —
+         vocab-sized input, trivial shuffle.
+      3. unigram model + total: as in unigram_logprob.
+      4. score: corpus bigrams re-join the BROADCAST per-bigram log-prob
+         table → one groupBy(doc_id) → mean.
+    At 100 TB the bigram model is the broadcast-size risk (it grows
+    faster than the vocab); production caps to top-K bigrams with the
+    interpolation absorbing the tail — the same OOV story as unigram.
+
+    Oracle discipline: P_bi = c(w1w2)/c(w1·) and P_uni = c(w2)/total are
+    exact-integer ratios; λ = 0.9 parses to the same double literal in
+    both engines, IEEE mul/add are correctly rounded, so
+    ln(λ·P_bi + (1−λ)·P_uni) sees bit-identical inputs; rounding the
+    log-prob to 9 dp and carrying it as DECIMAL(18,9) makes the per-doc
+    sum reduction-order-exact.  Documents with <2 tokens have no bigrams
+    and drop out on both sides."""
+    from ..functions.hashing import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = tokens(F.col("text"))
+    uni = docs.select("doc_id", F.explode(toks_arr).alias("token"))
+    bg = docs.select(
+        "doc_id", F.explode(shingles(toks_arr, 2)).alias("bigram")
+    )
+    bi_model = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+        .localCheckpoint(eager=True)
+    )
+    ctx = bi_model.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
+    uni_model = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni_model.agg(F.sum("c_uni").cast("double").alias("total"))
+    lam = F.lit(0.9)
+    lp = (
+        bi_model.join(F.broadcast(ctx), "w1")
+        .join(
+            F.broadcast(uni_model.withColumnRenamed("token", "w2")), "w2"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            F.round(
+                F.ln(
+                    lam
+                    * (
+                        F.col("c_bi").cast("double")
+                        / F.col("c_ctx").cast("double")
+                    )
+                    # 0.1 as a LITERAL, not 1.0-0.9 (which is
+                    # 0.09999999999999998 in IEEE and would diverge from
+                    # the oracle's 0.1)
+                    + F.lit(0.1)
+                    * (F.col("c_uni").cast("double") / F.col("total"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(lp), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("_sum_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("_sum_lp").cast("double") / F.col("n_bigrams"), 6
+        ).alias("logprob_score"),
+    )
+
+
 def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF tier (one input row -> n output rows with arbitrary
     logic): split each document into 20-token chunks — the

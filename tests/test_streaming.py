@@ -907,3 +907,30 @@ def test_tws_sessionizer_matches_groupstate_e2e(spark):
     a = _rows(tws_session_query(spark, SF_SMOKE))
     b = _rows(custom_session_query(spark, SF_SMOKE))
     assert a == b and len(a) > 100
+
+
+def test_versioned_table_schema_evolution_per_snapshot(spark, tmp_path):
+    """Schema evolution across versions: each version is a self-contained
+    snapshot, so a later commit may ADD a column — the latest read serves
+    the new schema while time travel to an old version returns exactly
+    the schema that version was written with (no cross-version merge
+    surprises, the contract real table formats call per-snapshot
+    schema)."""
+    from firebird_mapreduce_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=["k"])
+    t.commit(spark.createDataFrame([(1, 10)], "k LONG, v LONG"), batch_id=0)
+    t.commit(
+        spark.createDataFrame(
+            [(1, 10, "x"), (2, 20, "y")], "k LONG, v LONG, tag STRING"
+        ),
+        batch_id=1,
+    )
+    latest = t.read(spark)
+    assert set(latest.columns) == {"k", "v", "tag"}
+    assert latest.count() == 2
+    v0 = t.read(spark, 0)
+    assert set(v0.columns) == {"k", "v"}
+    assert [tuple(r) for r in v0.collect()] == [(1, 10)]
