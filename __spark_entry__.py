@@ -29,6 +29,7 @@ from firebird_mapreduce_spark.operators import relational as R
 from firebird_mapreduce_spark.operators import similarity as S
 from firebird_mapreduce_spark.operators import skew as K
 from firebird_mapreduce_spark.operators import text as T
+from firebird_mapreduce_spark.sources import jdbc as JD
 from firebird_mapreduce_spark.streaming import jobs as SJ
 from firebird_mapreduce_spark.streaming.eventgen_source import (
     stream_custom_source_query as _stream_custom_source,
@@ -222,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: interpolated bigram LM (the n-gram generalization of
         # unigram_logprob; lambda backoff makes higher orders usable)
         "bigram_logprob": T.bigram_logprob,
+        # r5: JDBC connector round-trip (embedded Derby endpoint;
+        # partitioned parallel read + remote filter pushdown)
+        "jdbc_roundtrip_nation": JD.jdbc_roundtrip_nation,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -316,6 +320,7 @@ _PENDING_NEXT_WINDOW = [
     "runtime_bloom_join",
     "zorder4_key_events",
     "bigram_logprob",
+    "jdbc_roundtrip_nation",
 ]
 
 
@@ -1133,6 +1138,14 @@ def oracle_sql() -> dict[str, str]:
         # bigram LM: exact-integer ratios into ln(), 9-dp DECIMAL
         # log-probs, identical interpolation literals (0.9 / 0.1) — the
         # same exactness discipline as unigram_logprob
+        "jdbc_roundtrip_nation": """
+            SELECT n_regionkey,
+                   CAST(count(*) AS BIGINT) AS n_nations,
+                   min(n_name) AS first_name
+            FROM nation
+            WHERE n_regionkey >= 2
+            GROUP BY n_regionkey
+        """,
         "bigram_logprob": """
             WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
                         FROM documents),

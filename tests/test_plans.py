@@ -680,3 +680,20 @@ def test_runtime_bloom_filter_reduces_fact_scan_at_scale_shape(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+def test_jdbc_read_is_partitioned_and_pushes_filter(spark):
+    """The JDBC dim read must be a 4-way range-partitioned parallel scan
+    with the predicate compiled into the remote WHERE clause (the `*`
+    prefix marks source-evaluated filters) — a single-connection
+    unfiltered pull is the classic JDBC scaling mistake."""
+    from firebird_mapreduce_spark.sources.jdbc import jdbc_roundtrip_nation
+
+    df = jdbc_roundtrip_nation(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "JDBCRelation" in ln]
+    assert scan, plan
+    assert "[numPartitions=4]" in scan[0]
+    assert "*GreaterThanOrEqual(n_regionkey,2)" in scan[0], scan[0]
+    rows = sorted((r.n_regionkey, r.n_nations) for r in df.collect())
+    assert [k for k, _ in rows] == [2, 3, 4] and all(n == 5 for _, n in rows)
