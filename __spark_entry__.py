@@ -19,7 +19,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from firebird_mapreduce_spark.mapreduce import mapreduce_group_count
+from firebird_mapreduce_spark.mapreduce import (
+    cogroup_customer_orders,
+    mapreduce_group_count,
+)
 from firebird_mapreduce_spark.operators import dedup as D
 from firebird_mapreduce_spark.operators import graph as G
 from firebird_mapreduce_spark.operators import layout as L
@@ -226,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: JDBC connector round-trip (embedded Derby endpoint;
         # partitioned parallel read + remote filter pushdown)
         "jdbc_roundtrip_nation": JD.jdbc_roundtrip_nation,
+        # r5: co-grouped reduce over two sources (join-in-the-reducer)
+        "cogroup_customer_orders": cogroup_customer_orders,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -321,6 +326,7 @@ _PENDING_NEXT_WINDOW = [
     "zorder4_key_events",
     "bigram_logprob",
     "jdbc_roundtrip_nation",
+    "cogroup_customer_orders",
 ]
 
 
@@ -1138,6 +1144,19 @@ def oracle_sql() -> dict[str, str]:
         # bigram LM: exact-integer ratios into ln(), 9-dp DECIMAL
         # log-probs, identical interpolation literals (0.9 / 0.1) — the
         # same exactness discipline as unigram_logprob
+        "cogroup_customer_orders": """
+            WITH o AS (SELECT o_custkey AS custkey,
+                              CAST(count(*) AS BIGINT) AS n_orders,
+                              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   AS DOUBLE) AS total_price
+                       FROM orders GROUP BY o_custkey),
+            c AS (SELECT c_custkey AS custkey FROM customer)
+            SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+                   c.custkey IS NOT NULL AS has_customer,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   COALESCE(o.total_price, 0.0) AS total_price
+            FROM c FULL JOIN o ON c.custkey = o.custkey
+        """,
         "jdbc_roundtrip_nation": """
             SELECT n_regionkey,
                    CAST(count(*) AS BIGINT) AS n_nations,

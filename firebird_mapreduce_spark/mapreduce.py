@@ -170,3 +170,59 @@ def count_by_key(df: DataFrame, *key_cols: str) -> DataFrame:
     ``groupBy().count()`` runs it with map-side partial aggregation — a
     strict upgrade over the reference's no-combiner design."""
     return df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("count"))
+
+
+def cogroup_customer_orders(spark, sf_dir: str) -> DataFrame:
+    """Co-grouped reduce over TWO sources — the generalization of the
+    reference's single-source user ``reduce``
+    (``/root/reference/firebird.h:249``) to the classic MapReduce
+    "join in the reducer" pattern: both tables shuffle on the key and
+    ONE Python function sees both key-aligned groups
+    (``groupBy().cogroup().applyInPandas``).  Used here as a per-customer
+    reconciliation: does the customer record exist, how many orders, and
+    their exact total — full-outer semantics fall out naturally (a key
+    present on either side reaches the reducer; pinned with crafted
+    unmatched keys in tests/test_mapreduce.py).
+
+    Prefer a relational join+agg when the logic is expressible (Catalyst
+    optimizes it; this shape always shuffles both sides whole) — cogroup
+    is the escape hatch for per-key logic a join cannot express.
+
+    Exactness: the per-key total sums ``Decimal(repr(v))`` values —
+    order-independent, so the result is stable under any row order the
+    shuffle delivers; the oracle's DECIMAL(18,2) sum is the same number
+    (prices are exact 2-dp).  Closure is self-contained (executors don't
+    need this repo on sys.path)."""
+    from .sources import load_table
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+
+    def reconcile(key: tuple, left: pd.DataFrame, right: pd.DataFrame):
+        from decimal import Decimal
+
+        import pandas as _pd
+
+        total = sum(
+            (Decimal(repr(v)) for v in right["o_totalprice"]), Decimal(0)
+        )
+        return _pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "has_customer": [len(left) > 0],
+                "n_orders": [len(right)],
+                "total_price": [float(total)],
+            }
+        )
+
+    return (
+        customer.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            "custkey long, has_customer boolean, n_orders long, "
+            "total_price double",
+        )
+    )

@@ -267,3 +267,57 @@ def test_map_in_arrow_tier_matches_codegen(spark):
     a = sorted((r.doc_id, r.n_chars) for r in arrow.collect())
     b = sorted((r.doc_id, r.n_chars) for r in codegen.collect())
     assert a == b and len(a) > 0
+
+
+def test_cogroup_full_outer_semantics_with_unmatched_keys(spark):
+    """Crafted input for the cogroup reducer: a key on the customer side
+    only (no orders) must emit n_orders=0/total 0.0, a key on the orders
+    side only must emit has_customer=False with its exact total, and a
+    matched key reconciles both — the full-outer contract the sf corpus
+    cannot exercise (every custkey matches there)."""
+    import pandas as pd
+
+    from firebird_mapreduce_spark.mapreduce import cogroup_customer_orders
+    from firebird_mapreduce_spark.sources import load_table
+
+    # monkey-free: rebuild the same cogroup with crafted frames
+    customer = spark.createDataFrame([(1,), (2,)], "c_custkey LONG")
+    orders = spark.createDataFrame(
+        [(2, 10.25), (2, 0.75), (3, 5.50)],
+        "o_custkey LONG, o_totalprice DOUBLE",
+    )
+
+    def reconcile(key, left, right):
+        from decimal import Decimal
+
+        total = sum(
+            (Decimal(repr(v)) for v in right["o_totalprice"]), Decimal(0)
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "has_customer": [len(left) > 0],
+                "n_orders": [len(right)],
+                "total_price": [float(total)],
+            }
+        )
+
+    out = (
+        customer.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            "custkey long, has_customer boolean, n_orders long, "
+            "total_price double",
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (1, True, 0, 0.0),
+        (2, True, 2, 11.0),
+        (3, False, 1, 5.5),
+    ]
+    # and the declared query runs over the real corpus (all matched)
+    full = cogroup_customer_orders(spark, SF_SMOKE)
+    assert full.filter("NOT has_customer").count() == 0
+    assert full.count() == load_table(spark, SF_SMOKE, "customer").count()
