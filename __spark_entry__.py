@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_roundtrip_nation": JD.jdbc_roundtrip_nation,
         # r5: co-grouped reduce over two sources (join-in-the-reducer)
         "cogroup_customer_orders": cogroup_customer_orders,
+        # r5: Spark 4 WITH RECURSIVE (shared-statement oracle); the
+        # declarative twin of the driver-looped fixpoint operators
+        "recursive_cte_reachability": G.recursive_cte_reachability,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -327,6 +330,7 @@ _PENDING_NEXT_WINDOW = [
     "bigram_logprob",
     "jdbc_roundtrip_nation",
     "cogroup_customer_orders",
+    "recursive_cte_reachability",
 ]
 
 
@@ -712,6 +716,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "sssp_fixpoint": G.SSSP_ORACLE_SQL,
+        # identical statement on both engines (UNION ALL recursion,
+        # hop-bounded — see RECURSIVE_REACH_SQL_TEMPLATE)
+        "recursive_cte_reachability": G.RECURSIVE_REACH_ORACLE_SQL,
         "connected_components": G.CONNECTED_COMPONENTS_ORACLE_SQL,
         # oracle-backed late in r4 (after the 50-slot window was pinned):
         # 10 unrolled PageRank rounds with round(·,12) re-quantization on

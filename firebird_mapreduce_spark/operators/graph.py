@@ -709,3 +709,65 @@ def connected_components_star_query(spark: SparkSession, sf_dir: str) -> DataFra
     return connected_components_star(
         spark, derived_component_graph(spark, sf_dir)
     )
+
+
+# Shared-statement recursive CTE (Spark 4 WITH RECURSIVE): the IDENTICAL
+# SQL runs on Spark and DuckDB.  Spark's recursive CTEs support UNION ALL
+# only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, verified), so unlike
+# SSSP_ORACLE_SQL's dedup-terminated weighted walk this statement bounds
+# the recursion by HOP COUNT — with UNION ALL every path is enumerated,
+# and an additive-cost bound like dist<60 would enumerate exponentially
+# many paths; hops<4 caps the tree at degree^4.  The {nation} placeholder
+# is the per-engine table name.
+RECURSIVE_REACH_SQL_TEMPLATE = """
+WITH RECURSIVE
+edges AS (
+    SELECT src, dst FROM (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst
+        FROM {nation}
+        UNION ALL
+        SELECT n_nationkey AS src, (n_nationkey * 2) % 25 AS dst
+        FROM {nation}
+    ) WHERE src <> dst
+),
+undirected AS (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+),
+walk(node, hops) AS (
+    SELECT 0, 0
+    UNION ALL
+    SELECT u.dst, w.hops + 1
+    FROM walk w JOIN undirected u ON u.src = w.node
+    WHERE w.hops < 4
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hops) AS BIGINT) AS min_hops
+FROM walk GROUP BY node
+"""
+
+RECURSIVE_REACH_ORACLE_SQL = RECURSIVE_REACH_SQL_TEMPLATE.format(
+    nation="nation"
+)
+
+
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded BFS reachability as a Spark 4 RECURSIVE CTE — the
+    declarative twin of the driver-looped :func:`sssp` fixpoint (three
+    spellings of iteration now coexist: driver loop, unrolled CTE
+    rounds in :func:`pagerank`, and true ``WITH RECURSIVE``).  The
+    oracle is the SAME statement on DuckDB — a shared-statement oracle
+    like ``tpch_q5_sql``.
+
+    Scale posture: each recursion level is one (frontier ⋈ edges) +
+    union — the same shuffle profile as one fixpoint round — but the
+    engine controls materialization between levels
+    (``spark.sql.cteRecursionLevelLimit`` guards runaway recursion,
+    default 100).  UNION ALL semantics mean level k holds ALL k-hop
+    paths, so recursive CTEs suit hop-bounded traversals; unbounded
+    frontier algorithms stay on the driver-loop operator, whose
+    delta-state merge and checkpoint cadence this module tunes."""
+    from ..sources import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("rec_nation")
+    return spark.sql(RECURSIVE_REACH_SQL_TEMPLATE.format(nation="rec_nation"))
