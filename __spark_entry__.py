@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: Spark 4 WITH RECURSIVE (shared-statement oracle); the
         # declarative twin of the driver-looped fixpoint operators
         "recursive_cte_reachability": G.recursive_cte_reachability,
+        # r5: incremental materialized-view maintenance (foreachBatch
+        # additive merge into the versioned aggregate table)
+        "stream_incremental_agg": SJ.stream_incremental_agg_query,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -331,6 +334,7 @@ _PENDING_NEXT_WINDOW = [
     "jdbc_roundtrip_nation",
     "cogroup_customer_orders",
     "recursive_cte_reachability",
+    "stream_incremental_agg",
 ]
 
 
@@ -1151,6 +1155,15 @@ def oracle_sql() -> dict[str, str]:
         # bigram LM: exact-integer ratios into ln(), 9-dp DECIMAL
         # log-probs, identical interpolation literals (0.9 / 0.1) — the
         # same exactness discipline as unigram_logprob
+        # the stored aggregate after the 4-batch additive replay must
+        # equal the one-shot batch aggregate over the whole corpus
+        "stream_incremental_agg": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY event_type
+        """,
         "cogroup_customer_orders": """
             WITH o AS (SELECT o_custkey AS custkey,
                               CAST(count(*) AS BIGINT) AS n_orders,

@@ -1383,3 +1383,50 @@ def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("nation_avg", 6).alias("nation_avg"),
         )
     )
+
+
+def merge_additive(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """ADDITIVE merge — the apply step of incremental materialized-
+    aggregate maintenance: for each key, the new value of every
+    ``sum_cols`` column is base + update (either side absent counts as
+    zero), keys from either side pass through.  The streaming recipe
+    this powers: pre-aggregate each micro-batch (count/sum per key,
+    algebraic aggregates only), then fold the batch delta into the
+    stored aggregate — state is aggregate-sized, never event-sized.
+
+    PRECONDITION: ``updates`` is key-unique (one pre-aggregated row per
+    key) — the caller aggregates its batch first; and ``sum_cols`` are
+    ALGEBRAIC aggregates (counts, sums, decimal-exact) — averages and
+    percentiles are not additive and must be derived from stored sums
+    at read time.
+
+    Summed columns are cast back to the UPDATES-side dtype after the
+    add: decimal addition widens precision per Spark's rules, and an
+    unchecked widen-per-merge would drift the stored schema a little
+    every batch until it hits DECIMAL(38).
+    """
+    b, u = base.alias("b"), updates.alias("u")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = c if cond is None else (cond & c)
+    update_types = dict(updates.dtypes)
+    out = [
+        F.coalesce(F.col(f"b.{k}"), F.col(f"u.{k}")).alias(k)
+        for k in key_cols
+    ]
+    for c in sum_cols:
+        out.append(
+            (
+                F.coalesce(F.col(f"b.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"u.{c}"), F.lit(0))
+            )
+            .cast(update_types[c])
+            .alias(c)
+        )
+    return b.join(u, cond, "full_outer").select(*out)

@@ -186,6 +186,34 @@ class VersionedParquetTable:
             self._commit_locked(merged, batch_id=batch_id)
             return True
 
+    def apply_additive_batch(
+        self, updates: DataFrame, batch_id: int, sum_cols: list[str]
+    ) -> bool:
+        """Incremental materialized-aggregate maintenance: fold a
+        PRE-AGGREGATED micro-batch delta (one row per key; algebraic
+        count/sum columns) into the stored aggregate via
+        ``merge_additive`` — the foreachBatch body that keeps a
+        materialized view fresh with aggregate-sized state instead of
+        replaying event history.  Same exactly-once contract as
+        ``apply_cdc_batch``: duplicate batch ids are skipped under the
+        single-writer lock, so a sink retry cannot double-add a delta —
+        which for an ADDITIVE merge would silently corrupt every total
+        rather than merely rewrite a row."""
+        from ..operators.relational import merge_additive
+
+        with self._commit_lock(f"apply additive batch {batch_id}"):
+            if batch_id in self.applied_batch_ids():
+                return False
+            spark = updates.sparkSession
+            if self.latest_version() is None:
+                merged = updates
+            else:
+                merged = merge_additive(
+                    self.read(spark), updates, self.key_cols, sum_cols
+                )
+            self._commit_locked(merged, batch_id=batch_id)
+            return True
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot DATA for all but the newest ``keep_last``
         versions (every table format's retention story: full history in

@@ -934,3 +934,36 @@ def test_versioned_table_schema_evolution_per_snapshot(spark, tmp_path):
     v0 = t.read(spark, 0)
     assert set(v0.columns) == {"k", "v"}
     assert [tuple(r) for r in v0.collect()] == [(1, 10)]
+
+
+def test_additive_batch_retry_cannot_double_add(spark, tmp_path):
+    """The additive merge's exactly-once contract is CORRECTNESS, not
+    hygiene: re-delivering an applied batch id must be a no-op (a
+    double-applied delta silently corrupts every total), a NEW batch id
+    with the same data must add, keys only in the delta must appear,
+    and every refresh leaves a time-travelable snapshot."""
+    from firebird_mapreduce_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "agg"), key_cols=["k"])
+    d1 = spark.createDataFrame([("a", 2, 10.0), ("b", 1, 5.0)],
+                               "k STRING, n LONG, s DOUBLE")
+    d2 = spark.createDataFrame([("a", 3, 1.5), ("c", 1, 2.0)],
+                               "k STRING, n LONG, s DOUBLE")
+    assert t.apply_additive_batch(d1, 0, ["n", "s"]) is True
+    assert t.apply_additive_batch(d2, 1, ["n", "s"]) is True
+    # retry of batch 1: MUST be skipped
+    assert t.apply_additive_batch(d2, 1, ["n", "s"]) is False
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert got == [("a", 5, 11.5), ("b", 1, 5.0), ("c", 1, 2.0)]
+    # same data under a NEW batch id is a legitimate second delta
+    assert t.apply_additive_batch(d2, 2, ["n", "s"]) is True
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert got == [("a", 8, 13.0), ("b", 1, 5.0), ("c", 2, 4.0)]
+    # time travel to the pre-third-delta aggregate
+    v1 = sorted(map(tuple, t.read(spark, 1).collect()))
+    assert v1 == [("a", 5, 11.5), ("b", 1, 5.0), ("c", 1, 2.0)]
+    # schema stays fixed across merges (no decimal widening drift)
+    assert dict(t.read(spark).dtypes) == {"k": "string", "n": "bigint",
+                                          "s": "double"}
