@@ -403,7 +403,9 @@ _MINHASH_CTES = """docs AS ({docs}),
 def _zorder4_key_sql() -> str:
     from firebird_mapreduce_spark.functions.zorder import z4_sql
 
-    tb = "CAST('0x' || substr(md5(event_type), 1, 4) AS BIGINT)"
+    # masked to 15 bits like the Spark side: the emitted column must be
+    # exactly what the z4 key clusters on
+    tb = "(CAST('0x' || substr(md5(event_type), 1, 4) AS BIGINT) & 32767)"
     zkey = z4_sql("user_id", "CAST(floor(value) AS BIGINT)", tb, "hour(ts)")
     return f"""
         SELECT event_id, user_id,

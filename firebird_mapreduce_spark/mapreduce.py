@@ -199,6 +199,26 @@ def cogroup_customer_orders(spark, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
+    return (
+        customer.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(make_cogroup_reconcile(), COGROUP_RECONCILE_SCHEMA)
+    )
+
+
+COGROUP_RECONCILE_SCHEMA = (
+    "custkey long, has_customer boolean, n_orders long, total_price double"
+)
+
+
+def make_cogroup_reconcile():
+    """The cogroup reducer, built in a factory so (a) the closure ships
+    BY VALUE to executors and (b) tests exercise THIS function's
+    unmatched-key branches with crafted inputs, not a private copy.
+    ``repr(float(v))`` (not ``repr(v)``): pandas yields numpy scalars,
+    whose NumPy-2 repr is ``np.float64(...)`` and would crash
+    ``Decimal``; ``float()`` first is the numpy-version-proof spelling
+    (same discipline as operators.similarity)."""
 
     def reconcile(key: tuple, left: pd.DataFrame, right: pd.DataFrame):
         from decimal import Decimal
@@ -206,7 +226,8 @@ def cogroup_customer_orders(spark, sf_dir: str) -> DataFrame:
         import pandas as _pd
 
         total = sum(
-            (Decimal(repr(v)) for v in right["o_totalprice"]), Decimal(0)
+            (Decimal(repr(float(v))) for v in right["o_totalprice"]),
+            Decimal(0),
         )
         return _pd.DataFrame(
             {
@@ -217,12 +238,4 @@ def cogroup_customer_orders(spark, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        customer.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
-        .applyInPandas(
-            reconcile,
-            "custkey long, has_customer boolean, n_orders long, "
-            "total_price double",
-        )
-    )
+    return reconcile

@@ -65,19 +65,24 @@ def zorder3_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zorder4_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-D Z-order key over events' (user_id, floor(value), 16-bit md5
+    """4-D Z-order key over events' (user_id, floor(value), 15-bit md5
     bucket of event_type, hour-of-day) — the upper end of useful
     clustering arity (Delta's OPTIMIZE ZORDER BY guidance tops out
     around 4 columns; each added dimension dilutes every dimension's
     prefix, measured in SCALE.md).  The 60-bit key composes two 2-D
     Morton words (15 bits per dimension — a 16th would put dimension
-    d's top bit on the BIGINT sign and break key ordering); pure
-    codegen, zero exchanges, and the DuckDB oracle recomputes the
-    identical pair-composition via ``functions.zorder.z4_sql``."""
+    d's top bit on the BIGINT sign and break key ordering); the md5
+    bucket is masked to 15 bits AT DERIVATION so the emitted column is
+    exactly what the key clusters on (a 16-bit column would silently
+    alias buckets x and x+32768 in the key).  Pure codegen, zero
+    exchanges; the DuckDB oracle recomputes the identical
+    pair-composition via ``functions.zorder.z4_sql``."""
     events = load_table(spark, sf_dir, "events")
-    type_bucket = F.conv(
-        F.substring(F.md5(F.col("event_type")), 1, 4), 16, 10
-    ).cast("long")
+    type_bucket = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 4), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFF))
+    )
     hour_bucket = F.hour("ts").cast("long")
     return events.select(
         "event_id",

@@ -329,6 +329,17 @@ def corpus_tag(sf_dir: str, *tables: str) -> str:
     return hashlib.md5("|".join(tags).encode()).hexdigest()[:8]
 
 
+def warehouse_path(spark: SparkSession) -> str:
+    """Local filesystem path of ``spark.sql.warehouse.dir`` — the one
+    place layout tables AND the embedded JDBC endpoint resolve it, so
+    any future hardening lands everywhere at once."""
+    from urllib.parse import urlparse
+
+    return urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+
+
 def ensure_layout_table(
     spark: SparkSession,
     prefix: str,
@@ -345,15 +356,12 @@ def ensure_layout_table(
     the managed location from a previous session still exists, and
     saveAsTable then fails with LOCATION_ALREADY_EXISTS)."""
     import shutil
-    from urllib.parse import urlparse
 
     tbl = f"{prefix}{tag}"
     for t in spark.catalog.listTables():
         if t.name.startswith(prefix) and t.name != tbl:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-    warehouse = urlparse(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    ).path
+    warehouse = warehouse_path(spark)
     if os.path.isdir(warehouse):
         for d in os.listdir(warehouse):
             if d.startswith(prefix) and not spark.catalog.tableExists(d):

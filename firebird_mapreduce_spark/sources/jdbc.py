@@ -35,13 +35,22 @@ _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def _jdbc_url(spark: SparkSession, tag: str) -> str:
-    from urllib.parse import urlparse
+    from ..operators.relational import warehouse_path
 
-    warehouse = urlparse(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    ).path
+    warehouse = warehouse_path(spark)
     os.makedirs(warehouse, exist_ok=True)
-    return f"jdbc:derby:{os.path.join(warehouse, f'_jdbc_dim_{tag}')};create=true"
+    # prune stale endpoints from regenerated corpora — the same orphan
+    # hygiene ensure_layout_table applies to layout tables
+    import shutil
+
+    keep = f"_jdbc_dim_{tag}"
+    for d in os.listdir(warehouse):
+        if d.startswith("_jdbc_dim_") and not d.startswith(keep):
+            full = os.path.join(warehouse, d)
+            shutil.rmtree(full, ignore_errors=True)
+            if os.path.isfile(full):
+                os.remove(full)
+    return f"jdbc:derby:{os.path.join(warehouse, keep)};create=true"
 
 
 def ensure_jdbc_nation(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterator
+from contextlib import contextmanager as _contextmanager
 from typing import Any
 
 import pandas as pd
@@ -822,6 +823,26 @@ ROCKSDB_PROVIDER = (
 )
 
 
+@_contextmanager
+def _session_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for the lifetime of a streaming replay and
+    restore them (unset if previously unset) on success AND failure —
+    the one shared spelling of the save/restore dance every replay
+    harness in this module needs (a second inline copy already drifted
+    once)."""
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,
@@ -851,10 +872,7 @@ def run_stream_to_memory(
         confs["spark.sql.streaming.stateStore.providerClass"] = (
             state_store_provider
         )
-    prev = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
+    with _session_confs(spark, confs):
         query = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -863,12 +881,6 @@ def run_stream_to_memory(
             .start()
         )
         query.awaitTermination()
-    finally:
-        for k, old in prev.items():
-            if old is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, old)
     return spark.table(name)
 
 
@@ -884,45 +896,58 @@ def stream_incremental_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-sized (one row per key), every refresh is a snapshot
     commit (time travel for free), and the batch-id log makes sink
     retries no-ops — an additive double-apply would corrupt totals
-    silently, so exactly-once here is correctness, not hygiene."""
+    silently, so exactly-once here is correctness, not hygiene.
+
+    The versioned table lives in a scratch directory for the replay
+    only: the final aggregate is VIEW-sized, so it is collected and
+    returned as a local DataFrame and the scratch dir (snapshots +
+    checkpoint) is removed — a declared query must not leak disk per
+    invocation."""
+    import shutil
     import tempfile
 
-    global _REPLAY_COUNTER
-    _REPLAY_COUNTER += 1
     from ..sources.versioned import VersionedParquetTable
 
     base = tempfile.mkdtemp(prefix="fb_incr_agg_")
-    table = VersionedParquetTable(
-        os.path.join(base, "agg"), key_cols=["event_type"]
-    )
-
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        delta = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum_value"),
-        )
-        table.apply_additive_batch(delta, batch_id, ["n_events", "_sum_value"])
-
-    events = stream_events_multibatch(spark, sf_dir)
-    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
     try:
-        q = (
-            events.select("event_type", "value")
-            .writeStream.foreachBatch(apply)
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        table = VersionedParquetTable(
+            os.path.join(base, "agg"), key_cols=["event_type"]
         )
-        q.awaitTermination()
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            delta = batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias(
+                    "_sum_value"
+                ),
+            )
+            table.apply_additive_batch(
+                delta, batch_id, ["n_events", "_sum_value"]
+            )
+
+        events = stream_events_multibatch(spark, sf_dir)
+        with _session_confs(
+            spark, {"spark.sql.legacy.parquet.nanosAsLong": "true"}
+        ):
+            q = (
+                events.select("event_type", "value")
+                .writeStream.foreachBatch(apply)
+                .option("checkpointLocation", os.path.join(base, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        rows = (
+            table.read(spark)
+            .select(
+                "event_type",
+                "n_events",
+                F.col("_sum_value").cast("double").alias("sum_value"),
+            )
+            .collect()
+        )
     finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
-    return table.read(spark).select(
-        "event_type",
-        "n_events",
-        F.col("_sum_value").cast("double").alias("sum_value"),
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events long, sum_value double"
     )

@@ -275,41 +275,24 @@ def test_cogroup_full_outer_semantics_with_unmatched_keys(spark):
     side only must emit has_customer=False with its exact total, and a
     matched key reconciles both — the full-outer contract the sf corpus
     cannot exercise (every custkey matches there)."""
-    import pandas as pd
-
-    from firebird_mapreduce_spark.mapreduce import cogroup_customer_orders
+    from firebird_mapreduce_spark.mapreduce import (
+        COGROUP_RECONCILE_SCHEMA,
+        cogroup_customer_orders,
+        make_cogroup_reconcile,
+    )
     from firebird_mapreduce_spark.sources import load_table
 
-    # monkey-free: rebuild the same cogroup with crafted frames
+    # the PRODUCTION reducer over crafted frames — a private copy here
+    # would leave the real unmatched-key branches untested
     customer = spark.createDataFrame([(1,), (2,)], "c_custkey LONG")
     orders = spark.createDataFrame(
         [(2, 10.25), (2, 0.75), (3, 5.50)],
         "o_custkey LONG, o_totalprice DOUBLE",
     )
-
-    def reconcile(key, left, right):
-        from decimal import Decimal
-
-        total = sum(
-            (Decimal(repr(v)) for v in right["o_totalprice"]), Decimal(0)
-        )
-        return pd.DataFrame(
-            {
-                "custkey": [key[0]],
-                "has_customer": [len(left) > 0],
-                "n_orders": [len(right)],
-                "total_price": [float(total)],
-            }
-        )
-
     out = (
         customer.groupBy("c_custkey")
         .cogroup(orders.groupBy("o_custkey"))
-        .applyInPandas(
-            reconcile,
-            "custkey long, has_customer boolean, n_orders long, "
-            "total_price double",
-        )
+        .applyInPandas(make_cogroup_reconcile(), COGROUP_RECONCILE_SCHEMA)
     )
     got = sorted(map(tuple, out.collect()))
     assert got == [
