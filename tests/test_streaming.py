@@ -967,3 +967,48 @@ def test_additive_batch_retry_cannot_double_add(spark, tmp_path):
     # schema stays fixed across merges (no decimal widening drift)
     assert dict(t.read(spark).dtypes) == {"k": "string", "n": "bigint",
                                           "s": "double"}
+
+
+def test_merge_additive_differential_vs_global_aggregate(spark):
+    """Differential property: folding ANY sequence of pre-aggregated
+    deltas through merge_additive must equal the one-shot aggregate over
+    the concatenated raw rows — across deltas with disjoint, overlapping,
+    and NULL keys (eqNullSafe must treat NULL as a real key, not drop
+    the row like a plain equi-join would)."""
+    import random
+
+    from firebird_mapreduce_spark.operators.relational import merge_additive
+
+    rnd = random.Random(11)
+    keys = ["a", "b", "c", None]
+    batches = []
+    for _ in range(5):
+        rows = [
+            (rnd.choice(keys), rnd.randrange(1, 5), float(rnd.randrange(100)))
+            for _ in range(rnd.randrange(1, 8))
+        ]
+        batches.append(rows)
+    schema = "k STRING, n LONG, s DOUBLE"
+    acc = None
+    for rows in batches:
+        delta = (
+            spark.createDataFrame(rows, schema)
+            .groupBy("k")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
+        acc = delta if acc is None else merge_additive(acc, delta, ["k"], ["n", "s"])
+    flat = [r for rows in batches for r in rows]
+    expect = (
+        spark.createDataFrame(flat, schema)
+        .groupBy("k")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    got = sorted(
+        ((r.k, r.n, round(r.s, 6)) for r in acc.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    want = sorted(
+        ((r.k, r.n, round(r.s, 6)) for r in expect.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == want and len(got) == 4
