@@ -1012,3 +1012,77 @@ def test_merge_additive_differential_vs_global_aggregate(spark):
         key=lambda t: (t[0] is None, t[0]),
     )
     assert got == want and len(got) == 4
+
+
+def test_eventgen_to_versioned_additive_sink_exactly_once_after_crash(
+    spark, tmp_path
+):
+    """End-to-end exactly-once across BOTH mechanisms at once: the custom
+    eventgen source's half-open offset ranges AND the versioned table's
+    batch-id dedupe.  A crash window is simulated where the sink's
+    additive apply is durable but the checkpoint's offset commit is not
+    (commits/0 deleted) — the restarted query REPLAYS batch 0 with the
+    same batch id, the additive sink must skip it (a double-add corrupts
+    totals), and the next trigger's batch 1 must apply.  Final totals
+    equal the exact aggregate of rows 0..399, each counted once."""
+    from firebird_mapreduce_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+    from firebird_mapreduce_spark.streaming.eventgen_source import (
+        register,
+        row_at,
+    )
+
+    register(spark)
+    head = str(tmp_path / "head")
+    ckpt = str(tmp_path / "ckpt")
+    table = VersionedParquetTable(str(tmp_path / "agg"), key_cols=["event_type"])
+
+    def apply(batch_df, batch_id):
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+        table.apply_additive_batch(delta, batch_id, ["n", "s"])
+
+    def run_once():
+        stream = (
+            spark.readStream.format("eventgen")
+            .option("rowsPerBatch", "200")
+            .option("partitionsPerBatch", "2")
+            .option("headFile", head)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 0: rows [0, 200), applied to the table
+    assert table.latest_version() == 0
+    # crash window: additive apply durable, offset commit lost
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    run_once()  # recovery: REPLAYS batch 0 — the sink must skip it
+    assert table.latest_version() == 0, (
+        "replayed batch 0 must be deduped by batch id, not re-added"
+    )
+    run_once()  # batch 1: rows [200, 400)
+    got = sorted(map(tuple, table.read(spark).collect()))
+    import collections
+    from decimal import Decimal
+
+    n = collections.Counter()
+    s = collections.Counter()
+    for i in range(400):
+        _, _, et, v = row_at(i)
+        n[et] += 1
+        s[et] += Decimal(repr(v))
+    expect = sorted((et, n[et], float(s[et])) for et in n)
+    assert [(k, a, float(b)) for k, a, b in got] == expect
