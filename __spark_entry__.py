@@ -403,15 +403,19 @@ _MINHASH_CTES = """docs AS ({docs}),
 def _zorder4_key_sql() -> str:
     from firebird_mapreduce_spark.functions.zorder import z4_sql
 
-    # masked to 15 bits like the Spark side: the emitted column must be
-    # exactly what the z4 key clusters on
+    # every dimension masked to 15 bits like the Spark side: each
+    # emitted column must be exactly what the z4 key clusters on
+    ub = "(user_id & 32767)"
+    vb = "(CAST(floor(value) AS BIGINT) & 32767)"
     tb = "(CAST('0x' || substr(md5(event_type), 1, 4) AS BIGINT) & 32767)"
-    zkey = z4_sql("user_id", "CAST(floor(value) AS BIGINT)", tb, "hour(ts)")
+    hb = "(CAST(hour(ts) AS BIGINT) & 32767)"
+    zkey = z4_sql(ub, vb, tb, hb)
     return f"""
-        SELECT event_id, user_id,
-               CAST(floor(value) AS BIGINT) AS value_bucket,
+        SELECT event_id,
+               {ub} AS user_bucket,
+               {vb} AS value_bucket,
                {tb} AS type_bucket,
-               CAST(hour(ts) AS BIGINT) AS hour_bucket,
+               {hb} AS hour_bucket,
                {zkey} AS zkey
         FROM events
     """
@@ -1637,6 +1641,11 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN embeddings ea ON ea.vec_id = c.a_id
             JOIN embeddings eb ON eb.vec_id = c.b_id
+            -- zero-norm vectors excluded like the Spark side: their
+            -- cosine is NaN here vs NULL there, which sort to opposite
+            -- ends under ORDER BY sim DESC
+            WHERE list_sum(list_transform(ea.embedding::DOUBLE[], x -> x*x)) > 0
+              AND list_sum(list_transform(eb.embedding::DOUBLE[], x -> x*x)) > 0
             ORDER BY sim DESC, a_id, b_id LIMIT 50
         """,
         # MERGE outcomes: matched rows take the update's values, unmatched

@@ -71,31 +71,32 @@ def zorder4_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     around 4 columns; each added dimension dilutes every dimension's
     prefix, measured in SCALE.md).  The 60-bit key composes two 2-D
     Morton words (15 bits per dimension — a 16th would put dimension
-    d's top bit on the BIGINT sign and break key ordering); the md5
-    bucket is masked to 15 bits AT DERIVATION so the emitted column is
-    exactly what the key clusters on (a 16-bit column would silently
-    alias buckets x and x+32768 in the key).  Pure codegen, zero
-    exchanges; the DuckDB oracle recomputes the identical
+    d's top bit on the BIGINT sign and break key ordering); EVERY
+    emitted dimension column is masked to those same 15 bits AT
+    DERIVATION, so each is exactly what the key clusters on — an
+    unmasked column would silently alias x and x+32768 in the key the
+    moment a domain outgrows 15 bits (at production scale the raw
+    domains are quantile-bucketed first, per the 2-D docstring).  Pure
+    codegen, zero exchanges; the DuckDB oracle recomputes the identical
     pair-composition via ``functions.zorder.z4_sql``."""
     events = load_table(spark, sf_dir, "events")
-    type_bucket = (
+
+    def mask15(c):
+        return c.cast("long").bitwiseAND(F.lit(0x7FFF))
+
+    user_bucket = mask15(F.col("user_id"))
+    value_bucket = mask15(F.floor("value"))
+    type_bucket = mask15(
         F.conv(F.substring(F.md5(F.col("event_type")), 1, 4), 16, 10)
-        .cast("long")
-        .bitwiseAND(F.lit(0x7FFF))
     )
-    hour_bucket = F.hour("ts").cast("long")
+    hour_bucket = mask15(F.hour("ts"))
     return events.select(
         "event_id",
-        "user_id",
-        F.floor("value").cast("long").alias("value_bucket"),
+        user_bucket.alias("user_bucket"),
+        value_bucket.alias("value_bucket"),
         type_bucket.alias("type_bucket"),
         hour_bucket.alias("hour_bucket"),
-        z4(
-            F.col("user_id"),
-            F.floor("value").cast("long"),
-            type_bucket,
-            hour_bucket,
-        ).alias("zkey"),
+        z4(user_bucket, value_bucket, type_bucket, hour_bucket).alias("zkey"),
     )
 
 

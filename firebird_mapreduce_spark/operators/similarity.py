@@ -175,8 +175,10 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT within-block all-pairs top-50 — the recall baseline for
     ``embedding_neardup_topk``, kept UNREGISTERED because it is Σ_b |b|²
     in the block sizes: at 100 TB it is only runnable on a sample, which
-    is exactly how ``tools/measure_neardup.py`` uses it (measuring the
-    banded operator's recall and candidate reduction)."""
+    is how recall is measured in principle (``tools/measure_neardup.py``
+    carries its own independent NumPy all-pairs baseline for that
+    measurement; THIS function's only caller is tests/test_llm_ops.py,
+    which pins it against the banded operator)."""
     emb = load_table(spark, sf_dir, "embeddings")
     normed = emb.select(
         "label", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
@@ -268,9 +270,13 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
+    # zero-norm vectors have no cosine: exclude them from the rerank on
+    # BOTH engines (left as a NULL-vs-NaN asymmetry, Spark's desc sort
+    # puts NULL last while DuckDB sorts NaN first — a guaranteed hash
+    # mismatch the moment a zero vector shares a bucket)
     normed = emb.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     av = normed.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_vec"),
@@ -288,11 +294,8 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id",
             "b_id",
             F.round(
-                F.when(
-                    (F.col("a_nrm") * F.col("b_nrm")) > 0,
-                    dot(F.col("a_vec"), F.col("b_vec"))
-                    / (F.col("a_nrm") * F.col("b_nrm")),
-                ),
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
                 6,
             ).alias("sim"),
         )

@@ -39,6 +39,7 @@ import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as _F
 
 from ..operators.relational import merge_upsert
 
@@ -205,6 +206,20 @@ class VersionedParquetTable:
             if batch_id in self.applied_batch_ids():
                 return False
             spark = updates.sparkSession
+            # normalize EVERY batch to (key_cols + sum_cols), collapsing
+            # duplicate keys additively: a verbatim-committed first batch
+            # could carry extra columns (silently dropped by the next
+            # merge — schema drift across versions) or duplicate keys
+            # (each of which would double-match every later full-outer
+            # merge, compounding total corruption).  For additive deltas
+            # the collapse is semantically free.
+            norm_types = dict(updates.dtypes)
+            updates = updates.groupBy(*self.key_cols).agg(
+                *[
+                    _F.sum(c).cast(norm_types[c]).alias(c)
+                    for c in sum_cols
+                ]
+            )
             if self.latest_version() is None:
                 merged = updates
             else:
@@ -231,7 +246,13 @@ class VersionedParquetTable:
             log = self.commits()
             if len(log) <= keep_last:
                 return []
-            keep = {c["version"] for c in log[-keep_last:]}
+            # keep_last=0 must keep NOTHING — log[-0:] slices the WHOLE
+            # log, the classic negative-slice footgun
+            keep = (
+                {c["version"] for c in log[-keep_last:]}
+                if keep_last > 0
+                else set()
+            )
             removed = []
             new_log = []
             for c in log:

@@ -1086,3 +1086,40 @@ def test_eventgen_to_versioned_additive_sink_exactly_once_after_crash(
         s[et] += Decimal(repr(v))
     expect = sorted((et, n[et], float(s[et])) for et in n)
     assert [(k, a, float(b)) for k, a, b in got] == expect
+
+
+def test_vacuum_zero_and_additive_batch_normalization(spark, tmp_path):
+    """Two hardening pins from review: (a) vacuum(keep_last=0) must drop
+    EVERY version's data (log[-0:] slices the whole log — the classic
+    negative-slice footgun would make it a silent no-op); (b) the FIRST
+    additive batch is normalized like every later one — extra columns
+    projected away and duplicate keys collapsed additively — so v0's
+    shape cannot drift from later versions and a duplicate v0 key cannot
+    double-match every subsequent full-outer merge."""
+    from firebird_mapreduce_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "agg"), key_cols=["k"])
+    # first batch violates the pre-aggregated contract on purpose:
+    # duplicate key + an extra column
+    messy = spark.createDataFrame(
+        [("a", 1, 10.0, "junk"), ("a", 2, 5.0, "junk"), ("b", 1, 1.0, "x")],
+        "k STRING, n LONG, s DOUBLE, extra STRING",
+    )
+    assert t.apply_additive_batch(messy, 0, ["n", "s"]) is True
+    v0 = t.read(spark)
+    assert set(v0.columns) == {"k", "n", "s"}  # extra projected away
+    assert sorted(map(tuple, v0.collect())) == [("a", 3, 15.0), ("b", 1, 1.0)]
+    d2 = spark.createDataFrame([("a", 1, 1.0)], "k STRING, n LONG, s DOUBLE")
+    assert t.apply_additive_batch(d2, 1, ["n", "s"]) is True
+    assert sorted(map(tuple, t.read(spark).collect())) == [
+        ("a", 4, 16.0),
+        ("b", 1, 1.0),
+    ]
+    removed = t.vacuum(keep_last=0)
+    assert removed == [0, 1], "keep_last=0 must vacuum EVERYTHING"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuumed"):
+        t.read(spark)
