@@ -1,0 +1,65 @@
+"""Systemic shuffle-budget regression guard: every (pure-batch) bench
+headline query's physical plan must stay within its recorded Exchange
+ceiling.  Individual plan tests pin specific shapes; this table catches
+the OTHER regression mode — a refactor that silently adds a shuffle to
+a query nobody wrote a dedicated plan test for.  Ceilings are the
+measured counts at the time of pinning (sf0.001, AQE on); a plan that
+IMPROVES still passes, one that grows a shuffle fails loudly with the
+plan attached."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from firebird_mapreduce_spark.plans import count_exchanges, plan_string
+from tests.conftest import SF_SMOKE
+
+# measured ceilings (see git history for the generating scan); queries
+# excluded here are iterative (plan-per-round), layout-writing (one-time
+# write jobs), binary-file scans, or multi-stage pipelines whose
+# exchange count is pinned by their own dedicated tests
+BUDGETS = {
+    "numbercount_10m": 1,
+    "group_sum_avg": 1,
+    "group_count": 1,
+    "filter_predicate": 0,
+    "reduce_side_join": 1,  # broadcast at tiny SF (0); shuffle at scale
+    "broadcast_join": 0,
+    "semi_anti_join": 1,
+    "range_join_sessionize": 1,
+    "asof_purchase_prior_click": 1,
+    "window_rank": 1,
+    "topk_orders": 0,
+    "tumbling_window_count": 1,
+    "word_count": 1,
+    "doc_fingerprint": 1,
+    "text_quality": 0,
+    "dedup_exact_hash": 1,
+    "dedup_minhash_lsh": 1,
+    "tpch_revenue_by_nation": 1,
+    "dedup_ngram_jaccard": 9,
+    "embedding_knn": 0,
+    "embedding_neardup_topk": 1,
+    "inverted_index": 2,
+    "pack_training_chunks": 1,
+    "embedding_lsh_ann_multi": 0,
+    "skew_join_events": 0,
+    "skewed_rank_events": 2,
+    "quality_filter_c4": 0,
+    "unigram_logprob": 1,
+    "tfidf_top_terms": 4,
+    "zorder_key_events": 0,
+    "profile_events": 6,
+    "bigram_logprob": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_headline_query_stays_within_shuffle_budget(spark, name):
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    n = count_exchanges(df)
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {BUDGETS[name]}\n"
+        + plan_string(df, "simple")
+    )
