@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: incremental materialized-view maintenance (foreachBatch
         # additive merge into the versioned aggregate table)
         "stream_incremental_agg": SJ.stream_incremental_agg_query,
+        # r5: train->test n-gram leakage audit over the hash split
+        "split_leakage_check": P.split_leakage_check,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -335,6 +337,7 @@ _PENDING_NEXT_WINDOW = [
     "cogroup_customer_orders",
     "recursive_cte_reachability",
     "stream_incremental_agg",
+    "split_leakage_check",
 ]
 
 
@@ -1163,6 +1166,34 @@ def oracle_sql() -> dict[str, str]:
         # same exactness discipline as unigram_logprob
         # the stored aggregate after the 4-batch additive replay must
         # equal the one-shot batch aggregate over the whole corpus
+        "split_leakage_check": """
+            WITH tk AS (SELECT doc_id,
+                               substr(md5('split1' || '|'
+                                          || CAST(doc_id AS VARCHAR)), 1, 2)
+                                   AS pfx,
+                               string_split(lower(text), ' ') AS tk
+                        FROM documents),
+            lab AS (SELECT doc_id,
+                           CASE WHEN pfx < 'cc' THEN 'train'
+                                WHEN pfx < 'e6' THEN 'val'
+                                ELSE 'test' END AS split, tk
+                    FROM tk),
+            grams AS (SELECT doc_id, split,
+                             unnest(list_transform(
+                                 range(1, greatest(len(tk) - 6, 1)),
+                                 i -> array_to_string(tk[i:i+7], ' ')))
+                                 AS g
+                      FROM lab WHERE len(tk) >= 8),
+            train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+            test_g AS (SELECT DISTINCT doc_id, g FROM grams
+                       WHERE split = 'test')
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_leaked
+            FROM test_g t LEFT JOIN train_g tg USING (g)
+            GROUP BY t.doc_id
+        """,
         "stream_incremental_agg": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,

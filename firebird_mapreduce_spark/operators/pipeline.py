@@ -513,3 +513,55 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_final",
         "max_final",
     )
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
+    """Train→test SPLIT-LEAKAGE audit: for every test-split document,
+    how many of its distinct word ``n``-grams also occur anywhere in the
+    train split — the self-contamination check a pipeline runs after
+    splitting (near-duplicate documents landing on opposite sides of a
+    hash split are the classic eval-inflation bug; dedup-then-split is
+    the cure, and this query is the detector that proves it worked).
+
+    Split assignment is the SAME md5-prefix rule as
+    ``deterministic_split`` (hash splits make membership itself
+    reproducible and oracle-checkable).  Dataflow: distinct train grams
+    ⋈ distinct test (doc, gram) pairs on the gram — a key-bounded
+    shuffle join on both sides (no broadcast: at 100 TB BOTH gram sets
+    are corpus-scale; the join key is the gram so co-partitioning is
+    free), then one per-doc count.  Reports n_grams / n_leaked per test
+    doc (docs with < n tokens have no grams and drop out, mirrored by
+    the oracle)."""
+    from ..functions.hashing import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("split1|"), F.col("doc_id"))), 1, 2
+    )
+    split = (
+        F.when(prefix < "cc", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    grams = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(shingles(tokens(F.col("text")), n)).alias("g"),
+    )
+    train_g = (
+        grams.filter(F.col("split") == "train")
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_g = (
+        grams.filter(F.col("split") == "test").select("doc_id", "g").distinct()
+    )
+    return (
+        test_g.join(train_g, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_leaked"),
+        )
+    )
