@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_agg": SJ.stream_incremental_agg_query,
         # r5: train->test n-gram leakage audit over the hash split
         "split_leakage_check": P.split_leakage_check,
+        "split_leakage_after_dedup": P.split_leakage_after_dedup,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -338,6 +339,7 @@ _PENDING_NEXT_WINDOW = [
     "recursive_cte_reachability",
     "stream_incremental_agg",
     "split_leakage_check",
+    "split_leakage_after_dedup",
 ]
 
 
@@ -1166,6 +1168,61 @@ def oracle_sql() -> dict[str, str]:
         # same exactness discipline as unigram_logprob
         # the stored aggregate after the 4-batch additive replay must
         # equal the one-shot batch aggregate over the whole corpus
+        # the cure's oracle composes the minhash CTEs (over the RAW
+        # corpus), the recursive component walk, survivor selection, and
+        # the same leakage CTEs
+        "split_leakage_after_dedup": f"""
+            WITH RECURSIVE {{_MINHASH_RAW}},
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM banded a
+                JOIN banded b ON a.b = b.b AND a.bsig = b.bsig
+                            AND a.doc_id < b.doc_id),
+            edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+                      UNION SELECT b_id, a_id FROM pairs),
+            walk(src, dst) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT w.src, e.d FROM walk w JOIN edges e ON w.dst = e.s),
+            clusters AS (
+                SELECT docs.doc_id,
+                       least(docs.doc_id,
+                             coalesce(min(w.dst), docs.doc_id)) AS cluster_id
+                FROM docs LEFT JOIN walk w ON w.src = docs.doc_id
+                GROUP BY docs.doc_id),
+            survivors AS (SELECT DISTINCT cluster_id AS doc_id FROM clusters),
+            d2 AS (SELECT d.doc_id, d.text FROM documents d
+                   JOIN survivors USING (doc_id)),
+            tk2 AS (SELECT doc_id,
+                           substr(md5('split1' || '|'
+                                      || CAST(doc_id AS VARCHAR)), 1, 2)
+                               AS pfx,
+                           string_split(lower(text), ' ') AS tk
+                    FROM d2),
+            lab AS (SELECT doc_id,
+                           CASE WHEN pfx < 'cc' THEN 'train'
+                                WHEN pfx < 'e6' THEN 'val'
+                                ELSE 'test' END AS split, tk
+                    FROM tk2),
+            grams AS (SELECT doc_id, split,
+                             unnest(list_transform(
+                                 range(1, greatest(len(tk) - 6, 1)),
+                                 i -> array_to_string(tk[i:i+7], ' ')))
+                                 AS g
+                      FROM lab WHERE len(tk) >= 8),
+            train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+            test_g AS (SELECT DISTINCT doc_id, g FROM grams
+                       WHERE split = 'test')
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_leaked
+            FROM test_g t LEFT JOIN train_g tg USING (g)
+            GROUP BY t.doc_id
+        """.replace(
+            "{_MINHASH_RAW}",
+            _MINHASH_CTES.format(docs="SELECT doc_id, text FROM documents"),
+        ),
         "split_leakage_check": """
             WITH tk AS (SELECT doc_id,
                                substr(md5('split1' || '|'

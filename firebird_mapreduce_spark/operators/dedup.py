@@ -266,7 +266,16 @@ def dedup_minhash_lsh(
     # form is median 3.79 s / min 3.76 s vs 4.44 / 4.04 without
     # (tools/measure_minhash.py) — the regression was host noise, the
     # checkpoint is a real ~15% win and stays.
-    sigs = minhash_signatures(augmented_documents(spark, sf_dir), k).localCheckpoint(
+    return minhash_pairs(augmented_documents(spark, sf_dir), k, bands)
+
+
+def minhash_pairs(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """The banded MinHash pair miner over an ARBITRARY documents frame —
+    extracted so compositions (``split_leakage_after_dedup`` runs it on
+    the RAW corpus) share one implementation with ``dedup_minhash_lsh``
+    (which runs it on the augmented corpus)."""
+    rows = k // bands
+    sigs = minhash_signatures(docs, k).localCheckpoint(
         eager=False
     )
     banded = sigs.select(

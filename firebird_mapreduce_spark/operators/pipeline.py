@@ -532,9 +532,14 @@ def split_leakage_check(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFra
     free), then one per-doc count.  Reports n_grams / n_leaked per test
     doc (docs with < n tokens have no grams and drop out, mirrored by
     the oracle)."""
+    return _leakage_over(load_table(spark, sf_dir, "documents"), n)
+
+
+def _leakage_over(docs: DataFrame, n: int) -> DataFrame:
+    """The leakage core over an arbitrary (doc_id, text) frame — shared
+    by the raw-corpus detector and the after-dedup twin."""
     from ..functions.hashing import shingles, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     prefix = F.substring(
         F.md5(F.concat(F.lit("split1|"), F.col("doc_id"))), 1, 2
     )
@@ -565,3 +570,38 @@ def split_leakage_check(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFra
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_leaked"),
         )
     )
+
+
+def split_leakage_after_dedup(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """The CURE, quantified: near-dup cluster dedup (MinHash-LSH pairs →
+    connected components → keep the min-doc_id survivor per cluster)
+    applied BEFORE the hash split, then the same leakage audit as
+    ``split_leakage_check`` over the surviving corpus.  On this corpus
+    the detector finds test docs leaking 8-grams from train
+    (near-duplicates straddling the split); after cluster dedup the
+    leaked set shrinks — dedup-then-split is the pipeline ordering this
+    pair of queries justifies with numbers (asserted leaked_after <
+    leaked_before in tests/test_llm_ops.py).  Survivor set = the
+    distinct cluster ids (each cluster's min label IS a member doc)."""
+    from .dedup import minhash_pairs
+    from .graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(docs.select("doc_id", "text"))
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = connected_components(spark, edges)
+    clusters = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    survivors = clusters.select(F.col("cluster_id").alias("doc_id")).distinct()
+    return _leakage_over(docs.join(survivors, "doc_id"), n)

@@ -12,7 +12,7 @@ from firebird_mapreduce_spark.operators import dedup as D
 from firebird_mapreduce_spark.operators import multimodal as M
 from firebird_mapreduce_spark.operators import similarity as S
 from firebird_mapreduce_spark.operators import text as T
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_shingles_short_docs(spark):
@@ -620,3 +620,25 @@ def test_ivf_fitted_probes_single_cluster_and_reranks_exactly(spark):
     }
     for r in got:
         assert r.sim == _py_round6(_py_cosine(q, emb[r.vec_id]))
+
+
+def test_dedup_then_split_cures_leakage(spark):
+    """The detector/cure pair must tell a consistent story on this
+    corpus: the raw split leaks 8-grams from train into some test docs
+    (near-duplicates straddling the hash split), and applying the
+    MinHash-cluster dedup BEFORE splitting strictly reduces the leaked
+    test-doc count — the quantified justification for dedup-then-split
+    ordering."""
+    from firebird_mapreduce_spark.operators.pipeline import (
+        split_leakage_after_dedup,
+        split_leakage_check,
+    )
+
+    before = split_leakage_check(spark, SF_ORACLE).toPandas()
+    after = split_leakage_after_dedup(spark, SF_ORACLE).toPandas()
+    leaked_before = int((before.n_leaked > 0).sum())
+    leaked_after = int((after.n_leaked > 0).sum())
+    assert leaked_before > 0, "detector must be non-vacuous on this corpus"
+    assert leaked_after < leaked_before
+    # survivors are a subset of the corpus' test docs
+    assert len(after) <= len(before)
