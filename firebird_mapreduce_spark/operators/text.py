@@ -239,14 +239,25 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams are unseen for any given context).
 
     Dataflow (one more model shuffle than unigram, same broadcast-back
-    shape):
-      1. bigram counts: explode ``shingles(toks, 2)`` → groupBy(bigram)
-         (map-side partial agg; model is bigram-vocab-sized).
-      2. context counts c(w1·): groupBy over the MODEL's first tokens —
-         vocab-sized input, trivial shuffle.
-      3. unigram model + total: as in unigram_logprob.
-      4. score: corpus bigrams re-join the BROADCAST per-bigram log-prob
-         table → one groupBy(doc_id) → mean.
+    shape).  The corpus is tokenized into bigrams ONCE, via the codegen
+    ``exploded_word_shingles`` path (``arrays_zip`` of shifted slices —
+    ordinary expressions; the ``transform``-lambda spelling runs on the
+    interpreted HOF path and made this query 4x slower at sf0.1,
+    A/B 4.37 → 1.06 s min-of-5), collapsed to per-doc bigram COUNTS, and
+    that small table feeds both the model and the score:
+      1. bgc: explode bigrams → groupBy(doc_id, bigram).count(),
+         materialized (distinct-pairs-sized, ≪ the occurrence stream; at
+         100 TB swap the localCheckpoint for cache-with-spill or let the
+         two consumers recompute — the trade is stated, not hidden).
+      2. bigram model: groupBy(bigram) over bgc (map-side partial agg;
+         model is bigram-vocab-sized).  w1/w2 come from
+         ``substring_index`` — a total function; the ``split()[i]``
+         spelling ANSI-errors when Catalyst inlines it past the
+         null-filter of the shingle generator.
+      3. context counts c(w1·) + unigram model + total: vocab-sized
+         inputs, trivial shuffles.
+      4. score: bgc re-joins the BROADCAST per-bigram log-prob table →
+         one groupBy(doc_id) → count-weighted mean.
     At 100 TB the bigram model is the broadcast-size risk (it grows
     faster than the vocab); production caps to top-K bigrams with the
     interpolation absorbing the tail — the same OOV story as unigram.
@@ -256,22 +267,28 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, IEEE mul/add are correctly rounded, so
     ln(λ·P_bi + (1−λ)·P_uni) sees bit-identical inputs; rounding the
     log-prob to 9 dp and carrying it as DECIMAL(18,9) makes the per-doc
-    sum reduction-order-exact.  Documents with <2 tokens have no bigrams
-    and drop out on both sides."""
-    from ..functions.hashing import shingles, tokens
+    sum reduction-order-exact.  The count weight is cast to
+    DECIMAL(10,0) so c·lp is decimal(29,9) — EXACT; a raw BIGINT weight
+    hits the precision-39 cap and Spark silently drops the product to
+    scale 8 (observed as a 1e-6 divergence on a rounding-tie document).
+    Documents with <2 tokens have no bigrams and drop out on both
+    sides."""
+    from ..functions.hashing import exploded_word_shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks_arr = tokens(F.col("text"))
-    uni = docs.select("doc_id", F.explode(toks_arr).alias("token"))
-    bg = docs.select(
-        "doc_id", F.explode(shingles(toks_arr, 2)).alias("bigram")
+    uni = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    bgc = (
+        exploded_word_shingles(docs, n=2)
+        .withColumnRenamed("shingle", "bigram")
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).cast("decimal(10,0)").alias("c"))
+        .localCheckpoint(eager=True)
     )
     bi_model = (
-        bg.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_bi"))
-        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
-        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
-        .localCheckpoint(eager=True)
+        bgc.groupBy("bigram")
+        .agg(F.sum("c").cast("long").alias("c_bi"))
+        .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+        .withColumn("w2", F.substring_index(F.col("bigram"), " ", -1))
     )
     ctx = bi_model.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
     uni_model = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_uni"))
@@ -305,11 +322,11 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        bg.join(F.broadcast(lp), "bigram")
+        bgc.join(F.broadcast(lp), "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp").alias("_sum_lp"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lp")).alias("_sum_lp"),
         )
     )
     return scored.select(
