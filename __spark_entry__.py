@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_events": L.zorder_key_events,
         "profile_events": P.profile_events,
         "tpch_q5_sql": R.tpch_q5_sql,
+        "tpch_q1_pricing": R.tpch_q1_pricing,
+        "tpch_q3_topk": R.tpch_q3_topk,
         "stream_custom_source": _stream_custom_source,
         "variant_extract_events": R.variant_extract_events,
         "curation_pipeline": P.curation_pipeline,
@@ -340,6 +342,8 @@ _PENDING_NEXT_WINDOW = [
     "stream_incremental_agg",
     "split_leakage_check",
     "split_leakage_after_dedup",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
 ]
 
 
@@ -1454,6 +1458,56 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= '1995-01-01'
               AND o.o_orderdate < '1996-01-01'
             GROUP BY n.n_name
+        """,
+        # TPC-H Q1: same per-row decimal casts as the Spark side so every
+        # product is exact before the sum (see operators.relational)
+        "tpch_q1_pricing": """
+            WITH x AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+                       CAST(l_discount AS DECIMAL(4,2)) AS disc,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(4,2)))
+                            AS DECIMAL(28,4)) AS disc_price,
+                       CAST(l_tax AS DECIMAL(4,2)) AS tax
+                FROM lineitem
+                WHERE l_shipdate <= '1998-09-02'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS DOUBLE) AS sum_qty,
+                   CAST(sum(ep) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(disc_price
+                                 * (CAST(1 AS DECIMAL(6,2)) + tax)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+                   round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(ep) AS DOUBLE) / count(*), 6) AS avg_price,
+                   round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM x
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        # TPC-H Q3: deterministic top-10 via the unique (date, orderkey)
+        # tiebreak on both engines
+        "tpch_q3_topk": """
+            SELECT l.l_orderkey,
+                   o.o_orderdate,
+                   o.o_orderpriority,
+                   CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * (CAST(1 AS DECIMAL(18,2))
+                                    - CAST(l.l_discount AS DECIMAL(4,2)))
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < '1998-03-15'
+              AND l.l_shipdate > '1998-03-15'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+            LIMIT 10
         """,
         # per-column profiling report: formatters chosen per type so both
         # engines emit identical text (see operators.pipeline.profile_events)

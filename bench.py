@@ -56,6 +56,11 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "tpch_revenue_by_nation",
+    # r5: the two canonical TPC-H shapes beyond the Q5 flagship — Q1
+    # (scan-dominated 8-aggregate groupBy, one partial-agg shuffle) and
+    # Q3 (broadcast-dim filter -> fact join -> TakeOrderedAndProject)
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
     "dedup_ngram_jaccard",
     "embedding_knn",
     "embedding_neardup_topk",

@@ -1234,6 +1234,108 @@ def tpch_q5_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the canonical scan-dominated
+    aggregate: one predicate, one groupBy over two low-cardinality flags,
+    eight aggregates.  The whole query is a single map-side-combined
+    shuffle over ~6 groups; at 100 TB it is bandwidth-bound on the
+    parquet scan with the shipdate predicate and 7-column ReadSchema
+    pushed to the reader — the shape Catalyst + whole-stage codegen
+    exist for (no joins, no skew, partial agg collapses each task to a
+    handful of rows).
+
+    Exact-decimal discipline: every per-row product is computed at a
+    precision that provably fits 38 digits in BOTH engines before the
+    explicit cast (disc_price decimal(38,4) true-scale-exact, charge =
+    disc_price(28,4) x (1+tax)(6,2) -> decimal(35,6) exact), so the sums
+    are reduction-order-independent; averages divide the exact decimal
+    sum by the count in double, rounded 6 dp.  Mirrors the reference's
+    aggregate loop (``firebird.h:205-218``) at the relational level."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = (ep * (one - disc)).cast("decimal(28,4)")
+    charge = (disc_price * (F.lit(1).cast("decimal(6,2)") + tax)).cast(
+        "decimal(38,6)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("_sq"),
+            F.sum(ep).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.sum(disc).alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            F.round(
+                F.col("_sq").cast("double") / F.col("count_order"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.col("_sbp").cast("double") / F.col("count_order"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.col("_sd").cast("double") / F.col("count_order"), 6
+            ).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) — the canonical
+    filter → join → join → aggregate → top-k pipeline: BUILDING-segment
+    customers x orders before the cutoff x lineitems shipped after it,
+    revenue per order, top 10.
+
+    Plan shape at scale: the segment-filtered customer projection is
+    BROADCAST into orders (dim-sized), the surviving orders then join
+    lineitem on the shuffle (fact x fact — the one unavoidable exchange),
+    and the final ordering is TakeOrderedAndProject (per-partition heaps
+    + driver merge, never a global sort).  Top-k over a double needs a
+    deterministic total order for the oracle: ties break by
+    (o_orderdate, l_orderkey), the unique key making the cut stable in
+    both engines."""
+    cutoff = "1998-03-15"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = (ep * (one - disc)).cast("decimal(28,4)")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
 def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per user, how many events (and the max
     value seen) in the trailing 30 minutes INCLUDING the current row — the

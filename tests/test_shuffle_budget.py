@@ -38,6 +38,8 @@ BUDGETS = {
     "dedup_exact_hash": 1,
     "dedup_minhash_lsh": 1,
     "tpch_revenue_by_nation": 1,
+    "tpch_q1_pricing": 1,
+    "tpch_q3_topk": 1,  # broadcast at tiny SF; fact-fact shuffle at scale
     "dedup_ngram_jaccard": 9,
     "embedding_knn": 0,
     "embedding_neardup_topk": 1,
