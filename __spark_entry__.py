@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: interpolated bigram LM (the n-gram generalization of
         # unigram_logprob; lambda backoff makes higher orders usable)
         "bigram_logprob": T.bigram_logprob,
+        "bm25_topk": T.bm25_topk,
         # r5: JDBC connector round-trip (embedded Derby endpoint;
         # partitioned parallel read + remote filter pushdown)
         "jdbc_roundtrip_nation": JD.jdbc_roundtrip_nation,
@@ -344,6 +345,7 @@ _PENDING_NEXT_WINDOW = [
     "split_leakage_after_dedup",
     "tpch_q1_pricing",
     "tpch_q3_topk",
+    "bm25_topk",
 ]
 
 
@@ -1316,6 +1318,55 @@ def oracle_sql() -> dict[str, str]:
                        AS logprob_score
             FROM bg g JOIN lp l USING (bigram)
             GROUP BY g.doc_id
+        """,
+        # BM25: identical parenthesized double operation order as the
+        # Spark projection; contributions rounded to 9 dp and summed as
+        # DECIMAL so the top-10 cut orders on an exact value
+        "bm25_topk": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(lower(text), ' ')) AS token
+                        FROM documents),
+            pd AS (SELECT doc_id, count(*) AS dl,
+                          sum(CASE WHEN token = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+                          sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf_join,
+                          sum(CASE WHEN token = 'scan' THEN 1 ELSE 0 END) AS tf_scan
+                   FROM tk GROUP BY doc_id),
+            st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                          sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+                          sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                          sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan
+                   FROM pd),
+            sc AS (SELECT doc_id,
+                          (CASE WHEN tf_hash > 0 THEN CAST(round(
+                               round(ln((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5)
+                                        / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0), 9)
+                               * (CAST(tf_hash AS DOUBLE) * 2.2)
+                               / (CAST(tf_hash AS DOUBLE)
+                                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9)
+                               AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+                          + (CASE WHEN tf_join > 0 THEN CAST(round(
+                               round(ln((CAST(n_docs AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5)
+                                        / (CAST(df_join AS DOUBLE) + 0.5) + 1.0), 9)
+                               * (CAST(tf_join AS DOUBLE) * 2.2)
+                               / (CAST(tf_join AS DOUBLE)
+                                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9)
+                               AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+                          + (CASE WHEN tf_scan > 0 THEN CAST(round(
+                               round(ln((CAST(n_docs AS DOUBLE) - CAST(df_scan AS DOUBLE) + 0.5)
+                                        / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0), 9)
+                               * (CAST(tf_scan AS DOUBLE) * 2.2)
+                               / (CAST(tf_scan AS DOUBLE)
+                                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9)
+                               AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+                              AS total
+                   FROM pd, st)
+            SELECT doc_id, CAST(total AS DOUBLE) AS score
+            FROM sc WHERE total > 0
+            ORDER BY total DESC, doc_id ASC
+            LIMIT 10
         """,
         # the bloom filter is a runtime plan optimization, never a
         # semantics change — the oracle is the plain join

@@ -92,6 +92,9 @@ HEADLINE = [
     # unigram-LM quality scoring: two corpus scans (model train + score),
     # broadcast vocab model, exact-decimal per-doc log-prob sums
     "unigram_logprob",
+    # r5: BM25 top-10 — one corpus shuffle (per-doc conditional-agg tf),
+    # broadcast stats row, TakeOrderedAndProject on the exact decimal
+    "bm25_topk",
     # reworked late r4: broadcast vocab-side df + partial-agg arg-max
     "tfidf_top_terms",
     # codegen Morton-interleave projection (zero exchanges)

@@ -338,6 +338,79 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-10 documents for a fixed 3-term query
+    (k1 = 1.2, b = 0.75) — the classic sparse-retrieval scorer sitting
+    between ``tfidf_top_terms`` (corpus statistics) and
+    ``inverted_index`` (posting lists) in a search/RAG data pipeline.
+
+    One-pass dataflow: because the query is a small FIXED term set, the
+    per-term term frequencies are conditional aggregates in the SAME
+    per-doc groupBy that computes document length — ONE corpus shuffle
+    total, no exploded-token self-join, no per-term scan.  Corpus stats
+    (N, Σdl, per-term df) reduce the per-doc table to one broadcast row;
+    scoring is a columnwise projection.  At 100 TB: one map-side-combined
+    shuffle on doc_id + TakeOrderedAndProject — the same plan as any
+    scan-dominated aggregate.
+
+    Oracle discipline: tf/df/dl/N are integers; avgdl and each BM25
+    contribution are doubles computed with an explicitly parenthesized
+    operation order mirrored in the SQL; idf and the per-term
+    contribution round to 9 dp, the contribution carried as
+    DECIMAL(18,9) so the 3-term sum is exact — and the top-10 cut orders
+    by that EXACT decimal (tiebreak doc_id), so the selection can never
+    hinge on a sub-rounding double divergence.  Docs containing none of
+    the terms score no contribution and are filtered before the cut."""
+    terms = ("hash", "join", "scan")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def contrib(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        dfq = F.col(f"df_{t}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.round(
+            F.ln((n - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)) + F.lit(1.0)), 9
+        )
+        denom = tf + F.lit(1.2) * (
+            F.lit(1.0)
+            - F.lit(0.75)
+            + F.lit(0.75) * F.col("dl").cast("double") / avgdl
+        )
+        return F.when(
+            F.col(f"tf_{t}") > 0,
+            # k1+1 as the LITERAL 2.2, not 1.2+1 (engines may round the
+            # sum differently than the parsed literal)
+            F.round(idf * (tf * F.lit(2.2)) / denom, 9).cast("decimal(18,9)"),
+        ).otherwise(F.lit(0).cast("decimal(18,9)"))
+
+    total = contrib(terms[0]) + contrib(terms[1]) + contrib(terms[2])
+    scored = joined.select("doc_id", total.alias("_total"))
+    return (
+        scored.filter(F.col("_total") > 0)
+        .orderBy(F.desc("_total"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.col("_total").cast("double").alias("score"))
+    )
+
+
 def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF tier (one input row -> n output rows with arbitrary
     logic): split each document into 20-token chunks — the

@@ -58,6 +58,7 @@ BUDGETS = {
     # pairs instead of the raw occurrence stream — A/B 4.37 → 1.06 s
     # min-of-5 at sf0.1 (see the operator docstring)
     "bigram_logprob": 6,
+    "bm25_topk": 2,  # per-doc groupBy + single-row stats agg
 }
 
 
