@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_sql": R.tpch_q5_sql,
         "tpch_q1_pricing": R.tpch_q1_pricing,
         "tpch_q3_topk": R.tpch_q3_topk,
+        "batch_session_window": R.batch_session_window,
         "stream_custom_source": _stream_custom_source,
         "variant_extract_events": R.variant_extract_events,
         "curation_pipeline": P.curation_pipeline,
@@ -346,6 +347,7 @@ _PENDING_NEXT_WINDOW = [
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "bm25_topk",
+    "batch_session_window",
 ]
 
 
@@ -1038,6 +1040,29 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) + INTERVAL 10 MINUTE AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        # batch session_window groupBy: same relational session semantics
+        # as the streaming oracle, 30-minute gap, exact-decimal value sums
+        "batch_session_window": """
+            WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                              value
+                       FROM events),
+            m AS (SELECT user_id, ts, value,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts, value,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
             FROM s GROUP BY user_id, sid
         """,
         # 4-batch replay: the MAX update per user (reduced in the query)

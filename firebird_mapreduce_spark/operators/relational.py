@@ -1336,6 +1336,40 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization via the built-in
+    ``F.session_window`` groupBy — the BATCH spelling of the streaming
+    sessionizer (``streaming/jobs.py::session_window_stream_query``
+    covers the same surface under micro-batch state merge; this is the
+    one-shot backfill form a pipeline runs over historical data).
+    30-minute gap — distinct evidence from the streaming query's
+    10-minute sessions.
+
+    Spark merges an event into its user's current session while its time
+    is strictly inside [start, last+gap); session_end = last event +
+    gap.  The oracle reproduces that relationally (lag → new-session
+    flag → running session id — the gaps-and-islands form).  One shuffle
+    on user_id; per-session value totals are exact DECIMAL(18,2) before
+    the final double cast.  At 100 TB this is the same cost envelope as
+    any keyed aggregate — the session merge is a per-key sorted pass
+    inside the shuffle partition, never a cross-key barrier."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
 def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per user, how many events (and the max
     value seen) in the trailing 30 minutes INCLUDING the current row — the

@@ -59,6 +59,7 @@ BUDGETS = {
     # min-of-5 at sf0.1 (see the operator docstring)
     "bigram_logprob": 6,
     "bm25_topk": 2,  # per-doc groupBy + single-row stats agg
+    "batch_session_window": 1,
 }
 
 
