@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": R.tpch_q1_pricing,
         "tpch_q3_topk": R.tpch_q3_topk,
         "batch_session_window": R.batch_session_window,
+        "funnel_conversion": R.funnel_conversion,
         "stream_custom_source": _stream_custom_source,
         "variant_extract_events": R.variant_extract_events,
         "curation_pipeline": P.curation_pipeline,
@@ -348,6 +349,7 @@ _PENDING_NEXT_WINDOW = [
     "tpch_q3_topk",
     "bm25_topk",
     "batch_session_window",
+    "funnel_conversion",
 ]
 
 
@@ -1041,6 +1043,31 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL 10 MINUTE AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        # ordered funnel: strict sequencing — each stage's first event
+        # must follow the previous stage's first event within the 1-hour
+        # conversion window
+        "funnel_conversion": """
+            WITH e AS (SELECT user_id, event_type,
+                              date_trunc('microseconds', ts) AS ts
+                       FROM events),
+            v AS (SELECT user_id, min(ts) AS t_view FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t_click
+                  FROM e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t_view
+                    AND e.ts <= v.t_view + INTERVAL 1 HOUR
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                  FROM e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                    AND e.ts <= c.t_click + INTERVAL 1 HOUR
+                  GROUP BY e.user_id)
+            SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
         """,
         # batch session_window groupBy: same relational session semantics
         # as the streaming oracle, 30-minute gap, exact-decimal value sums

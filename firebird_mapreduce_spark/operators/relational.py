@@ -1336,6 +1336,71 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per stage,
+    the number of users whose FIRST qualifying event strictly follows
+    their previous stage's first event — the product-analytics staple
+    (strict sequencing, not mere co-occurrence: a purchase BEFORE the
+    first post-view click does not convert).
+
+    Each step must land within a 1-HOUR conversion window of the
+    previous anchor — without the window the synthetic corpus converts
+    every user at every stage (~67 events/user), which would make the
+    query vacuous as sequencing evidence; with it the populations
+    shrink stage over stage and an ordering bug shows up as a count
+    shift.
+
+    Dataflow: each stage is a keyed min-timestamp aggregate joined to
+    the previous stage's per-user anchor — three groupBys and two joins,
+    ALL keyed on user_id, so at scale every exchange is the same hash
+    partitioning and AQE reuses it; stage populations only shrink.  The
+    final report is three single-row counts unioned — driver-sized.
+    Timestamps compare strictly (>); both engines evaluate at
+    microsecond precision so the comparison can never straddle a
+    truncation boundary."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + hour)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + hour)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("view").alias("stage"), "n_users")
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
 def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization via the built-in
     ``F.session_window`` groupBy — the BATCH spelling of the streaming

@@ -60,6 +60,7 @@ BUDGETS = {
     "bigram_logprob": 6,
     "bm25_topk": 2,  # per-doc groupBy + single-row stats agg
     "batch_session_window": 1,
+    "funnel_conversion": 5,  # 3 keyed groupBys + 2 single-row stage counts
 }
 
 
