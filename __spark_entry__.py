@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_topk": R.tpch_q3_topk,
         "batch_session_window": R.batch_session_window,
         "funnel_conversion": R.funnel_conversion,
+        "retention_cohorts": R.retention_cohorts,
         "stream_custom_source": _stream_custom_source,
         "variant_extract_events": R.variant_extract_events,
         "curation_pipeline": P.curation_pipeline,
@@ -350,6 +351,7 @@ _PENDING_NEXT_WINDOW = [
     "bm25_topk",
     "batch_session_window",
     "funnel_conversion",
+    "retention_cohorts",
 ]
 
 
@@ -1068,6 +1070,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
             UNION ALL
             SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+        """,
+        # weekly retention cohorts: ISO-Monday week truncation in both
+        # engines; offsets exact multiples of 7 days
+        "retention_cohorts": """
+            WITH e AS (SELECT user_id,
+                              date_trunc('microseconds', ts) AS ts
+                       FROM events),
+            f AS (SELECT user_id,
+                         date_trunc('week', min(ts)) AS cohort_week
+                  FROM e GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id,
+                         date_trunc('week', ts) AS active_week
+                  FROM e)
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.active_week) / 7
+                        AS INT) AS week_offset,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+            FROM a JOIN f USING (user_id)
+            GROUP BY f.cohort_week, week_offset
         """,
         # batch session_window groupBy: same relational session semantics
         # as the streaming oracle, 30-minute gap, exact-decimal value sums

@@ -1401,6 +1401,42 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    FIRST event; for every (cohort_week, week_offset) cell, the number
+    of distinct cohort members active that many weeks later — the
+    companion analytics staple to :func:`funnel_conversion` (funnels
+    measure ordered progression, cohorts measure return behavior).
+
+    Dataflow: one keyed min-ts aggregate (cohort assignment), one
+    distinct over (user, active_week) — both shuffles on user_id so the
+    partitioning is reused by the join — then a count-distinct over the
+    tiny (cohort, offset) grid.  ``date_trunc('week', …)`` starts weeks
+    on ISO Monday in BOTH engines; offsets are exact multiples of 7
+    days, so the integer division is exact."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+    )
+
+
 def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization via the built-in
     ``F.session_window`` groupBy — the BATCH spelling of the streaming

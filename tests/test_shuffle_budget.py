@@ -61,6 +61,7 @@ BUDGETS = {
     "bm25_topk": 2,  # per-doc groupBy + single-row stats agg
     "batch_session_window": 1,
     "funnel_conversion": 5,  # 3 keyed groupBys + 2 single-row stage counts
+    "retention_cohorts": 4,  # cohort agg + activity distinct + grid count-distinct
 }
 
 
