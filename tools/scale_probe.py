@@ -136,6 +136,51 @@ def shapes(spark):
             out = out.unionByName(b)
         return out
 
+    def session_window(n):
+        # r5 batch sessionization shape: gap-merge is a per-key sorted
+        # pass inside the shuffle partition — 10k users, irregular
+        # inter-event gaps straddling the 600 s threshold so sessions
+        # actually split (~1 session per ~3 events)
+        ev = spark.range(n).select(
+            (F.col("id") % 10_000).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + (F.col("id") * 2654435761 % 1_000_003) % 86_400
+                + (F.col("id") / 10_000).cast("long") * 120
+            ).alias("ts"),
+        )
+        return (
+            ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("sessions"), F.sum("n").alias("chk"))
+        )
+
+    def funnel_stages(n):
+        # r5 funnel shape: three keyed min aggregates chained by joins,
+        # every exchange the same user_id hash partitioning
+        ev = spark.range(n).select(
+            (F.col("id") % 100_000).alias("user_id"),
+            (F.col("id") % 3).alias("et"),
+            F.col("id").alias("t"),
+        )
+        v = ev.filter(F.col("et") == 0).groupBy("user_id").agg(F.min("t").alias("tv"))
+        c = (
+            ev.filter(F.col("et") == 1)
+            .join(v, "user_id")
+            .filter(F.col("t") > F.col("tv"))
+            .groupBy("user_id")
+            .agg(F.min("t").alias("tc"))
+        )
+        p = (
+            ev.filter(F.col("et") == 2)
+            .join(c, "user_id")
+            .filter(F.col("t") > F.col("tc"))
+            .groupBy("user_id")
+            .agg(F.min("t").alias("tp"))
+        )
+        return p.groupBy().agg(F.count(F.lit(1)).alias("converted"))
+
     return {
         "agg_100keys": agg,
         "shuffle_join": shuffle_join,
@@ -145,6 +190,8 @@ def shapes(spark):
         "zorder_key": zorder_key,
         "unigram_score": unigram_score,
         "profile_columns": profile_columns,
+        "session_window": session_window,
+        "funnel_stages": funnel_stages,
     }
 
 
