@@ -1246,11 +1246,15 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-decimal discipline: every per-row product is computed at a
     precision that provably fits 38 digits in BOTH engines before the
-    explicit cast (disc_price decimal(38,4) true-scale-exact, charge =
-    disc_price(28,4) x (1+tax)(6,2) -> decimal(35,6) exact), so the sums
-    are reduction-order-independent; averages divide the exact decimal
-    sum by the count in double, rounded 6 dp.  Mirrors the reference's
-    aggregate loop (``firebird.h:205-218``) at the relational level."""
+    explicit cast, so no product is ever silently rescaled:
+    ep(18,2) x (1-disc)(19,2) is decimal(38,4) — at the cap but exact,
+    scale preserved — then cast to decimal(28,4) (values are ~1e6, far
+    inside 24 integer digits); charge = disc_price(28,4) x
+    (1+tax)(7,2) is decimal(36,6) exact, cast to decimal(38,6).  The
+    sums are therefore reduction-order-independent; averages divide the
+    exact decimal sum by the count in double, rounded 6 dp.  Mirrors the
+    reference's aggregate loop (``firebird.h:205-218``) at the
+    relational level."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02")
     )

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import shingles, tokens
+from ..functions.hashing import tokens
 from ..sources import load_table
 
 # Small stopword list shared by quality scoring and the oracle SQL.
@@ -231,6 +231,26 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_doc_counts(docs: DataFrame) -> DataFrame:
+    """Per-doc bigram counts — the corpus-side dataflow of
+    :func:`bigram_logprob` BEFORE its localCheckpoint.  Factored out so
+    tests can pin the upstream plan shape (one exchange: codegen shingle
+    explode → groupBy(doc_id, bigram)); the checkpoint in the caller
+    would otherwise hide these exchanges from ``count_exchanges``.
+
+    The count is DECIMAL(10,0) so the later c·lp product stays exact
+    decimal(29,9) (a BIGINT weight hits the precision-39 cap and Spark
+    silently drops the product to scale 8)."""
+    from ..functions.hashing import exploded_word_shingles
+
+    return (
+        exploded_word_shingles(docs, n=2)
+        .withColumnRenamed("shingle", "bigram")
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).cast("decimal(10,0)").alias("c"))
+    )
+
+
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality score — the n-gram generalization
     of :func:`unigram_logprob` (CCNet's production filter is a 5-gram
@@ -273,17 +293,9 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale 8 (observed as a 1e-6 divergence on a rounding-tie document).
     Documents with <2 tokens have no bigrams and drop out on both
     sides."""
-    from ..functions.hashing import exploded_word_shingles, tokens
-
     docs = load_table(spark, sf_dir, "documents")
     uni = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    bgc = (
-        exploded_word_shingles(docs, n=2)
-        .withColumnRenamed("shingle", "bigram")
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).cast("decimal(10,0)").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    bgc = _bigram_doc_counts(docs).localCheckpoint(eager=True)
     bi_model = (
         bgc.groupBy("bigram")
         .agg(F.sum("c").cast("long").alias("c_bi"))

@@ -56,13 +56,36 @@ BUDGETS = {
     # 4 → 6 with the r5 re-tier: the per-doc bigram-count collapse adds
     # plan nodes but every shuffle now carries distinct (doc, bigram)
     # pairs instead of the raw occurrence stream — A/B 4.37 → 1.06 s
-    # min-of-5 at sf0.1 (see the operator docstring)
+    # min-of-5 at sf0.1 (see the operator docstring).  This ceiling sees
+    # only the post-checkpoint plan; the corpus-side shuffle upstream of
+    # the localCheckpoint is pinned by
+    # test_bigram_corpus_side_stays_one_exchange below.
     "bigram_logprob": 6,
-    "bm25_topk": 2,  # per-doc groupBy + single-row stats agg
+    # NOTE on decompositions: count_exchanges excludes SinglePartition
+    # exchanges, and a subtree consumed twice appears twice in the
+    # STATIC plan (AQE reuses it at runtime) — the counts below are
+    # static hashpartitioning-exchange counts, not distinct shuffles
+    "bm25_topk": 2,  # the per-doc groupBy subtree, statically duplicated
     "batch_session_window": 1,
-    "funnel_conversion": 5,  # 3 keyed groupBys + 2 single-row stage counts
+    "funnel_conversion": 5,  # 3 stage groupBys + duplicated v/c subtrees
     "retention_cohorts": 4,  # cohort agg + activity distinct + grid count-distinct
 }
+
+
+def test_bigram_corpus_side_stays_one_exchange(spark):
+    """bigram_logprob's eager localCheckpoint hides everything upstream
+    of it from the main budget guard — pin the corpus-side dataflow
+    (codegen shingle explode → groupBy(doc_id, bigram)) separately so a
+    refactor that adds a shuffle there still fails loudly."""
+    from firebird_mapreduce_spark.operators.text import _bigram_doc_counts
+    from firebird_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = _bigram_doc_counts(docs)
+    n = count_exchanges(df)
+    assert n <= 1, f"bigram corpus side: {n} exchanges > 1\n" + plan_string(
+        df, "simple"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
