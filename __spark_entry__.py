@@ -881,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM events),
             m AS (SELECT user_id, ts,
                          CASE WHEN lag(ts) OVER w IS NULL
-                                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                                   OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                               THEN 1 ELSE 0 END AS new_s
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (SELECT user_id, ts,
@@ -903,7 +903,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM events),
             m AS (SELECT user_id, ts,
                          CASE WHEN lag(ts) OVER w IS NULL
-                                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                                   OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                               THEN 1 ELSE 0 END AS new_s
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (SELECT user_id, ts,
@@ -1024,16 +1024,18 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
             FROM orders
         """,
-        # Spark session_window semantics relationally: an event extends its
-        # user's current session while it is strictly within gap of the
-        # previous event; session_end = last event + gap.  Timestamps
-        # truncated to microseconds on the DuckDB side (nanos source).
+        # Spark session_window semantics relationally: an event extends
+        # its user's current session while it is within gap of the
+        # previous event INCLUSIVE (an event at exactly last+gap merges —
+        # proven empirically in tests/test_analytics.py, hence the strict
+        # > in the new-session flag); session_end = last event + gap.
+        # Timestamps truncated to microseconds on the DuckDB side.
         "stream_session_window": """
             WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts
                        FROM events),
             m AS (SELECT user_id, ts,
                          CASE WHEN lag(ts) OVER w IS NULL
-                                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                                   OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                               THEN 1 ELSE 0 END AS new_s
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (SELECT user_id, ts,
@@ -1098,7 +1100,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM events),
             m AS (SELECT user_id, ts, value,
                          CASE WHEN lag(ts) OVER w IS NULL
-                                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                               THEN 1 ELSE 0 END AS new_s
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (SELECT user_id, ts, value,

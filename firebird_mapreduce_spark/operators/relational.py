@@ -1451,9 +1451,12 @@ def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-minute sessions.
 
     Spark merges an event into its user's current session while its time
-    is strictly inside [start, last+gap); session_end = last event +
-    gap.  The oracle reproduces that relationally (lag → new-session
-    flag → running session id — the gaps-and-islands form).  One shuffle
+    is inside [start, last+gap] INCLUSIVE — an event at exactly
+    last+gap still merges (proven on a crafted boundary in
+    tests/test_analytics.py; the oracle's new-session flag is therefore
+    the STRICT ``>``); session_end = last event + gap.  The oracle
+    reproduces that relationally (lag → new-session flag → running
+    session id — the gaps-and-islands form).  One shuffle
     on user_id; per-session value totals are exact DECIMAL(18,2) before
     the final double cast.  At 100 TB this is the same cost envelope as
     any keyed aggregate — the session merge is a per-key sorted pass

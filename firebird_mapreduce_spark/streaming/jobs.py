@@ -284,7 +284,14 @@ def make_session_fold(gap_us: int):
     ``fold(ts_us, prev)``: sort the batch's event-time micros, extend or
     close the carried open session, return (rows to emit = closed +
     open, new open state).  ``frame(user_id, rows)``: the emission
-    DataFrame with session_end = last event + gap."""
+    DataFrame with session_end = last event + gap.
+
+    Boundary rule: an event at EXACTLY last+gap still merges (closed
+    interval — ``t - last <= gap``), matching Spark's built-in
+    ``session_window``, which was empirically shown to absorb an event
+    landing exactly on the session end (tests/test_analytics.py).  A
+    strict ``<`` here would silently diverge from the built-in spelling
+    on exact-gap ties."""
 
     def fold(ts_us, prev):
         ts_us = sorted(ts_us)
@@ -293,7 +300,7 @@ def make_session_fold(gap_us: int):
         for t in ts_us:
             if start is None:
                 start, last, n = t, t, 1
-            elif t - last < gap_us:
+            elif t - last <= gap_us:
                 last, n = t, n + 1
             else:
                 closed.append((start, last, n))
@@ -565,7 +572,9 @@ def custom_session_timeout_stream(
         for t in ts_us:
             if start is None:
                 start, last, n = t, t, 1
-            elif t - last < gap_us:
+            # closed boundary (<=): exact-gap ties merge, matching the
+            # built-in session_window and make_session_fold
+            elif t - last <= gap_us:
                 last, n = t, n + 1
             else:
                 closed.append((start, last, n))
@@ -721,9 +730,10 @@ def session_window_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     within gap), so hash-equality with the batch-relational oracle is a
     real cross-batch-state check.  The oracle reproduces Spark's session
     semantics relationally: a new session starts when the gap since the
-    previous event of the same user is >= 10 minutes (Spark merges an
-    event into a session only while its time is strictly inside
-    [start, last+gap)), and ``session_end = last event + gap``."""
+    previous event of the same user is STRICTLY GREATER than 10 minutes
+    (an event at exactly last+gap still merges — the closed-boundary
+    rule proven empirically in tests/test_analytics.py), and
+    ``session_end = last event + gap``."""
     global _REPLAY_COUNTER
     _REPLAY_COUNTER += 1
     return run_stream_to_memory(

@@ -819,8 +819,9 @@ def test_tws_processor_matches_independent_sessionization():
     THREE micro-batches (the protobuf runtime its real handle needs is
     absent in this container), must reproduce an independently computed
     single-pass sessionization — including a session spanning a batch
-    boundary and an exactly-at-gap split (strict `< gap` keeps, `== gap`
-    splits)."""
+    boundary, an exactly-at-gap MERGE (closed boundary, matching the
+    built-in session_window — see tests/test_analytics.py), and a
+    gap+1µs split."""
     import pandas as pd
 
     from firebird_mapreduce_spark.streaming.jobs import (
@@ -853,7 +854,8 @@ def test_tws_processor_matches_independent_sessionization():
     batches = [
         [base, base + gap_us - 1],          # one open session
         [base + 2 * gap_us - 2],            # extends it across the boundary
-        [base + 3 * gap_us - 2, base + 4 * gap_us - 2 + 1],  # == gap splits
+        # == gap still MERGES (closed boundary); the +1 then SPLITS
+        [base + 3 * gap_us - 2, base + 4 * gap_us - 1],
     ]
     emitted = []
     for b in batches:
@@ -870,7 +872,7 @@ def test_tws_processor_matches_independent_sessionization():
     all_ts = sorted(t for b in batches for t in b)
     sessions, cur = [], [all_ts[0]]
     for t in all_ts[1:]:
-        if t - cur[-1] < gap_us:
+        if t - cur[-1] <= gap_us:  # closed boundary, like the built-in
             cur.append(t)
         else:
             sessions.append(cur)
@@ -890,8 +892,8 @@ def test_tws_processor_matches_independent_sessionization():
     ]
     assert got == expect
     # the boundary cases actually fired: batch 2 EXTENDED the carried
-    # session (3 events), and the two ==gap deltas each SPLIT
-    assert [n for _, _, _, n in expect] == [3, 1, 1]
+    # session, the ==gap delta MERGED (4 events), the +1µs delta SPLIT
+    assert [n for _, _, _, n in expect] == [4, 1]
 
 
 def test_tws_sessionizer_matches_groupstate_e2e(spark):
