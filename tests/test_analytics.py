@@ -182,3 +182,91 @@ def test_retention_offset_is_iso_week_aligned(spark):
         .collect()
     )
     assert sorted(r.week_offset for r in grid) == [0, 1]
+
+
+def test_asof_join_tie_semantics(spark):
+    """as-of attribution boundaries: a click at the SAME instant as the
+    purchase attributes (<= semantics — the right side sorts before the
+    left at equal ts); among two simultaneous candidate clicks the
+    larger event_id wins (the documented deterministic tiebreak, same
+    as the oracle's ORDER BY c.ts DESC, c.event_id DESC); a click 1µs
+    AFTER the purchase never attributes."""
+    from firebird_mapreduce_spark.operators.relational import asof_join
+
+    us = dt.timedelta(microseconds=1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: click at the exact purchase instant -> attributed
+        (1, "click", BASE),
+        (1, "purchase", BASE),
+        # user 2: two clicks at the same ts before the purchase -> the
+        # larger click event_id must win deterministically
+        (2, "click", BASE),
+        (2, "click", BASE),
+        (2, "purchase", BASE + m),
+        # user 3: only click is 1µs after the purchase -> NULL (dropped)
+        (3, "purchase", BASE),
+        (3, "click", BASE + us),
+    ]
+    df = _events(spark, rows)
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = (
+        asof_join(
+            purchases,
+            clicks,
+            left_on="user_id",
+            right_on="click_user",
+            left_ts="ts",
+            right_ts="click_ts",
+            value_cols=["click_id"],
+        )
+        .filter(F.col("click_id").isNotNull())
+        .select("purchase_id", "user_id", "click_id")
+        .collect()
+    )
+    by_user = {r.user_id: r.click_id for r in out}
+    ids = {
+        (u, e, t): i for i, (u, e, t) in enumerate(rows)
+    }
+    assert by_user[1] == ids[(1, "click", BASE)]
+    # the two user-2 clicks are rows 2 and 3; the larger id (3) wins
+    assert by_user[2] == 3
+    assert 3 not in by_user, "a click after the purchase must not attribute"
+
+
+def test_range_interval_window_includes_exact_boundary(spark):
+    """RANGE BETWEEN 30 MIN PRECEDING AND CURRENT ROW is inclusive on
+    both edges: an event exactly 30 minutes older is inside the frame,
+    one 30min+1µs older is outside."""
+    m = dt.timedelta(minutes=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, "view", BASE - 30 * m),        # exactly 30 min before anchor
+        (1, "view", BASE),                 # anchor
+        (2, "view", BASE - 30 * m - us),   # 30 min + 1µs before anchor
+        (2, "view", BASE),                 # anchor
+    ]
+    df = _events(spark, rows)
+    from pyspark.sql import Window
+
+    micros = F.unix_micros(F.col("ts"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    got = {
+        (r.user_id, r.ts): r.n
+        for r in df.select(
+            "user_id", "ts", F.count(F.lit(1)).over(win).alias("n")
+        ).collect()
+    }
+    assert got[(1, BASE)] == 2, "exact 30-min-old event must be in frame"
+    assert got[(2, BASE)] == 1, "30min+1µs-old event must be outside"
