@@ -697,3 +697,37 @@ def test_jdbc_read_is_partitioned_and_pushes_filter(spark):
     assert "*GreaterThanOrEqual(n_regionkey,2)" in scan[0], scan[0]
     rows = sorted((r.n_regionkey, r.n_nations) for r in df.collect())
     assert [k for k, _ in rows] == [2, 3, 4] and all(n == 5 for _, n in rows)
+
+
+def test_join_strategy_hints_control_physical_operator(spark):
+    """The engine's join-strategy surface: the SAME logical join compiles
+    to SortMergeJoin / ShuffledHashJoin / BroadcastHashJoin purely by
+    hint, with byte-identical results — at 100 TB picking the physical
+    join per table-size regime is a first-class tuning lever (SMJ spills
+    gracefully, SHJ skips both sorts when one side fits a task, BHJ
+    skips the shuffle entirely), and this pins that the lever works."""
+    from firebird_mapreduce_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+
+    def joined(hint: str | None):
+        dim = customer.hint(hint) if hint else customer
+        return (
+            orders.join(dim, orders.o_custkey == dim.c_custkey)
+            .groupBy("c_nationkey")
+            .agg({"o_totalprice": "count"})
+        )
+
+    plans = {
+        h: plan_string(joined(h), "simple")
+        for h in ("merge", "shuffle_hash", "broadcast")
+    }
+    assert "SortMergeJoin" in plans["merge"], plans["merge"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"], plans["shuffle_hash"]
+    assert "BroadcastHashJoin" in plans["broadcast"], plans["broadcast"]
+    results = {
+        h: sorted(map(tuple, joined(h).collect()))
+        for h in ("merge", "shuffle_hash", "broadcast")
+    }
+    assert results["merge"] == results["shuffle_hash"] == results["broadcast"]
