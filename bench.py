@@ -95,6 +95,10 @@ HEADLINE = [
     # r5: BM25 top-10 — one corpus shuffle (per-doc conditional-agg tf),
     # broadcast stats row, TakeOrderedAndProject on the exact decimal
     "bm25_topk",
+    # r5 event analytics: gap-merge sessionization (95k sessions at
+    # sf0.1, one keyed shuffle) and the 3-stage ordered funnel
+    "batch_session_window",
+    "funnel_conversion",
     # reworked late r4: broadcast vocab-side df + partial-agg arg-max
     "tfidf_top_terms",
     # codegen Morton-interleave projection (zero exchanges)
