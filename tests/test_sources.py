@@ -232,3 +232,90 @@ def test_edgelist_datasource_filter_pushdown_absorbs_comparisons(spark, tmp_path
     )
     assert [type(f) for f in unsupported] == [IsNotNull]
     assert reader.pushed == [(EqualTo, "src", 0)]
+
+
+def test_corrupt_parquet_file_tolerated_when_configured(spark, tmp_path):
+    """Operational ingestion posture: with
+    ``spark.sql.files.ignoreCorruptFiles`` a scan survives a corrupt
+    file in the directory and returns every row from the healthy files;
+    with the default (false) the same scan fails loudly.  At 100 TB a
+    single truncated object in a million-file lake is a WHEN, not an if
+    — both behaviors (skip-and-continue vs fail-fast) must be the
+    configured choice, never an accident."""
+    import pytest
+
+    d = tmp_path / "lake"
+    spark.range(100).repartition(4).write.parquet(str(d))
+    parts = sorted(p for p in os.listdir(d) if p.endswith(".parquet"))
+    victim = os.path.join(str(d), parts[0])
+    # count rows the victim holds, then smash its footer
+    n_victim = spark.read.parquet(victim).count()
+    with open(victim, "r+b") as f:
+        f.truncate(8)  # keep the magic, destroy the footer
+    # .crc sidecars would fail the local filesystem's checksum check
+    # before the reader even sees the corrupt footer — remove them to
+    # test the PARQUET-layer behavior
+    for p in os.listdir(d):
+        if p.endswith(".crc"):
+            os.remove(os.path.join(str(d), p))
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        with pytest.raises(Exception):
+            spark.read.parquet(str(d)).count()
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        # schema stated explicitly: ignoreCorruptFiles governs DATA
+        # reads, not schema inference — inference may still pick (and
+        # choke on) the corrupt footer, and a production lake declares
+        # its schema anyway
+        got = spark.read.schema("id bigint").parquet(str(d)).count()
+        assert got == 100 - n_victim, (
+            f"expected the healthy files' {100 - n_victim} rows, got {got}"
+        )
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_malformed_json_rows_permissive_vs_failfast(spark, tmp_path):
+    """Schema-drifted / malformed JSON rows: PERMISSIVE mode lands them
+    in ``_corrupt_record`` with NULL data columns (quarantine-and-
+    continue), DROPMALFORMED silently drops them, FAILFAST raises —
+    the three contracts an ingestion pipeline chooses between."""
+    import pytest
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "not json at all\n"
+        '{"id": 3, "v": "c"}\n'
+    )
+    schema = "id bigint, v string, _corrupt_record string"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()
+    )
+    rows = perm.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].id is None
+    assert bad[0]._corrupt_record.startswith("not json")
+    perm.unpersist()
+
+    dropped = (
+        spark.read.schema("id bigint, v string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+        .collect()
+    )
+    assert sorted(r.id for r in dropped) == [1, 3]
+
+    with pytest.raises(Exception):
+        (
+            spark.read.schema("id bigint, v string")
+            .option("mode", "FAILFAST")
+            .json(str(p))
+            .collect()
+        )
