@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_sql": R.tpch_q5_sql,
         "tpch_q1_pricing": R.tpch_q1_pricing,
         "tpch_q3_topk": R.tpch_q3_topk,
+        "tpch_q18_topk": R.tpch_q18_topk,
         "batch_session_window": R.batch_session_window,
         "funnel_conversion": R.funnel_conversion,
         "retention_cohorts": R.retention_cohorts,
@@ -352,6 +353,7 @@ _PENDING_NEXT_WINDOW = [
     "batch_session_window",
     "funnel_conversion",
     "retention_cohorts",
+    "tpch_q18_topk",
 ]
 
 
@@ -1614,6 +1616,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS count_order
             FROM x
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # TPC-H Q18 at threshold 250 (the spec's 300 is nearly empty on
+        # this corpus); unique-orderkey tiebreak makes the cut stable
+        "tpch_q18_topk": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, CAST(b.sq AS DOUBLE) AS total_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderdate ASC,
+                     o.o_orderkey ASC
+            LIMIT 100
         """,
         # TPC-H Q3: deterministic top-10 via the unique (date, orderkey)
         # tiebreak on both engines

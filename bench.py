@@ -61,6 +61,7 @@ HEADLINE = [
     # Q3 (broadcast-dim filter -> fact join -> TakeOrderedAndProject)
     "tpch_q1_pricing",
     "tpch_q3_topk",
+    "tpch_q18_topk",
     "dedup_ngram_jaccard",
     "embedding_knn",
     "embedding_neardup_topk",

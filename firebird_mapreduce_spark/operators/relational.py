@@ -1340,6 +1340,46 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) — the HAVING-filter shape: keep
+    only orders whose total line quantity exceeds the threshold, then
+    enrich with customer and rank by price.  Quantity threshold 250
+    (~top 1.5% of orders on this corpus; the spec's 300 would select
+    almost nothing at the synthetic line-count distribution).
+
+    Plan: one map-side-combined groupBy(l_orderkey) with the HAVING
+    filter applied to the aggregate (the selective step — survivors are
+    ~1% of orders), then two keyed joins and TakeOrderedAndProject.
+    The aggregate side shrinks before either join, so at scale both
+    joins see only the filtered survivors on one side; quantity sums
+    are exact DECIMAL(18,2) and the top-100 cut tiebreaks on the unique
+    o_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("total_qty"),
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → click → purchase): per stage,
     the number of users whose FIRST qualifying event strictly follows

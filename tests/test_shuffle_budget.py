@@ -40,6 +40,7 @@ BUDGETS = {
     "tpch_revenue_by_nation": 1,
     "tpch_q1_pricing": 1,
     "tpch_q3_topk": 1,  # broadcast at tiny SF; fact-fact shuffle at scale
+    "tpch_q18_topk": 1,  # HAVING-filtered agg; joins broadcast the survivors
     "dedup_ngram_jaccard": 9,
     "embedding_knn": 0,
     "embedding_neardup_topk": 1,
