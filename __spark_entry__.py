@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": SJ.stream_static_join_query,
         "embedding_kmeans_exact": S.embedding_kmeans_exact,
         "lang_mix_downsample": P.lang_mix_downsample,
+        "lang_mix_temperature": P.lang_mix_temperature,
         "above_avg_balance": R.above_avg_balance,
         "unigram_logprob": T.unigram_logprob,
         "zorder_key_events": L.zorder_key_events,
@@ -354,6 +355,7 @@ _PENDING_NEXT_WINDOW = [
     "funnel_conversion",
     "retention_cohorts",
     "tpch_q18_topk",
+    "lang_mix_temperature",
 ]
 
 
@@ -864,6 +866,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT d.lang, d.doc_id,
                        (CAST('0x' || substr(
                             md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) < c.cut) AS kept
+                FROM documents d JOIN cuts c USING (lang)
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   min(CASE WHEN kept THEN doc_id END) AS min_kept,
+                   max(CASE WHEN kept THEN doc_id END) AS max_kept
+            FROM k GROUP BY lang
+        """,
+        # temperature mixing at α=0.5: sqrt is correctly rounded under
+        # IEEE so the cut is bit-identical in both engines
+        "lang_mix_temperature": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+            ),
+            cuts AS (
+                SELECT lang,
+                       CAST(floor(
+                            sqrt(CAST((SELECT min(n_lang) FROM counts)
+                                      AS DOUBLE) / n_lang)
+                            * 4294967296.0) AS BIGINT) AS cut
+                FROM counts
+            ),
+            k AS (
+                SELECT d.lang, d.doc_id,
+                       (CAST('0x' || substr(
+                            md5('mixtemp|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
                          AS BIGINT) < c.cut) AS kept
                 FROM documents d JOIN cuts c USING (lang)
             )

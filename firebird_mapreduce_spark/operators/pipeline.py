@@ -377,6 +377,50 @@ def lang_mix_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixing (α = 0.5) — the standard
+    multilingual-pretraining sampling knob: target share ∝ p_l^α, which
+    up-weights rare languages without flattening the mix entirely.
+    Realized as deterministic per-language keep-rates normalized so the
+    rarest language keeps everything:
+    ``rate_l = (n_min / n_l)^(1-α) = sqrt(n_min / n_l)`` at α = 0.5 —
+    α = 0 degenerates to :func:`lang_mix_downsample`'s uniform target
+    (rate n_min/n_l), α = 1 keeps the natural mix (rate 1).
+
+    Same scale shape as lang_mix_downsample: tiny count aggregate →
+    broadcast cut table → one scan of the corpus, no RNG (md5-prefix
+    membership under the ``mixtemp|`` salt).  Exactness: sqrt is
+    CORRECTLY ROUNDED under IEEE-754 (unlike pow), and its input
+    n_min/n_l is a double quotient of exact integers, so both engines
+    compute the identical cut = floor(sqrt(n_min/n_l)·2^32)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    target = counts.agg(F.min("n_lang").alias("n_min"))
+    cuts = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_lang"))
+            * F.lit(4294967296.0)
+        ).alias("cut"),
+    )
+    hashv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mixtemp|"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    kept = hashv < F.col("cut")
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("min_kept"),
+            F.max(F.when(kept, F.col("doc_id"))).alias("max_kept"),
+        )
+    )
+
+
 def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling report over ``events`` — per column: null count,
     exact distinct count, and deterministically formatted min/max — the
