@@ -349,18 +349,31 @@ def lang_mix_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared against the first 8 md5 hex digits as an integer — both
     sides exact IEEE doubles, so membership is bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
+    return _hash_mix_report(
+        docs,
+        salt="mix|",
+        rate=lambda n_min, n_lang: n_min.cast("double") / n_lang,
+    )
+
+
+def _hash_mix_report(docs: DataFrame, salt: str, rate) -> DataFrame:
+    """Shared scaffold of the deterministic mixing family
+    (:func:`lang_mix_downsample`, :func:`lang_mix_temperature`): tiny
+    per-language count aggregate → broadcast single-row min →
+    per-language cut = floor(rate(n_min, n_lang)·2^32) → md5-prefix
+    membership under ``salt`` → the 4-column per-language keep report.
+    ``rate`` is a (n_min_col, n_lang_col) → double-Column function —
+    the ONLY thing the two operators differ in besides the salt."""
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    target = counts.agg(F.min("n_lang").alias("n_target"))
+    target = counts.agg(F.min("n_lang").alias("n_min"))
     cuts = counts.crossJoin(F.broadcast(target)).select(
         "lang",
         F.floor(
-            F.col("n_target").cast("double")
-            / F.col("n_lang")
-            * F.lit(4294967296.0)
+            rate(F.col("n_min"), F.col("n_lang")) * F.lit(4294967296.0)
         ).alias("cut"),
     )
     hashv = F.conv(
-        F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id"))), 1, 8),
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id"))), 1, 8),
         16,
         10,
     ).cast("long")
@@ -394,30 +407,10 @@ def lang_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_min/n_l is a double quotient of exact integers, so both engines
     compute the identical cut = floor(sqrt(n_min/n_l)·2^32)."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    target = counts.agg(F.min("n_lang").alias("n_min"))
-    cuts = counts.crossJoin(F.broadcast(target)).select(
-        "lang",
-        F.floor(
-            F.sqrt(F.col("n_min").cast("double") / F.col("n_lang"))
-            * F.lit(4294967296.0)
-        ).alias("cut"),
-    )
-    hashv = F.conv(
-        F.substring(F.md5(F.concat(F.lit("mixtemp|"), F.col("doc_id"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    kept = hashv < F.col("cut")
-    return (
-        docs.join(F.broadcast(cuts), "lang")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(kept.cast("long")).alias("n_kept"),
-            F.min(F.when(kept, F.col("doc_id"))).alias("min_kept"),
-            F.max(F.when(kept, F.col("doc_id"))).alias("max_kept"),
-        )
+    return _hash_mix_report(
+        docs,
+        salt="mixtemp|",
+        rate=lambda n_min, n_lang: F.sqrt(n_min.cast("double") / n_lang),
     )
 
 

@@ -1403,6 +1403,30 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond precision so the comparison can never straddle a
     truncation boundary."""
     events = load_table(spark, sf_dir, "events")
+    v, c, p = funnel_stages(events)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("view").alias("stage"), "n_users")
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The funnel's stage dataflow over an ARBITRARY events frame —
+    factored out of :func:`funnel_conversion` so the crafted-boundary
+    tests (tests/test_analytics.py) drive the PRODUCTION stage logic,
+    not a replica that could silently drift from it."""
     hour = F.expr("INTERVAL 1 HOUR")
     v = (
         events.filter(F.col("event_type") == "view")
@@ -1429,20 +1453,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_users"))
-        .select(F.lit("view").alias("stage"), "n_users")
-        .unionAll(
-            c.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit("view>click").alias("stage"), "n_users"
-            )
-        )
-        .unionAll(
-            p.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit("view>click>purchase").alias("stage"), "n_users"
-            )
-        )
-    )
+    return v, c, p
 
 
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,25 +1470,29 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ISO Monday in BOTH engines; offsets are exact multiples of 7
     days, so the integer division is exact."""
     events = load_table(spark, sf_dir, "events")
+    return (
+        retention_grid(events)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+    )
+
+
+def retention_grid(events: DataFrame) -> DataFrame:
+    """(user_id, cohort_week, week_offset) rows over an ARBITRARY events
+    frame — factored out of :func:`retention_cohorts` so the crafted
+    ISO-week-alignment test drives the PRODUCTION offset logic."""
     first = events.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     active = events.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     ).distinct()
-    return (
-        active.join(first, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (
-                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
-            )
-            .cast("int")
-            .alias("week_offset"),
-        )
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+    return active.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
     )
 
 

@@ -580,8 +580,13 @@ def custom_session_timeout_stream(
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
         state.update((start, last, n))
-        # finalize via watermark: timeout at last_event + gap, event-time ms
-        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        # finalize via watermark: timeout at last_event + gap, event-time
+        # ms.  CEILING of the sub-ms micros (-(-last // 1000)): a floor
+        # would arm the timeout up to 999µs before last+gap, so a session
+        # could finalize early and an on-time event inside that window —
+        # including the exact-gap tie the <= branch above exists to
+        # merge — would wrongly start a new session
+        state.setTimeoutTimestamp(-(-last // 1000) + gap_us // 1000)
         yield frame(closed)
 
     return (

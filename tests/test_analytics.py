@@ -27,35 +27,11 @@ def _events(spark, rows):
 
 
 def _funnel_over(spark, df):
-    """Replicate funnel_conversion's dataflow over a crafted frame (the
-    operator reads from parquet; the dataflow below is the same code
-    path minus load_table)."""
-    hour = F.expr("INTERVAL 1 HOUR")
-    v = (
-        df.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        df.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + hour)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        df.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + hour)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
+    """Drive the PRODUCTION stage dataflow (relational.funnel_stages)
+    over a crafted frame — not a replica that could drift."""
+    from firebird_mapreduce_spark.operators.relational import funnel_stages
+
+    v, c, p = funnel_stages(df)
     return (
         {r.user_id for r in v.collect()},
         {r.user_id for r in c.collect()},
@@ -163,24 +139,12 @@ def test_retention_offset_is_iso_week_aligned(spark):
     """A user first active on a Sunday and again the following Monday is
     offset 1 (ISO weeks run Monday-Sunday), even though only one day
     elapsed — the cohort definition is calendar-week, not 7-day bucket."""
+    from firebird_mapreduce_spark.operators.relational import retention_grid
+
     sunday = dt.datetime(2024, 1, 7, 10, 0, 0)   # ISO week starting 1 Jan
     monday = dt.datetime(2024, 1, 8, 10, 0, 0)   # next ISO week
     df = _events(spark, [(1, "view", sunday), (1, "view", monday)])
-    first = df.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    active = df.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
-    ).distinct()
-    grid = (
-        active.join(first, "user_id")
-        .select(
-            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
-            .cast("int")
-            .alias("week_offset")
-        )
-        .collect()
-    )
+    grid = retention_grid(df).collect()
     assert sorted(r.week_offset for r in grid) == [0, 1]
 
 
