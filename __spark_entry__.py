@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": R.tpch_q1_pricing,
         "tpch_q3_topk": R.tpch_q3_topk,
         "tpch_q18_topk": R.tpch_q18_topk,
+        "try_arithmetic": R.try_arithmetic,
         "batch_session_window": R.batch_session_window,
         "funnel_conversion": R.funnel_conversion,
         "retention_cohorts": R.retention_cohorts,
@@ -356,6 +357,7 @@ _PENDING_NEXT_WINDOW = [
     "retention_cohorts",
     "tpch_q18_topk",
     "lang_mix_temperature",
+    "try_arithmetic",
 ]
 
 
@@ -1646,6 +1648,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS count_order
             FROM x
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # ANSI try_* semantics: NULL-on-failure spelled as CASE +
+        # TRY_CAST; min/max of quotients are selection aggregates, so no
+        # double-sum reduction-order hazard
+        "try_arithmetic": """
+            WITH x AS (
+                SELECT o_orderpriority,
+                       CASE WHEN o_custkey % 7 = 0 THEN NULL
+                            ELSE o_totalprice
+                                 / CAST(o_custkey % 7 AS DOUBLE) END AS d,
+                       TRY_CAST(o_orderpriority AS INT) AS fc,
+                       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS dc
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_div_null,
+                   CAST(sum(CASE WHEN fc IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cast_null,
+                   min(dc) AS priority_digit,
+                   round(min(d), 6) AS min_quotient,
+                   round(max(d), 6) AS max_quotient
+            FROM x GROUP BY o_orderpriority
         """,
         # TPC-H Q18 at threshold 250 (the spec's 300 is nearly empty on
         # this corpus); unique-orderkey tiebreak makes the cut stable

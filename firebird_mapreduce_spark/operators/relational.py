@@ -1340,6 +1340,38 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe expressions — Spark 4 runs with
+    ``spark.sql.ansi.enabled=true``, where division by zero and
+    malformed casts are runtime ERRORS; ``try_divide`` / ``try_cast``
+    are the per-expression escape that yields NULL instead, the
+    contract a pipeline uses for dirty columns it cannot pre-validate.
+    (This engine hit the ANSI hazard for real: ``split(bigram)[1]``
+    ANSI-errors when Catalyst inlines it past a null-filter — see
+    ``text.py``.)
+
+    Per priority group: rows whose divisor hit zero (try_divide →
+    NULL), rows whose cast of the full priority string failed
+    (try_cast → NULL — the leading digit extracted with substring DOES
+    cast), and min/max of the successful quotients rounded to 6 dp
+    (selection aggregates — order-independent, no double summation).
+    The oracle spells the identical semantics with CASE + TRY_CAST."""
+    orders = load_table(spark, sf_dir, "orders")
+    div = F.try_divide(
+        F.col("o_totalprice"), (F.col("o_custkey") % 7).cast("double")
+    )
+    full_cast = F.expr("try_cast(o_orderpriority AS int)")
+    digit_cast = F.expr("try_cast(substring(o_orderpriority, 1, 1) AS int)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(div.isNull().cast("long")).alias("n_div_null"),
+        F.sum(full_cast.isNull().cast("long")).alias("n_cast_null"),
+        F.min(digit_cast).alias("priority_digit"),
+        F.round(F.min(div), 6).alias("min_quotient"),
+        F.round(F.max(div), 6).alias("max_quotient"),
+    )
+
+
 def tpch_q18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer) — the HAVING-filter shape: keep
     only orders whose total line quantity exceeds the threshold, then
