@@ -24,6 +24,7 @@ from firebird_mapreduce_spark.mapreduce import (
     mapreduce_group_count,
 )
 from firebird_mapreduce_spark.operators import dedup as D
+from firebird_mapreduce_spark.operators import frequency as FQ
 from firebird_mapreduce_spark.operators import graph as G
 from firebird_mapreduce_spark.operators import layout as L
 from firebird_mapreduce_spark.operators import multimodal as M
@@ -249,6 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: train->test n-gram leakage audit over the hash split
         "split_leakage_check": P.split_leakage_check,
         "split_leakage_after_dedup": P.split_leakage_after_dedup,
+        # r5: Misra-Gries candidates + exact recount — sub-linear-shuffle
+        # heavy hitters (the viable spelling when key cardinality is huge)
+        "heavy_hitters_tokens": FQ.heavy_hitters_tokens,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -358,6 +362,7 @@ _PENDING_NEXT_WINDOW = [
     "tpch_q18_topk",
     "lang_mix_temperature",
     "try_arithmetic",
+    "heavy_hitters_tokens",
 ]
 
 
@@ -1672,6 +1677,23 @@ def oracle_sql() -> dict[str, str]:
                    round(min(d), 6) AS min_quotient,
                    round(max(d), 6) AS max_quotient
             FROM x GROUP BY o_orderpriority
+        """,
+        # Two-pass exact heavy hitters: the oracle is the plain
+        # GROUP BY ... HAVING spelling with the identical integer-exact
+        # threshold ceil(3N/100) — the MG candidate pass is a superset
+        # by construction so the outputs must coincide exactly
+        "heavy_hitters_tokens": """
+            WITH tok AS (
+                SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(count(*) / (SELECT n FROM tot), 6) AS share
+            FROM tok
+            GROUP BY token
+            HAVING count(*) >= (3 * (SELECT n FROM tot) + 99) // 100
         """,
         # TPC-H Q18 at threshold 250 (the spec's 300 is nearly empty on
         # this corpus); unique-orderkey tiebreak makes the cut stable

@@ -102,6 +102,9 @@ HEADLINE = [
     "funnel_conversion",
     # reworked late r4: broadcast vocab-side df + partial-agg arg-max
     "tfidf_top_terms",
+    # r5: Misra-Gries candidates (zero-shuffle pass) + exact recount —
+    # the sub-linear-shuffle heavy-hitter spelling
+    "heavy_hitters_tokens",
     # codegen Morton-interleave projection (zero exchanges)
     "zorder_key_events",
     # one-pass per-column profiling report

@@ -42,6 +42,9 @@ BUDGETS = {
     "tpch_q3_topk": 1,  # broadcast at tiny SF; fact-fact shuffle at scale
     "tpch_q18_topk": 1,  # HAVING-filtered agg; joins broadcast the survivors
     "try_arithmetic": 1,
+    # returned plan: broadcast candidate join + exact recount groupBy;
+    # the MG candidate pass itself is a zero-shuffle mapInPandas job
+    "heavy_hitters_tokens": 1,
     "dedup_ngram_jaccard": 9,
     "embedding_knn": 0,
     "embedding_neardup_topk": 1,
