@@ -26,6 +26,7 @@ from firebird_mapreduce_spark.mapreduce import (
 from firebird_mapreduce_spark.operators import dedup as D
 from firebird_mapreduce_spark.operators import frequency as FQ
 from firebird_mapreduce_spark.operators import graph as G
+from firebird_mapreduce_spark.operators import integrity as IG
 from firebird_mapreduce_spark.operators import layout as L
 from firebird_mapreduce_spark.operators import multimodal as M
 from firebird_mapreduce_spark.operators import pipeline as P
@@ -253,6 +254,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: Misra-Gries candidates + exact recount — sub-linear-shuffle
         # heavy hitters (the viable spelling when key cardinality is huge)
         "heavy_hitters_tokens": FQ.heavy_hitters_tokens,
+        # r5: sub-document (paragraph-level) dedup — global first
+        # occurrence wins, documents reassembled from surviving chunks
+        "dedup_paragraphs": D.dedup_paragraphs,
+        # r5: new-batch-vs-corpus incremental dedup (exact-hash screen +
+        # LSH band membership probe — the daily-ingest production shape)
+        "dedup_incremental": D.dedup_incremental,
+        # r5: commutative content checksum per table — the cross-engine
+        # replication validation surface (order/partition independent)
+        "table_fingerprint": IG.table_fingerprint,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -363,6 +373,9 @@ _PENDING_NEXT_WINDOW = [
     "lang_mix_temperature",
     "try_arithmetic",
     "heavy_hitters_tokens",
+    "dedup_paragraphs",
+    "dedup_incremental",
+    "table_fingerprint",
 ]
 
 
@@ -1695,6 +1708,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             HAVING count(*) >= (3 * (SELECT n FROM tot) + 99) // 100
         """,
+        # commutative content checksum: md5 over the identical canonical
+        # row string (ints as decimal text, money doubles as exact cents,
+        # timestamps as wall-clock seconds, NULL as '<NULL>'), first 15
+        # hex chars as a 60-bit integer, SUMmed — order/partition
+        # independent, so the DuckDB run IS the second replica being
+        # validated against the Spark run
+        "table_fingerprint": """
+            WITH n AS (
+                SELECT 'nation' AS table_name,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CAST(CAST('0x' || substr(md5(
+                           coalesce(CAST(n_nationkey AS VARCHAR), '<NULL>')
+                           || '|' || coalesce(n_name, '<NULL>')
+                           || '|' || coalesce(CAST(n_regionkey AS VARCHAR), '<NULL>')
+                       ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
+                FROM nation),
+            c AS (
+                SELECT 'customer' AS table_name,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CAST(CAST('0x' || substr(md5(
+                           coalesce(CAST(c_custkey AS VARCHAR), '<NULL>')
+                           || '|' || coalesce(c_name, '<NULL>')
+                           || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>')
+                           || '|' || coalesce(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR), '<NULL>')
+                           || '|' || coalesce(c_mktsegment, '<NULL>')
+                       ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
+                FROM customer),
+            o AS (
+                SELECT 'orders' AS table_name,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CAST(CAST('0x' || substr(md5(
+                           coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>')
+                           || '|' || coalesce(CAST(o_custkey AS VARCHAR), '<NULL>')
+                           || '|' || coalesce(o_orderstatus, '<NULL>')
+                           || '|' || coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '<NULL>')
+                           || '|' || coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '<NULL>')
+                           || '|' || coalesce(o_orderpriority, '<NULL>')
+                       ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
+                FROM orders)
+            SELECT * FROM n UNION ALL SELECT * FROM c UNION ALL SELECT * FROM o
+        """,
         # TPC-H Q18 at threshold 250 (the spec's 300 is nearly empty on
         # this corpus); unique-orderkey tiebreak makes the cut stable
         "tpch_q18_topk": """
@@ -1830,6 +1884,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_id,
                    CAST(count(*) AS BIGINT) AS dup_cnt
             FROM docs GROUP BY md5(text)
+        """,
+        # sub-document (paragraph-level) dedup: global first occurrence by
+        # (doc_id, chunk_idx) wins — 20-token chunks, the same sub-unit as
+        # udtf_chunk_documents; fully-deduped docs stay visible via the
+        # left join + coalesce (n_kept = 0), never silently dropped
+        "dedup_paragraphs": f"""
+            WITH docs AS ({D.AUGMENTED_DOCS_SQL}),
+            tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
+            chunks AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                       array_to_string(tk[i*20+1 : i*20+20], ' ') AS chunk
+                FROM tk, LATERAL (SELECT unnest(range(0,
+                    CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS i)),
+            kept AS (
+                SELECT doc_id, chunk_idx, chunk FROM (
+                    SELECT doc_id, chunk_idx, chunk,
+                           row_number() OVER (PARTITION BY md5(chunk)
+                                              ORDER BY doc_id, chunk_idx) AS rn
+                    FROM chunks) WHERE rn = 1),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text
+                FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(ceil(len(t.tk) / 20.0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.kept_text, '') AS kept_text
+            FROM tk t LEFT JOIN agg a USING (doc_id)
+        """,
+        # incremental ingest dedup: new batch (planted copies) screened
+        # against the existing corpus (originals) — exact-hash membership
+        # plus any-band LSH collision, the SAME banding CTEs as
+        # dedup_minhash_lsh but joined corpus-vs-batch instead of self
+        "dedup_incremental": f"""
+            WITH {_MINHASH_CTES.format(docs=D.AUGMENTED_DOCS_SQL)},
+            corpus_banded AS (
+                SELECT DISTINCT b, bsig FROM banded WHERE doc_id < 100000),
+            near AS (
+                SELECT DISTINCT n.doc_id
+                FROM banded n JOIN corpus_banded c
+                  ON n.b = c.b AND n.bsig = c.bsig
+                WHERE n.doc_id >= 100000),
+            corpus_h AS (
+                SELECT DISTINCT md5(text) AS h FROM docs WHERE doc_id < 100000),
+            new_docs AS (
+                SELECT doc_id, md5(text) AS h FROM docs WHERE doc_id >= 100000)
+            SELECT nd.doc_id,
+                   (ch.h IS NOT NULL) AS is_exact_dup,
+                   (nr.doc_id IS NOT NULL) AS is_near_dup,
+                   (ch.h IS NULL AND nr.doc_id IS NULL) AS kept
+            FROM new_docs nd
+            LEFT JOIN corpus_h ch ON nd.h = ch.h
+            LEFT JOIN near nr ON nd.doc_id = nr.doc_id
         """,
         # identical semantics over the bucketed layout — the oracle is the
         # same aggregation (bucketing changes the plan, not the answer)

@@ -105,6 +105,13 @@ HEADLINE = [
     # r5: Misra-Gries candidates (zero-shuffle pass) + exact recount —
     # the sub-linear-shuffle heavy-hitter spelling
     "heavy_hitters_tokens",
+    # r5: sub-document (paragraph) dedup — codegen chunking, one
+    # first-occurrence window, one reassembly groupBy
+    "dedup_paragraphs",
+    # r5: new-batch-vs-corpus incremental dedup membership screens
+    "dedup_incremental",
+    # r5: commutative content checksum — zero-exchange scan-reduce
+    "table_fingerprint",
     # codegen Morton-interleave projection (zero exchanges)
     "zorder_key_events",
     # one-pass per-column profiling report

@@ -269,16 +269,18 @@ def dedup_minhash_lsh(
     return minhash_pairs(augmented_documents(spark, sf_dir), k, bands)
 
 
-def minhash_pairs(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
-    """The banded MinHash pair miner over an ARBITRARY documents frame —
-    extracted so compositions (``split_leakage_after_dedup`` runs it on
-    the RAW corpus) share one implementation with ``dedup_minhash_lsh``
-    (which runs it on the augmented corpus)."""
+def banded_signatures(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """(doc_id, band, sig): the LSH banding of ``minhash_signatures`` —
+    each signature split into ``bands`` groups of ``k/bands`` hashes joined
+    into one bucket string.  Shared by the self-join pair miner
+    (``minhash_pairs``) and the corpus-vs-batch membership probe
+    (``dedup_incremental``) so the bucketing rule cannot drift between
+    them.  The signature table is localCheckpoint-ed: both consumers join
+    it against itself or a filtered view, and the tiny (doc_id, sig[16])
+    materialization beats replaying the shingle explode."""
     rows = k // bands
-    sigs = minhash_signatures(docs, k).localCheckpoint(
-        eager=False
-    )
-    banded = sigs.select(
+    sigs = minhash_signatures(docs, k).localCheckpoint(eager=False)
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -292,6 +294,14 @@ def minhash_pairs(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+
+
+def minhash_pairs(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """The banded MinHash pair miner over an ARBITRARY documents frame —
+    extracted so compositions (``split_leakage_after_dedup`` runs it on
+    the RAW corpus) share one implementation with ``dedup_minhash_lsh``
+    (which runs it on the augmented corpus)."""
+    banded = banded_signatures(docs, k, bands)
     a = banded.select(F.col("doc_id").alias("a_id"), "band", "sig")
     b = banded.select(F.col("doc_id").alias("b_id"), "band", "sig")
     return (
@@ -520,4 +530,149 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
         )
+    )
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup: drop every repeated
+    paragraph corpus-wide, keeping only its FIRST occurrence by
+    (doc_id, position), then reassemble each document from its surviving
+    paragraphs — the Gopher / MassiveText "repeated passages" cleanup,
+    one granularity below ``dedup_exact_hash`` (which can only drop whole
+    documents and misses boilerplate shared across *distinct* pages).
+
+    This corpus is single-line token streams, so "paragraph" here is the
+    same sub-document unit ``udtf_chunk_documents`` uses: non-overlapping
+    20-token chunks.  Planted duplicates make the pass non-vacuous at
+    every SF: exact copies (doc_id+200000) lose every chunk (n_kept = 0),
+    near copies (+100000, last 3 tokens dropped) lose every aligned chunk
+    and keep at most the truncated tail, and originals keep everything.
+    Fully-deduplicated documents stay visible with n_kept = 0 rather than
+    silently vanishing (the same left-join + coalesce contract the
+    curation funnel uses).
+
+    Scale shape: chunking is a pure codegen projection (sequence/slice
+    lambdas — no shuffle, no Python); first-occurrence is ONE row_number
+    window partitioned by the chunk's md5 (partitions are duplicate
+    groups — tiny by construction, so no skew even at 100 TB: a chunk
+    repeated a million times is exactly the boilerplate the operator
+    exists to delete, and its window partition holds only those rows);
+    reassembly is one groupBy(doc_id) whose collect_list is bounded by
+    document size.  No all-pairs anything.
+
+    Reference parity: the reference has no sub-document operator; this is
+    the north-star extension applied at paragraph granularity (SURVEY §2
+    extensions; Rae et al., "Scaling Language Models: ... Gopher",
+    §A.2 repetition/dedup pipeline).
+    """
+    from pyspark.sql.window import Window
+
+    chunk = 20
+    docs = augmented_documents(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("bigint")
+    chunked = docs.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk + 1, chunk), " "
+            ),
+        ).alias("chunks"),
+    )
+    exploded = chunked.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
+    )
+    first_occurrence = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    kept = exploded.withColumn(
+        "rn", F.row_number().over(first_occurrence)
+    ).filter(F.col("rn") == 1)
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        chunked.select("doc_id", "n_chunks")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Incremental ingest dedup: screen a NEW batch against the EXISTING
+    corpus — the shape every production pipeline actually runs (a fresh
+    crawl lands daily; re-deduplicating the whole corpus from scratch is
+    the quadratic nobody can afford).  Existing corpus = the original
+    documents; new batch = the planted copies (doc_id ≥ 100000), so every
+    disposition is exercised: exact copies are exact dups, near copies
+    are MinHash near-dups but NOT exact dups, and short documents whose
+    3 dropped tokens shift enough shingles can evade all bands and stay.
+
+    Per new document:
+      is_exact_dup — its md5(text) already exists in the corpus
+                     (hash-membership semi-join; the O(1)-state screen).
+      is_near_dup  — it collides with ANY corpus document on at least one
+                     full LSH band (``banded_signatures``, the same
+                     16-hash/4-band rule as ``dedup_minhash_lsh``) —
+                     crucially a batch×corpus membership probe, never the
+                     corpus self-join: new-batch bucket keys join against
+                     the corpus's banded table, so per-ingest cost is
+                     O(|batch| + matched buckets), not O(|corpus|²).
+      kept         — survives both screens and enters the corpus.
+
+    Scale shape: signatures are computed ONCE over corpus ∪ batch (one
+    shingle-explode partial-agg pass, no shuffle), banding is a codegen
+    projection, and both screens are key-bounded joins on uniformly
+    distributed hash keys.  At 100 TB the corpus side of both joins is a
+    precomputed table maintained across ingests (the bucketed-layout
+    machinery of ``dedup_exact_bucketed`` applies verbatim to the hash
+    and band tables), making each daily batch's screen proportional to
+    the batch, not the corpus.
+
+    Reference parity: north-star extension (SURVEY §2); the membership
+    variant of the reference-free ``dedup_minhash_lsh``.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = augmented_documents(spark, sf_dir)
+    new_batch = aug.filter(F.col("doc_id") >= 100000)
+
+    corpus_hashes = docs.select(F.md5("text").alias("h")).distinct()
+    exact = new_batch.select(
+        "doc_id", F.md5("text").alias("h")
+    ).join(corpus_hashes.withColumn("exact_hit", F.lit(True)), "h", "left")
+
+    banded = banded_signatures(aug, k, bands)
+    corpus_banded = banded.filter(F.col("doc_id") < 100000).select(
+        "band", "sig"
+    )
+    near = (
+        banded.filter(F.col("doc_id") >= 100000)
+        .join(corpus_banded.distinct(), ["band", "sig"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_hit", F.lit(True))
+    )
+    return exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("exact_hit"), F.lit(False)).alias("is_exact_dup"),
+        F.coalesce(F.col("near_hit"), F.lit(False)).alias("is_near_dup"),
+        (
+            F.coalesce(F.col("exact_hit"), F.lit(False)) | F.coalesce(F.col("near_hit"), F.lit(False))
+        ).eqNullSafe(F.lit(False)).alias("kept"),
     )

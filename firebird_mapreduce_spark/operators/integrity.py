@@ -1,0 +1,126 @@
+"""Data-integrity operators: order- and partition-independent table
+fingerprints for cross-system replication validation.
+
+The 100 TB problem: after a migration, a backfill, or a replicated ingest,
+"are these two copies of the table identical?" cannot be answered by
+sorting and diffing (a global sort of 100 TB just to compare it is its own
+job), and row counts alone miss silent corruption.  The standard answer is
+a **commutative content checksum**: hash every row to a fixed-width
+integer, SUM the hashes.  Addition is commutative and associative, so the
+fingerprint is independent of row order, partitioning, and parallelism —
+two engines (or two clusters) can each compute it with one embarrassingly
+parallel pass plus an O(1) reduce, and equal fingerprints mean equal
+multisets of rows (up to hash collisions: with 60-bit hashes and sum
+width DECIMAL(38,0), a billion-row table's collision-induced false-match
+probability is ~2⁻³⁰ per differing row pair — and unlike XOR, SUM also
+catches duplicated/dropped row *pairs*).
+
+Portability is the point, so the row hash must be engine-neutral:
+md5 over an explicitly canonicalized row string (every column rendered by
+a stated rule — integers as decimal text, monetary doubles as exact cents,
+timestamps as wall-clock seconds, NULL as a sentinel distinct from the
+empty string), then the first 15 hex chars parsed as a 60-bit integer.
+Spark spells the parse ``conv(substring(md5(s),1,15),16,10)``; DuckDB
+spells it ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``; both are the
+same big-endian hex value, which is what makes the fingerprint a true
+cross-engine contract (the DuckDB oracle IS the second system).
+
+Reference parity: the reference engine has no integrity surface; this is
+infrastructure the reference's users need the moment its output tables are
+replicated (SURVEY §2 north-star extensions — pipeline operations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# Canonical rendering rules, shared (by construction, tested by the oracle
+# twin) with the SQL spelling in __spark_entry__.py:
+#   ints      -> decimal text (CAST AS STRING)
+#   2-dp money doubles -> exact integer cents: CAST(round(x*100) AS BIGINT)
+#   timestamps -> 'yyyy-MM-dd HH:mm:ss' wall clock
+#   NULL      -> '<NULL>' sentinel (concat_ws would silently skip NULLs,
+#                colliding ('a', NULL) with ('a',''))
+_NULL = "<NULL>"
+
+
+def _canon(col: Column) -> Column:
+    return F.coalesce(col.cast("string"), F.lit(_NULL))
+
+
+def _cents(col: Column) -> Column:
+    return _canon(F.round(col * 100).cast("bigint"))
+
+
+def _row_fingerprint(row_str: Column) -> Column:
+    """60-bit big-endian integer from the md5 of the canonical row string,
+    as DECIMAL(38,0) so a 10¹²-row SUM cannot overflow (10¹² · 2⁶⁰ ≈ 10³⁰)."""
+    return F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+
+
+def _table_fp(df: DataFrame, name: str, cols: list[Column]) -> DataFrame:
+    row_str = F.concat_ws("|", *cols)
+    # the checksum leaves as TEXT: a 38-digit DECIMAL exceeds int64, and a
+    # checksum's whole job is to cross system boundaries losslessly — any
+    # consumer that would coerce it to a float64 corrupts it silently
+    return df.agg(
+        F.lit(name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_row_fingerprint(row_str)).cast("string").alias("fingerprint"),
+    )
+
+
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One commutative content checksum per table (nation, customer,
+    orders): ``(table_name, n_rows, fingerprint)``.
+
+    Plan shape: three independent scans, each a map-side partial SUM/COUNT
+    merged by a single-row final aggregate — no shuffle wider than one row
+    per table, no sort, no collect.  Partition-count invariance (1 vs 13
+    partitions, byte-identical) and single-row-tamper detection are pinned
+    in tests/test_integrity.py; the DuckDB oracle recomputes the identical
+    canonicalization in SQL, so a hash match here is literally the
+    cross-engine replication check succeeding.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    fps = [
+        _table_fp(
+            nation,
+            "nation",
+            [_canon(F.col(c)) for c in ("n_nationkey", "n_name", "n_regionkey")],
+        ),
+        _table_fp(
+            customer,
+            "customer",
+            [
+                _canon(F.col("c_custkey")),
+                _canon(F.col("c_name")),
+                _canon(F.col("c_nationkey")),
+                _cents(F.col("c_acctbal")),
+                _canon(F.col("c_mktsegment")),
+            ],
+        ),
+        _table_fp(
+            orders,
+            "orders",
+            [
+                _canon(F.col("o_orderkey")),
+                _canon(F.col("o_custkey")),
+                _canon(F.col("o_orderstatus")),
+                _cents(F.col("o_totalprice")),
+                _canon(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+                _canon(F.col("o_orderpriority")),
+            ],
+        ),
+    ]
+    out = fps[0]
+    for fp in fps[1:]:
+        out = out.unionByName(fp)
+    return out

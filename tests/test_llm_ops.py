@@ -642,3 +642,85 @@ def test_dedup_then_split_cures_leakage(spark):
     assert leaked_after < leaked_before
     # survivors are a subset of the corpus' test docs
     assert len(after) <= len(before)
+
+
+def _write_docs_corpus(tmp_path, texts):
+    """Minimal sf_dir with a documents.parquet for crafted-corpus tests —
+    the production load_table path reads it like the driver's testdata."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    return sf_dir
+
+
+def test_dedup_paragraphs_boundary_cases(spark, tmp_path):
+    """Crafted chunk-boundary semantics for the paragraph-level dedup:
+    - a near copy whose 3 dropped tokens fall EXACTLY on a chunk boundary
+      (len % 20 == 3) keeps nothing — every surviving chunk aligns;
+    - a near copy whose truncation lands mid-chunk keeps only its
+      shortened tail chunk;
+    - boilerplate (one chunk shared by two DISTINCT docs) survives only in
+      the lower-doc_id document — the global first-occurrence rule;
+    - exact copies keep nothing; no document row vanishes from the report.
+    """
+    w = lambda a, b: " ".join(f"w{i}" for i in range(a, b))
+    texts = [
+        w(0, 43),            # doc 0: chunks [0:20],[20:40],[40:43]
+        w(100, 125),         # doc 1: chunks [100:120],[120:125]
+        w(100, 120) + " " + w(300, 310),  # doc 2: chunk0 == doc 1's chunk0
+    ]
+    sf_dir = _write_docs_corpus(tmp_path, texts)
+    out = {
+        r["doc_id"]: r
+        for r in D.dedup_paragraphs(spark, sf_dir).collect()
+    }
+    # every augmented doc is reported (3 originals + 3 near + 3 exact)
+    assert len(out) == 9
+    # originals: doc 0 and doc 1 keep everything
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (3, 3)
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    # doc 2 loses the boilerplate chunk to doc 1 (first occurrence),
+    # keeps its distinct tail
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["kept_text"] == w(300, 310)
+    # near copy of doc 0: 40 tokens = 2 chunks, both align with doc 0
+    assert (out[100000]["n_chunks"], out[100000]["n_kept"]) == (2, 0)
+    assert out[100000]["kept_text"] == ""
+    # near copy of doc 1: 22 tokens — chunk0 aligns, truncated tail differs
+    assert (out[100001]["n_chunks"], out[100001]["n_kept"]) == (2, 1)
+    assert out[100001]["kept_text"] == w(120, 122)
+    # exact copies keep nothing
+    for i in (200000, 200001, 200002):
+        assert out[i]["n_kept"] == 0 and out[i]["kept_text"] == ""
+
+
+def test_dedup_incremental_dispositions(spark):
+    """Every planted exact copy is flagged exact (and therefore near);
+    near copies are caught by the LSH band screen; `kept` is exactly the
+    complement of the two screens; and the smoke corpus exercises all
+    three disposition classes (exact, near-only, kept)."""
+    rows = D.dedup_incremental(spark, SF_SMOKE).collect()
+    n_docs = (
+        D.augmented_documents(spark, SF_SMOKE)
+        .filter(F.col("doc_id") < 100000)
+        .count()
+    )
+    assert len(rows) == 2 * n_docs  # one disposition per new-batch doc
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert r["kept"] == (not r["is_exact_dup"] and not r["is_near_dup"])
+        if r["is_exact_dup"]:
+            # identical text => identical signature => every band collides
+            assert r["is_near_dup"]
+    # planted exact copies are all exact dups
+    assert all(
+        by_id[i + 200000]["is_exact_dup"] for i in range(n_docs)
+    )
+    assert any(
+        r["is_near_dup"] and not r["is_exact_dup"] for r in rows
+    ), "no near-only disposition — the LSH screen is vacuous"
+    assert any(r["kept"] for r in rows), "no survivor — the batch screen is vacuous"

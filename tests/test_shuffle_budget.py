@@ -45,6 +45,14 @@ BUDGETS = {
     # returned plan: broadcast candidate join + exact recount groupBy;
     # the MG candidate pass itself is a zero-shuffle mapInPandas job
     "heavy_hitters_tokens": 1,
+    # first-occurrence window + reassembly groupBy; the report join
+    # broadcasts at tiny SF (at scale it reuses the doc_id partitioning)
+    "dedup_paragraphs": 2,
+    # band-membership join + distinct + hash-membership join
+    "dedup_incremental": 3,
+    # three scan-reduce partial aggregates, single-row outputs — the
+    # whole point: a 100 TB replication check with no shuffle at all
+    "table_fingerprint": 0,
     "dedup_ngram_jaccard": 9,
     "embedding_knn": 0,
     "embedding_neardup_topk": 1,
