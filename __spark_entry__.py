@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: commutative content checksum per table — the cross-engine
         # replication validation surface (order/partition independent)
         "table_fingerprint": IG.table_fingerprint,
+        # r5: keyed snapshot diff — WHERE two table versions differ
+        # (inserted / deleted / changed), the fingerprint's companion
+        "snapshot_diff": IG.snapshot_diff,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -376,6 +379,7 @@ _PENDING_NEXT_WINDOW = [
     "dedup_paragraphs",
     "dedup_incremental",
     "table_fingerprint",
+    "snapshot_diff",
 ]
 
 
@@ -409,6 +413,49 @@ def _lang_id_chargram_sql() -> str:
                          ELSE 0 END AS DOUBLE) AS score
         FROM s
     """
+
+
+# Canonical row rendering for the integrity oracles (table_fingerprint,
+# snapshot_diff) — the SQL mirror of operators/integrity.py's rules: one
+# helper so the two oracles (and any future one) cannot drift on what
+# "the same row" means.
+def _canon_sql(*cols: str) -> str:
+    """'|'-joined NULL-sentineled canonical string of pre-rendered VARCHAR
+    column expressions."""
+    return " || '|' || ".join(f"coalesce({c}, '<NULL>')" for c in cols)
+
+
+def _int_sql(c: str) -> str:
+    return f"CAST({c} AS VARCHAR)"
+
+
+def _cents_sql(c: str) -> str:
+    return f"CAST(CAST(round({c} * 100) AS BIGINT) AS VARCHAR)"
+
+
+def _ts_sql(c: str) -> str:
+    return f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
+
+
+def _fp_sql(table: str, canon: str) -> str:
+    """One fingerprint CTE body: COUNT + commutative 60-bit md5 SUM,
+    shipped as VARCHAR (38 digits exceed int64)."""
+    return f"""
+                SELECT '{table}' AS table_name,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CAST(CAST('0x' || substr(md5(
+                           {canon}
+                       ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
+                FROM {table}"""
+
+
+_ORDERS_CONTENT_CANON = _canon_sql(
+    _int_sql("o_custkey"),
+    "o_orderstatus",
+    _cents_sql("o_totalprice"),
+    _ts_sql("o_orderdate"),
+    "o_orderpriority",
+)
 
 
 # MinHash-LSH signature/banding CTE chain, shared verbatim by the
@@ -1714,40 +1761,42 @@ def oracle_sql() -> dict[str, str]:
         # hex chars as a 60-bit integer, SUMmed — order/partition
         # independent, so the DuckDB run IS the second replica being
         # validated against the Spark run
-        "table_fingerprint": """
-            WITH n AS (
-                SELECT 'nation' AS table_name,
-                       CAST(count(*) AS BIGINT) AS n_rows,
-                       CAST(SUM(CAST(CAST('0x' || substr(md5(
-                           coalesce(CAST(n_nationkey AS VARCHAR), '<NULL>')
-                           || '|' || coalesce(n_name, '<NULL>')
-                           || '|' || coalesce(CAST(n_regionkey AS VARCHAR), '<NULL>')
-                       ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
-                FROM nation),
-            c AS (
-                SELECT 'customer' AS table_name,
-                       CAST(count(*) AS BIGINT) AS n_rows,
-                       CAST(SUM(CAST(CAST('0x' || substr(md5(
-                           coalesce(CAST(c_custkey AS VARCHAR), '<NULL>')
-                           || '|' || coalesce(c_name, '<NULL>')
-                           || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>')
-                           || '|' || coalesce(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR), '<NULL>')
-                           || '|' || coalesce(c_mktsegment, '<NULL>')
-                       ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
-                FROM customer),
-            o AS (
-                SELECT 'orders' AS table_name,
-                       CAST(count(*) AS BIGINT) AS n_rows,
-                       CAST(SUM(CAST(CAST('0x' || substr(md5(
-                           coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>')
-                           || '|' || coalesce(CAST(o_custkey AS VARCHAR), '<NULL>')
-                           || '|' || coalesce(o_orderstatus, '<NULL>')
-                           || '|' || coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '<NULL>')
-                           || '|' || coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '<NULL>')
-                           || '|' || coalesce(o_orderpriority, '<NULL>')
-                       ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
-                FROM orders)
+        "table_fingerprint": f"""
+            WITH n AS ({_fp_sql("nation", _canon_sql(
+                _int_sql("n_nationkey"), "n_name", _int_sql("n_regionkey")))}),
+            c AS ({_fp_sql("customer", _canon_sql(
+                _int_sql("c_custkey"), "c_name", _int_sql("c_nationkey"),
+                _cents_sql("c_acctbal"), "c_mktsegment"))}),
+            o AS ({_fp_sql("orders", _canon_sql(
+                _int_sql("o_orderkey")) + " || '|' || " + _ORDERS_CONTENT_CANON)})
             SELECT * FROM n UNION ALL SELECT * FROM c UNION ALL SELECT * FROM o
+        """,
+        # keyed snapshot diff: snapshot B's mutation recipe (delete mod 97,
+        # reprice mod 101, re-insert mod 103 under key+10M) is planted in
+        # the query and mirrored verbatim here; content identity is the
+        # SAME canonicalization as the fingerprint (shared helper)
+        "snapshot_diff": f"""
+            WITH b AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 101 = 0
+                            THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 103 = 0),
+            ah AS (SELECT o_orderkey AS k,
+                          md5({_ORDERS_CONTENT_CANON}) AS h FROM orders),
+            bh AS (SELECT o_orderkey AS k,
+                          md5({_ORDERS_CONTENT_CANON}) AS h FROM b)
+            SELECT coalesce(ah.k, bh.k) AS o_orderkey,
+                   CASE WHEN ah.k IS NULL THEN 'inserted'
+                        WHEN bh.k IS NULL THEN 'deleted'
+                        ELSE 'changed' END AS change_type
+            FROM ah FULL OUTER JOIN bh ON ah.k = bh.k
+            WHERE ah.k IS NULL OR bh.k IS NULL OR ah.h <> bh.h
         """,
         # TPC-H Q18 at threshold 250 (the spec's 300 is nearly empty on
         # this corpus); unique-orderkey tiebreak makes the cut stable

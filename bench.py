@@ -112,6 +112,8 @@ HEADLINE = [
     "dedup_incremental",
     # r5: commutative content checksum — zero-exchange scan-reduce
     "table_fingerprint",
+    # r5: keyed snapshot diff — one full-outer hash join on the key
+    "snapshot_diff",
     # codegen Morton-interleave projection (zero exchanges)
     "zorder_key_events",
     # one-pass per-column profiling report

@@ -124,3 +124,76 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fp in fps[1:]:
         out = out.unionByName(fp)
     return out
+
+
+def _orders_content_hash(df: DataFrame) -> Column:
+    """Canonical content hash of an orders row's NON-KEY columns — the
+    same rendering rules as ``table_fingerprint`` (the fingerprint and the
+    diff must agree on what "same row" means, so they share one
+    canonicalization)."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            _canon(F.col("o_custkey")),
+            _canon(F.col("o_orderstatus")),
+            _cents(F.col("o_totalprice")),
+            _canon(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+            _canon(F.col("o_orderpriority")),
+        )
+    )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff: WHERE two versions of a table differ — the
+    companion to ``table_fingerprint`` (the fingerprint answers *whether*
+    two replicas diverged in one zero-shuffle pass; when it fails, this
+    query localizes the divergence to rows).  Output: one
+    ``(o_orderkey, change_type)`` row per inserted / deleted / changed
+    key, unchanged rows filtered out before anything downstream.
+
+    Snapshot B is a deterministic mutation of orders, planted in the
+    query and mirrored verbatim in the oracle (the augmented-corpus
+    idiom of operators/dedup.py): keys ≡ 0 (mod 97) deleted, keys ≡ 0
+    (mod 101) repriced by +1.00, keys ≡ 0 (mod 103) re-inserted under
+    key+10,000,000 — so all three change classes are exercised at every
+    SF and a diff that misses a class shifts counts.
+
+    Plan shape: content hashes are map-side projections; the only wide
+    operation is ONE full-outer join on the key (both sides hash-
+    partitioned on o_orderkey).  Change detection compares the 32-hex
+    content hash, not W columns — the join carries 2 columns per side
+    regardless of table width.  At 100 TB both snapshots live bucketed
+    by key (``ensure_bucketed_table``, the `dedup_exact_bucketed`
+    machinery), making the daily diff zero-exchange; output is
+    proportional to the CHANGE SET, not the table.
+    """
+    a = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    b = (
+        a.filter(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 101 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            a.filter(key % 103 == 0).withColumn(
+                "o_orderkey", key + 10_000_000
+            )
+        )
+    )
+    ah = a.select(key.alias("k"), _orders_content_hash(a).alias("ha"))
+    bh = b.select(key.alias("k"), _orders_content_hash(b).alias("hb"))
+    j = ah.join(bh, "k", "full_outer")
+    return (
+        j.select(
+            F.col("k").alias("o_orderkey"),
+            F.when(F.col("ha").isNull(), F.lit("inserted"))
+            .when(F.col("hb").isNull(), F.lit("deleted"))
+            .when(F.col("ha") != F.col("hb"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )

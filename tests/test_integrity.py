@@ -71,3 +71,30 @@ def test_table_fingerprint_query_shape(spark):
         assert row["n_rows"] > 0
         # exact decimal digits, no float drift, no scientific notation
         assert row["fingerprint"].isdigit()
+
+
+def test_snapshot_diff_matches_independent_expectation(spark):
+    """The diff's change set recomputed INDEPENDENTLY in pandas from the
+    raw parquet (set arithmetic on keys, no joins, no hashing): deleted =
+    keys ≡0 (mod 97); changed = surviving keys ≡0 (mod 101) — a +1.00
+    reprice must always change the content hash; inserted = keys ≡0
+    (mod 103) shifted by 10M.  Also pins that unchanged rows never leak
+    into the report."""
+    import pandas as pd
+
+    from firebird_mapreduce_spark.operators.integrity import snapshot_diff
+
+    keys = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")["o_orderkey"]
+    expected = {
+        (int(k), "deleted") for k in keys if k % 97 == 0
+    } | {
+        (int(k), "changed") for k in keys if k % 97 != 0 and k % 101 == 0
+    } | {
+        (int(k) + 10_000_000, "inserted") for k in keys if k % 103 == 0
+    }
+    got = {
+        (r["o_orderkey"], r["change_type"])
+        for r in snapshot_diff(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert {t for _, t in got} == {"deleted", "changed", "inserted"}

@@ -53,6 +53,9 @@ BUDGETS = {
     # three scan-reduce partial aggregates, single-row outputs — the
     # whole point: a 100 TB replication check with no shuffle at all
     "table_fingerprint": 0,
+    # both snapshots hash-partitioned on the key for ONE full-outer
+    # join; content hashes are map-side 32-hex projections
+    "snapshot_diff": 2,
     "dedup_ngram_jaccard": 9,
     "embedding_knn": 0,
     "embedding_neardup_topk": 1,

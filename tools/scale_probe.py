@@ -181,6 +181,59 @@ def shapes(spark):
         )
         return p.groupBy().agg(F.count(F.lit(1)).alias("converted"))
 
+    def fingerprint_sum(n):
+        # r5 table_fingerprint shape: canonical concat → md5 → 60-bit hex
+        # parse → DECIMAL(38,0) partial SUM, merged to one row — the
+        # zero-shuffle scan-reduce replication check
+        rows = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1000).alias("v"),
+            F.concat(F.lit("name-"), (F.col("id") % 97).cast("string")).alias(
+                "s"
+            ),
+        )
+        row_str = F.concat_ws(
+            "|",
+            F.col("k").cast("string"),
+            F.col("v").cast("string"),
+            F.col("s"),
+        )
+        fp = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast(
+            "decimal(38,0)"
+        )
+        return rows.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(fp).cast("string").alias("fingerprint"),
+        )
+
+    def paragraph_dedup(n):
+        # r5 dedup_paragraphs core (post-chunking): n chunk rows, 5 chunks
+        # per doc, 50% of chunk CONTENT duplicated corpus-wide — the
+        # first-occurrence window + per-doc reassembly groupBy
+        from pyspark.sql import Window
+
+        chunks = spark.range(n).select(
+            (F.col("id") / 5).cast("long").alias("doc_id"),
+            (F.col("id") % 5).cast("int").alias("chunk_idx"),
+            F.md5((F.col("id") % (n // 2)).cast("string")).alias("chunk"),
+        )
+        w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+        kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        return kept.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+
     return {
         "agg_100keys": agg,
         "shuffle_join": shuffle_join,
@@ -192,6 +245,8 @@ def shapes(spark):
         "profile_columns": profile_columns,
         "session_window": session_window,
         "funnel_stages": funnel_stages,
+        "fingerprint_sum": fingerprint_sum,
+        "paragraph_dedup": paragraph_dedup,
     }
 
 
@@ -203,7 +258,10 @@ def main() -> None:
     spark.range(10_000_000).groupBy((F.col("id") % 10)).count().write.mode(
         "overwrite"
     ).format("noop").save()
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     for name, fn in shapes(spark).items():
+        if only and name not in only:
+            continue
         for n in sizes:
             start = time.perf_counter()
             fn(n).write.mode("overwrite").format("noop").save()
