@@ -1772,7 +1772,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM n UNION ALL SELECT * FROM c UNION ALL SELECT * FROM o
         """,
         # keyed snapshot diff: snapshot B's mutation recipe (delete mod 97,
-        # reprice mod 101, re-insert mod 103 under key+10M) is planted in
+        # reprice mod 101, re-insert mod 103 under the collision-free
+        # negative key namespace -(key+1)) is planted in
         # the query and mirrored verbatim here; content identity is the
         # SAME canonicalization as the fingerprint (shared helper)
         "snapshot_diff": f"""
@@ -1784,7 +1785,7 @@ def oracle_sql() -> dict[str, str]:
                        o_orderdate, o_orderpriority
                 FROM orders WHERE o_orderkey % 97 <> 0
                 UNION ALL
-                SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                SELECT -(o_orderkey + 1), o_custkey, o_orderstatus,
                        o_totalprice, o_orderdate, o_orderpriority
                 FROM orders WHERE o_orderkey % 103 = 0),
             ah AS (SELECT o_orderkey AS k,

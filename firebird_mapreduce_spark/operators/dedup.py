@@ -552,21 +552,25 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation funnel uses).
 
     Scale shape: chunking is a pure codegen projection (sequence/slice
-    lambdas — no shuffle, no Python); first-occurrence is ONE row_number
-    window partitioned by the chunk's md5 (partitions are duplicate
-    groups — tiny by construction, so no skew even at 100 TB: a chunk
-    repeated a million times is exactly the boilerplate the operator
-    exists to delete, and its window partition holds only those rows);
-    reassembly is one groupBy(doc_id) whose collect_list is bounded by
-    document size.  No all-pairs anything.
+    lambdas — no shuffle, no Python); first-occurrence is ONE
+    ``groupBy(md5(chunk)).agg(min(struct(doc_id, chunk_idx, chunk)))`` —
+    a partial-aggregable min, so every mapper collapses its occurrences
+    of a chunk to ONE row before the shuffle and a boilerplate paragraph
+    repeated a billion times (exactly the content this operator exists
+    to delete) ships one row per map task, not 10⁹ rows to one reducer.
+    The min carries the chunk text through the struct (same hash ⇒ same
+    chunk), so NO join-back is needed — the aggregate's output rows ARE
+    the surviving occurrences.  (A row_number-window spelling is the
+    obvious alternative and is wrong at scale: windows cannot partially
+    aggregate, so the hot chunk's full occurrence list lands on a single
+    task.)  Reassembly is one groupBy(doc_id) whose collect_list is
+    bounded by document size.  No all-pairs anything.
 
     Reference parity: the reference has no sub-document operator; this is
     the north-star extension applied at paragraph granularity (SURVEY §2
     extensions; Rae et al., "Scaling Language Models: ... Gopher",
     §A.2 repetition/dedup pipeline).
     """
-    from pyspark.sql.window import Window
-
     chunk = 20
     docs = augmented_documents(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
@@ -584,12 +588,11 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = chunked.select(
         "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
     )
-    first_occurrence = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
-        "doc_id", "chunk_idx"
+    kept = (
+        exploded.groupBy(F.md5("chunk").alias("h"))
+        .agg(F.min(F.struct("doc_id", "chunk_idx", "chunk")).alias("first"))
+        .select("first.doc_id", "first.chunk_idx", "first.chunk")
     )
-    kept = exploded.withColumn(
-        "rn", F.row_number().over(first_occurrence)
-    ).filter(F.col("rn") == 1)
     reassembled = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -668,11 +671,11 @@ def dedup_incremental(
         .distinct()
         .withColumn("near_hit", F.lit(True))
     )
+    exact_dup = F.coalesce(F.col("exact_hit"), F.lit(False))
+    near_dup = F.coalesce(F.col("near_hit"), F.lit(False))
     return exact.join(near, "doc_id", "left").select(
         "doc_id",
-        F.coalesce(F.col("exact_hit"), F.lit(False)).alias("is_exact_dup"),
-        F.coalesce(F.col("near_hit"), F.lit(False)).alias("is_near_dup"),
-        (
-            F.coalesce(F.col("exact_hit"), F.lit(False)) | F.coalesce(F.col("near_hit"), F.lit(False))
-        ).eqNullSafe(F.lit(False)).alias("kept"),
+        exact_dup.alias("is_exact_dup"),
+        near_dup.alias("is_near_dup"),
+        (~(exact_dup | near_dup)).alias("kept"),
     )

@@ -155,8 +155,11 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     query and mirrored verbatim in the oracle (the augmented-corpus
     idiom of operators/dedup.py): keys ≡ 0 (mod 97) deleted, keys ≡ 0
     (mod 101) repriced by +1.00, keys ≡ 0 (mod 103) re-inserted under
-    key+10,000,000 — so all three change classes are exercised at every
-    SF and a diff that misses a class shifts counts.
+    -(key+1) — the negative key namespace is collision-free against the
+    non-negative TPC-H keys at ANY table size (a fixed additive offset
+    would silently collide once max(key) crosses it) — so all three
+    change classes are exercised at every SF and a diff that misses a
+    class shifts counts.
 
     Plan shape: content hashes are map-side projections; the only wide
     operation is ONE full-outer join on the key (both sides hash-
@@ -178,9 +181,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .unionByName(
-            a.filter(key % 103 == 0).withColumn(
-                "o_orderkey", key + 10_000_000
-            )
+            a.filter(key % 103 == 0).withColumn("o_orderkey", -(key + 1))
         )
     )
     ah = a.select(key.alias("k"), _orders_content_hash(a).alias("ha"))

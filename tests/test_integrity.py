@@ -78,8 +78,8 @@ def test_snapshot_diff_matches_independent_expectation(spark):
     raw parquet (set arithmetic on keys, no joins, no hashing): deleted =
     keys ≡0 (mod 97); changed = surviving keys ≡0 (mod 101) — a +1.00
     reprice must always change the content hash; inserted = keys ≡0
-    (mod 103) shifted by 10M.  Also pins that unchanged rows never leak
-    into the report."""
+    (mod 103) re-keyed into the negative namespace.  Also pins that
+    unchanged rows never leak into the report."""
     import pandas as pd
 
     from firebird_mapreduce_spark.operators.integrity import snapshot_diff
@@ -90,7 +90,7 @@ def test_snapshot_diff_matches_independent_expectation(spark):
     } | {
         (int(k), "changed") for k in keys if k % 97 != 0 and k % 101 == 0
     } | {
-        (int(k) + 10_000_000, "inserted") for k in keys if k % 103 == 0
+        (-(int(k) + 1), "inserted") for k in keys if k % 103 == 0
     }
     got = {
         (r["o_orderkey"], r["change_type"])

@@ -209,17 +209,18 @@ def shapes(spark):
     def paragraph_dedup(n):
         # r5 dedup_paragraphs core (post-chunking): n chunk rows, 5 chunks
         # per doc, 50% of chunk CONTENT duplicated corpus-wide — the
-        # first-occurrence window + per-doc reassembly groupBy
-        from pyspark.sql import Window
-
+        # partial-agg first-occurrence min + per-doc reassembly groupBy
         chunks = spark.range(n).select(
             (F.col("id") / 5).cast("long").alias("doc_id"),
             (F.col("id") % 5).cast("int").alias("chunk_idx"),
             F.md5((F.col("id") % (n // 2)).cast("string")).alias("chunk"),
         )
-        w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-        kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
+        kept = (
+            chunks.groupBy(F.md5("chunk").alias("h"))
+            .agg(
+                F.min(F.struct("doc_id", "chunk_idx", "chunk")).alias("first")
+            )
+            .select("first.doc_id", "first.chunk_idx", "first.chunk")
         )
         return kept.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_kept"),
