@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: new-batch-vs-corpus incremental dedup (exact-hash screen +
         # LSH band membership probe — the daily-ingest production shape)
         "dedup_incremental": D.dedup_incremental,
+        # r5: same screens over corpus-side state materialized as
+        # bucketed tables — per-ingest cost O(batch), corpus shuffle-free
+        "dedup_incremental_bucketed": D.dedup_incremental_bucketed,
         # r5: commutative content checksum per table — the cross-engine
         # replication validation surface (order/partition independent)
         "table_fingerprint": IG.table_fingerprint,
@@ -380,6 +383,7 @@ _PENDING_NEXT_WINDOW = [
     "dedup_incremental",
     "table_fingerprint",
     "snapshot_diff",
+    "dedup_incremental_bucketed",
 ]
 
 
@@ -1968,6 +1972,30 @@ def oracle_sql() -> dict[str, str]:
         # plus any-band LSH collision, the SAME banding CTEs as
         # dedup_minhash_lsh but joined corpus-vs-batch instead of self
         "dedup_incremental": f"""
+            WITH {_MINHASH_CTES.format(docs=D.AUGMENTED_DOCS_SQL)},
+            corpus_banded AS (
+                SELECT DISTINCT b, bsig FROM banded WHERE doc_id < 100000),
+            near AS (
+                SELECT DISTINCT n.doc_id
+                FROM banded n JOIN corpus_banded c
+                  ON n.b = c.b AND n.bsig = c.bsig
+                WHERE n.doc_id >= 100000),
+            corpus_h AS (
+                SELECT DISTINCT md5(text) AS h FROM docs WHERE doc_id < 100000),
+            new_docs AS (
+                SELECT doc_id, md5(text) AS h FROM docs WHERE doc_id >= 100000)
+            SELECT nd.doc_id,
+                   (ch.h IS NOT NULL) AS is_exact_dup,
+                   (nr.doc_id IS NOT NULL) AS is_near_dup,
+                   (ch.h IS NULL AND nr.doc_id IS NULL) AS kept
+            FROM new_docs nd
+            LEFT JOIN corpus_h ch ON nd.h = ch.h
+            LEFT JOIN near nr ON nd.doc_id = nr.doc_id
+        """,
+        # identical semantics over the bucketed corpus-side layout — the
+        # oracle is the same statement (layout changes the plan, never
+        # the answer; same idiom as dedup_exact_bucketed)
+        "dedup_incremental_bucketed": f"""
             WITH {_MINHASH_CTES.format(docs=D.AUGMENTED_DOCS_SQL)},
             corpus_banded AS (
                 SELECT DISTINCT b, bsig FROM banded WHERE doc_id < 100000),

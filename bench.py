@@ -110,6 +110,9 @@ HEADLINE = [
     "dedup_paragraphs",
     # r5: new-batch-vs-corpus incremental dedup membership screens
     "dedup_incremental",
+    # r5: same screens over bucketed corpus-side state — the per-run
+    # array shows the one-time table write amortizing away
+    "dedup_incremental_bucketed",
     # r5: commutative content checksum — zero-exchange scan-reduce
     "table_fingerprint",
     # r5: keyed snapshot diff — one full-outer hash join on the key

@@ -671,6 +671,13 @@ def dedup_incremental(
         .distinct()
         .withColumn("near_hit", F.lit(True))
     )
+    return _disposition_report(exact, near)
+
+
+def _disposition_report(exact: DataFrame, near: DataFrame) -> DataFrame:
+    """Shared tail of the incremental-dedup spellings: fold the exact-hash
+    and LSH-band screens into one (doc_id, is_exact_dup, is_near_dup,
+    kept) report — kept is exactly the complement of the two screens."""
     exact_dup = F.coalesce(F.col("exact_hit"), F.lit(False))
     near_dup = F.coalesce(F.col("near_hit"), F.lit(False))
     return exact.join(near, "doc_id", "left").select(
@@ -679,3 +686,64 @@ def dedup_incremental(
         near_dup.alias("is_near_dup"),
         (~(exact_dup | near_dup)).alias("kept"),
     )
+
+
+def dedup_incremental_bucketed(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """``dedup_incremental`` with the corpus-side state MATERIALIZED the
+    way its docstring prescribes for 100 TB: the content-hash set and the
+    banded-signature table are written ONCE as bucketed+sorted warehouse
+    tables (``ensure_bucketed_table`` — idempotent via the corpus content
+    tag, the same pay-the-shuffle-once machinery as
+    ``dedup_exact_bucketed`` / ``bucketed_join_orders``), and each
+    ingest's screens consume them with NO corpus-side Exchange or Sort:
+    under the at-scale join strategy (broadcast off — a daily crawl is
+    not broadcastable) both membership probes plan as sort-merge joins
+    whose corpus side streams pre-bucketed, pre-sorted state, so the
+    only shuffles are on the BATCH side — per-ingest cost O(batch),
+    demonstrated, not asserted (plan pinned in tests/test_bucketing.py,
+    corpus-side-shuffle-free under autoBroadcastJoinThreshold=-1).
+
+    Signatures: the corpus's are computed once at table-build time and
+    amortized across ingests; only the batch's are computed per call —
+    per-document signatures are independent, so the output is
+    row-identical to ``dedup_incremental`` (same oracle: layout changes
+    the plan, never the answer).
+    """
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = augmented_documents(spark, sf_dir)
+    new_batch = aug.filter(F.col("doc_id") >= 100000)
+    tag = corpus_tag(sf_dir, "documents")
+
+    corpus_hashes = ensure_bucketed_table(
+        spark,
+        "corpus_hash_",
+        tag,
+        8,
+        ["h"],
+        lambda: docs.select(F.md5("text").alias("h")).distinct(),
+    )
+    corpus_bands = ensure_bucketed_table(
+        spark,
+        "corpus_bands_",
+        tag,
+        8,
+        ["band", "sig"],
+        lambda: banded_signatures(docs, k, bands)
+        .select("band", "sig")
+        .distinct(),
+    )
+    exact = new_batch.select(
+        "doc_id", F.md5("text").alias("h")
+    ).join(corpus_hashes.withColumn("exact_hit", F.lit(True)), "h", "left")
+    near = (
+        banded_signatures(new_batch, k, bands)
+        .join(corpus_bands, ["band", "sig"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_hit", F.lit(True))
+    )
+    return _disposition_report(exact, near)

@@ -153,3 +153,38 @@ def test_dedup_exact_bucketed_zero_exchange_matches_shuffle_spelling(spark):
     assert rows(out) == rows(dedup_exact_hash(spark, SF_SMOKE))
     # idempotence: second call reuses the warehouse table, still 0-exchange
     assert count_exchanges(dedup_exact_bucketed(spark, SF_SMOKE)) == 0
+
+
+def test_dedup_incremental_bucketed_corpus_side_shuffle_free(spark):
+    """The bucketed incremental-dedup variant must (a) equal the plain
+    spelling row-for-row (layout never changes the answer), and (b) under
+    the at-scale join strategy (broadcast off — a daily crawl is not
+    broadcastable) plan its membership probes over the PRE-BUCKETED
+    corpus tables: bucketed scans present, and strictly fewer exchanges
+    than the plain spelling under the same strategy — the corpus side's
+    shuffles are the ones that disappear."""
+    from firebird_mapreduce_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_bucketed,
+    )
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(dedup_incremental_bucketed(spark, SF_SMOKE)) == rows(
+        dedup_incremental(spark, SF_SMOKE)
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        bucketed = dedup_incremental_bucketed(spark, SF_SMOKE)
+        plain = dedup_incremental(spark, SF_SMOKE)
+        plan = plan_string(bucketed, "formatted")
+        assert "Bucketed: true" in plan, plan
+        nb, np_ = count_exchanges(bucketed), count_exchanges(plain)
+        assert nb < np_, f"bucketed={nb} plain={np_}\n{plan}"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
