@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: keyed snapshot diff — WHERE two table versions differ
         # (inserted / deleted / changed), the fingerprint's companion
         "snapshot_diff": IG.snapshot_diff,
+        # r5: continuously-maintained replication checksum — per-batch
+        # fingerprint deltas folded additively, O(1) validation state
+        "stream_table_fingerprint": SJ.stream_table_fingerprint_query,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -384,6 +387,7 @@ _PENDING_NEXT_WINDOW = [
     "table_fingerprint",
     "snapshot_diff",
     "dedup_incremental_bucketed",
+    "stream_table_fingerprint",
 ]
 
 
@@ -1802,6 +1806,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS change_type
             FROM ah FULL OUTER JOIN bh ON ah.k = bh.k
             WHERE ah.k IS NULL OR bh.k IS NULL OR ah.h <> bh.h
+        """,
+        # the continuously-maintained streaming checksum must equal the
+        # one-shot fingerprint of the whole table (additive SUM folded
+        # per micro-batch == SUM over all rows); canonicalization is the
+        # SQL mirror of integrity.events_row_fingerprint
+        "stream_table_fingerprint": f"""
+            WITH events_canon AS ({_fp_sql("events", _canon_sql(
+                _int_sql("event_id"),
+                "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')",
+                _int_sql("user_id"),
+                "event_type",
+                _int_sql("CAST(round(value * 1000000) AS BIGINT)"),
+                "props"))})
+            SELECT table_name, n_rows, fingerprint FROM events_canon
         """,
         # TPC-H Q18 at threshold 250 (the spec's 300 is nearly empty on
         # this corpus); unique-orderkey tiebreak makes the cut stable

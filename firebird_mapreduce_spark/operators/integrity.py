@@ -198,3 +198,29 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change_type") != "unchanged")
     )
+
+
+def events_row_fingerprint() -> Column:
+    """Canonical 60-bit row fingerprint of an ``events`` row — the same
+    rendering rules as ``table_fingerprint`` extended to this table's
+    types: timestamps carry their microseconds
+    (``yyyy-MM-dd HH:mm:ss.SSSSSS`` == DuckDB ``%Y-%m-%d %H:%M:%S.%f``,
+    rendering parity verified), and the free-precision DOUBLE ``value``
+    is canonicalized as exact micro-units — ``round(value * 1e6)`` is
+    bit-identical cross-engine because the IEEE multiply is the same
+    operation and both engines round half away from zero.
+
+    Lives here (not in streaming/) so batch and streaming consumers
+    share ONE definition of row identity — the property the incremental
+    checksum's oracle depends on."""
+    return _row_fingerprint(
+        F.concat_ws(
+            "|",
+            _canon(F.col("event_id")),
+            _canon(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+            _canon(F.col("user_id")),
+            _canon(F.col("event_type")),
+            _canon(F.round(F.col("value") * 1000000).cast("bigint")),
+            _canon(F.col("props")),
+        )
+    )

@@ -966,3 +966,71 @@ def stream_incremental_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, n_events long, sum_value double"
     )
+
+
+def stream_table_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: a CONTINUOUSLY MAINTAINED replication checksum —
+    the streaming composition of ``operators.integrity.table_fingerprint``
+    (commutative md5-sum content checksum) with the incremental-MV
+    machinery of ``stream_incremental_agg_query``.
+
+    Why it composes at all: the fingerprint is an algebraic SUM, so each
+    micro-batch's delta — ``(n_rows, Σ row_fingerprint)`` over just that
+    batch's rows — folds additively into O(1) stored state via
+    ``apply_additive_batch`` (batch-id dedupe: a sink retry double-adding
+    a delta would corrupt the checksum silently, so exactly-once is
+    correctness here).  After the 4-batch event-time replay the stored
+    pair must equal the one-shot fingerprint over the whole table, which
+    is exactly what the DuckDB oracle computes — at 100 TB/day this is
+    how a replication pipeline keeps a live checksum without ever
+    rescanning the table: per-batch cost O(batch), validation cost O(1).
+
+    Row identity comes from ``integrity.events_row_fingerprint`` — ONE
+    canonicalization shared by the batch fingerprint, this stream, and
+    both engines' oracles, so "same row" can never mean different things
+    on different paths."""
+    import shutil
+    import tempfile
+
+    from ..operators.integrity import events_row_fingerprint
+    from ..sources.versioned import VersionedParquetTable
+
+    base = tempfile.mkdtemp(prefix="fb_stream_fp_")
+    try:
+        table = VersionedParquetTable(
+            os.path.join(base, "fp"), key_cols=["table_name"]
+        )
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            delta = batch_df.agg(
+                F.lit("events").alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(events_row_fingerprint()).alias("fp"),
+            )
+            table.apply_additive_batch(delta, batch_id, ["n_rows", "fp"])
+
+        events = stream_events_multibatch(spark, sf_dir)
+        with _session_confs(
+            spark, {"spark.sql.legacy.parquet.nanosAsLong": "true"}
+        ):
+            q = (
+                events.writeStream.foreachBatch(apply)
+                .option("checkpointLocation", os.path.join(base, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        rows = (
+            table.read(spark)
+            .select(
+                "table_name",
+                "n_rows",
+                F.col("fp").cast("string").alias("fingerprint"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long, fingerprint string"
+    )

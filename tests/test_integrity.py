@@ -98,3 +98,31 @@ def test_snapshot_diff_matches_independent_expectation(spark):
     }
     assert got == expected
     assert {t for _, t in got} == {"deleted", "changed", "inserted"}
+
+
+def test_stream_fingerprint_equals_batch_scan(spark):
+    """The incrementally-maintained streaming checksum must equal the
+    one-shot batch scan using the SAME events_row_fingerprint — the
+    cross-path consistency the replication story rests on (a divergence
+    here would mean batch and streaming disagree on row identity)."""
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.operators.integrity import (
+        events_row_fingerprint,
+    )
+    from firebird_mapreduce_spark.sources import load_table
+    from firebird_mapreduce_spark.streaming.jobs import (
+        stream_table_fingerprint_query,
+    )
+
+    streamed = stream_table_fingerprint_query(spark, SF_SMOKE).collect()[0]
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(events_row_fingerprint()).cast("string").alias("fp"),
+        )
+        .collect()[0]
+    )
+    assert streamed["n_rows"] == batch["n_rows"] > 0
+    assert streamed["fingerprint"] == batch["fp"]
