@@ -697,13 +697,18 @@ def dedup_incremental_bucketed(
     tables (``ensure_bucketed_table`` — idempotent via the corpus content
     tag, the same pay-the-shuffle-once machinery as
     ``dedup_exact_bucketed`` / ``bucketed_join_orders``), and each
-    ingest's screens consume them with NO corpus-side Exchange or Sort:
-    under the at-scale join strategy (broadcast off — a daily crawl is
-    not broadcastable) both membership probes plan as sort-merge joins
-    whose corpus side streams pre-bucketed, pre-sorted state, so the
-    only shuffles are on the BATCH side — per-ingest cost O(batch),
-    demonstrated, not asserted (plan pinned in tests/test_bucketing.py,
-    corpus-side-shuffle-free under autoBroadcastJoinThreshold=-1).
+    ingest's screens consume them with NO corpus-side Exchange: under
+    the at-scale join strategy (broadcast off — a daily crawl is not
+    broadcastable) both membership probes plan as sort-merge joins whose
+    corpus side streams pre-bucketed state, so the only SHUFFLES are on
+    the batch side — per-ingest network cost O(batch), demonstrated,
+    not asserted (exchange count pinned exactly in
+    tests/test_bucketing.py under autoBroadcastJoinThreshold=-1: 4 for
+    this spelling — all batch-side — vs 6 for the plain one; the two
+    eliminated exchanges are precisely the corpus sides).  An
+    in-partition Sort on the corpus side remains — multi-file buckets
+    don't carry a global sort order — but a sort is task-local CPU, not
+    the cross-node traffic bucketing exists to kill.
 
     Signatures: the corpus's are computed once at table-build time and
     amortized across ingests; only the batch's are computed per call —
@@ -726,9 +731,12 @@ def dedup_incremental_bucketed(
         ["h"],
         lambda: docs.select(F.md5("text").alias("h")).distinct(),
     )
+    # the table prefix carries (k, bands): signatures built with one
+    # parameterization must never be probed by another — a stale-parameter
+    # reuse would make every band lookup miss and silently report kept=true
     corpus_bands = ensure_bucketed_table(
         spark,
-        "corpus_bands_",
+        f"corpus_bands_{k}x{bands}_",
         tag,
         8,
         ["band", "sig"],

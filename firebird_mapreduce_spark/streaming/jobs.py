@@ -899,115 +899,44 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
-def stream_incremental_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query: incremental materialized-view maintenance.  The
-    4-batch event replay pre-aggregates each micro-batch (count +
-    DECIMAL-exact value sum per event_type) and folds the delta into a
-    versioned aggregate table via ``apply_additive_batch`` — so after
-    the replay the stored aggregate must equal the one-shot batch
-    aggregate over the whole corpus, which is exactly what the DuckDB
-    oracle computes.  This is the streaming recipe that keeps a
-    dashboard/feature table fresh at 100 TB/day: per-batch state is
-    aggregate-sized (one row per key), every refresh is a snapshot
-    commit (time travel for free), and the batch-id log makes sink
-    retries no-ops — an additive double-apply would corrupt totals
-    silently, so exactly-once here is correctness, not hygiene.
+def _additive_mv_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    prefix: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    delta_fn,
+    select_fn,
+    schema: str,
+) -> DataFrame:
+    """Shared harness of the additive materialized-view queries
+    (``stream_incremental_agg_query``, ``stream_table_fingerprint_query``):
+    replay the 4-batch event stream, fold ``delta_fn(batch_df)`` — a
+    PRE-AGGREGATED one-row-per-key delta — into a versioned table via
+    ``apply_additive_batch`` (batch-id dedupe: a retried additive delta
+    would silently corrupt totals), then return ``select_fn`` over the
+    stored state as a local DataFrame.
 
     The versioned table lives in a scratch directory for the replay
-    only: the final aggregate is VIEW-sized, so it is collected and
-    returned as a local DataFrame and the scratch dir (snapshots +
-    checkpoint) is removed — a declared query must not leak disk per
-    invocation."""
+    only: the final state is VIEW-sized, so it is collected and the
+    scratch dir (snapshots + checkpoint) removed — a declared query must
+    not leak disk per invocation.  One harness, two queries: a fix to
+    the conf handling, checkpointing, or cleanup applies to both by
+    construction."""
     import shutil
     import tempfile
 
     from ..sources.versioned import VersionedParquetTable
 
-    base = tempfile.mkdtemp(prefix="fb_incr_agg_")
+    base = tempfile.mkdtemp(prefix=prefix)
     try:
         table = VersionedParquetTable(
-            os.path.join(base, "agg"), key_cols=["event_type"]
+            os.path.join(base, "state"), key_cols=key_cols
         )
 
         def apply(batch_df: DataFrame, batch_id: int) -> None:
-            delta = batch_df.groupBy("event_type").agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,2)")).alias(
-                    "_sum_value"
-                ),
-            )
-            table.apply_additive_batch(
-                delta, batch_id, ["n_events", "_sum_value"]
-            )
-
-        events = stream_events_multibatch(spark, sf_dir)
-        with _session_confs(
-            spark, {"spark.sql.legacy.parquet.nanosAsLong": "true"}
-        ):
-            q = (
-                events.select("event_type", "value")
-                .writeStream.foreachBatch(apply)
-                .option("checkpointLocation", os.path.join(base, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        rows = (
-            table.read(spark)
-            .select(
-                "event_type",
-                "n_events",
-                F.col("_sum_value").cast("double").alias("sum_value"),
-            )
-            .collect()
-        )
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "event_type string, n_events long, sum_value double"
-    )
-
-
-def stream_table_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query: a CONTINUOUSLY MAINTAINED replication checksum —
-    the streaming composition of ``operators.integrity.table_fingerprint``
-    (commutative md5-sum content checksum) with the incremental-MV
-    machinery of ``stream_incremental_agg_query``.
-
-    Why it composes at all: the fingerprint is an algebraic SUM, so each
-    micro-batch's delta — ``(n_rows, Σ row_fingerprint)`` over just that
-    batch's rows — folds additively into O(1) stored state via
-    ``apply_additive_batch`` (batch-id dedupe: a sink retry double-adding
-    a delta would corrupt the checksum silently, so exactly-once is
-    correctness here).  After the 4-batch event-time replay the stored
-    pair must equal the one-shot fingerprint over the whole table, which
-    is exactly what the DuckDB oracle computes — at 100 TB/day this is
-    how a replication pipeline keeps a live checksum without ever
-    rescanning the table: per-batch cost O(batch), validation cost O(1).
-
-    Row identity comes from ``integrity.events_row_fingerprint`` — ONE
-    canonicalization shared by the batch fingerprint, this stream, and
-    both engines' oracles, so "same row" can never mean different things
-    on different paths."""
-    import shutil
-    import tempfile
-
-    from ..operators.integrity import events_row_fingerprint
-    from ..sources.versioned import VersionedParquetTable
-
-    base = tempfile.mkdtemp(prefix="fb_stream_fp_")
-    try:
-        table = VersionedParquetTable(
-            os.path.join(base, "fp"), key_cols=["table_name"]
-        )
-
-        def apply(batch_df: DataFrame, batch_id: int) -> None:
-            delta = batch_df.agg(
-                F.lit("events").alias("table_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(events_row_fingerprint()).alias("fp"),
-            )
-            table.apply_additive_batch(delta, batch_id, ["n_rows", "fp"])
+            table.apply_additive_batch(delta_fn(batch_df), batch_id, sum_cols)
 
         events = stream_events_multibatch(spark, sf_dir)
         with _session_confs(
@@ -1020,17 +949,82 @@ def stream_table_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFram
                 .start()
             )
             q.awaitTermination()
-        rows = (
-            table.read(spark)
-            .select(
-                "table_name",
-                "n_rows",
-                F.col("fp").cast("string").alias("fingerprint"),
-            )
-            .collect()
-        )
+        rows = select_fn(table.read(spark)).collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "table_name string, n_rows long, fingerprint string"
+    return spark.createDataFrame(rows, schema)
+
+
+def stream_incremental_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: incremental materialized-view maintenance.  The
+    4-batch event replay pre-aggregates each micro-batch (count +
+    DECIMAL-exact value sum per event_type) and folds the delta into a
+    versioned aggregate table via ``apply_additive_batch`` — so after
+    the replay the stored aggregate must equal the one-shot batch
+    aggregate over the whole corpus, which is exactly what the DuckDB
+    oracle computes.  This is the streaming recipe that keeps a
+    dashboard/feature table fresh at 100 TB/day: per-batch state is
+    aggregate-sized (one row per key), every refresh is a snapshot
+    commit (time travel for free), and the batch-id log makes sink
+    retries no-ops — an additive double-apply would corrupt totals
+    silently, so exactly-once here is correctness, not hygiene."""
+    return _additive_mv_replay(
+        spark,
+        sf_dir,
+        prefix="fb_incr_agg_",
+        key_cols=["event_type"],
+        sum_cols=["n_events", "_sum_value"],
+        delta_fn=lambda batch_df: batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum_value"),
+        ),
+        select_fn=lambda df: df.select(
+            "event_type",
+            "n_events",
+            F.col("_sum_value").cast("double").alias("sum_value"),
+        ),
+        schema="event_type string, n_events long, sum_value double",
+    )
+
+
+def stream_table_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: a CONTINUOUSLY MAINTAINED replication checksum —
+    the streaming composition of ``operators.integrity.table_fingerprint``
+    (commutative md5-sum content checksum) with the incremental-MV
+    harness above.
+
+    Why it composes at all: the fingerprint is an algebraic SUM, so each
+    micro-batch's delta — ``(n_rows, Σ row_fingerprint)`` over just that
+    batch's rows — folds additively into O(1) stored state (batch-id
+    dedupe: a sink retry double-adding a delta would corrupt the
+    checksum silently, so exactly-once is correctness).  After the
+    4-batch event-time replay the stored pair must equal the one-shot
+    fingerprint over the whole table, which is exactly what the DuckDB
+    oracle computes — at 100 TB/day this is how a replication pipeline
+    keeps a live checksum without ever rescanning the table: per-batch
+    cost O(batch), validation cost O(1).
+
+    Row identity comes from ``integrity.events_row_fingerprint`` — ONE
+    canonicalization shared by the batch fingerprint, this stream, and
+    both engines' oracles, so "same row" can never mean different things
+    on different paths."""
+    from ..operators.integrity import events_row_fingerprint
+
+    return _additive_mv_replay(
+        spark,
+        sf_dir,
+        prefix="fb_stream_fp_",
+        key_cols=["table_name"],
+        sum_cols=["n_rows", "fp"],
+        delta_fn=lambda batch_df: batch_df.agg(
+            F.lit("events").alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(events_row_fingerprint()).alias("fp"),
+        ),
+        select_fn=lambda df: df.select(
+            "table_name",
+            "n_rows",
+            F.col("fp").cast("string").alias("fingerprint"),
+        ),
+        schema="table_name string, n_rows long, fingerprint string",
     )

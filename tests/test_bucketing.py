@@ -180,9 +180,18 @@ def test_dedup_incremental_bucketed_corpus_side_shuffle_free(spark):
         bucketed = dedup_incremental_bucketed(spark, SF_SMOKE)
         plain = dedup_incremental(spark, SF_SMOKE)
         plan = plan_string(bucketed, "formatted")
-        assert "Bucketed: true" in plan, plan
+        # BOTH corpus tables must be consumed through bucketed scans —
+        # a regression that un-buckets either one drops this to 1
+        assert plan.count("Bucketed: true") == 2, plan
+        # exchange count pinned EXACTLY, not relatively: 4 = the four
+        # batch-side shuffles (md5-probe side, banded-probe side, the
+        # near-set distinct, the report join) and NOTHING on the corpus
+        # sides; the plain spelling's 6 includes the two corpus-side
+        # shuffles this layout exists to eliminate.  A reintroduced
+        # corpus-side Exchange fails the == even if still below 6.
         nb, np_ = count_exchanges(bucketed), count_exchanges(plain)
-        assert nb < np_, f"bucketed={nb} plain={np_}\n{plan}"
+        assert nb == 4, f"bucketed={nb} (expected 4)\n{plan}"
+        assert np_ == 6, f"plain={np_} (expected 6)"
     finally:
         if prev is None:
             spark.conf.unset(key)

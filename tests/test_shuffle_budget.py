@@ -50,9 +50,6 @@ BUDGETS = {
     "dedup_paragraphs": 2,
     # band-membership join + distinct + hash-membership join
     "dedup_incremental": 3,
-    # corpus side pre-bucketed: batch-side shuffles only (the at-scale
-    # no-broadcast plan is pinned separately in test_bucketing.py)
-    "dedup_incremental_bucketed": 2,
     # three scan-reduce partial aggregates, single-row outputs — the
     # whole point: a 100 TB replication check with no shuffle at all
     "table_fingerprint": 0,
