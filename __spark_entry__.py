@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: same screens over corpus-side state materialized as
         # bucketed tables — per-ingest cost O(batch), corpus shuffle-free
         "dedup_incremental_bucketed": D.dedup_incremental_bucketed,
+        # r5: entity resolution — distance-1 name pairs via
+        # deletion-neighborhood blocking (100% recall, never all-pairs)
+        "fuzzy_match_names": D.fuzzy_match_names,
         # r5: commutative content checksum per table — the cross-engine
         # replication validation surface (order/partition independent)
         "table_fingerprint": IG.table_fingerprint,
@@ -388,6 +391,7 @@ _PENDING_NEXT_WINDOW = [
     "snapshot_diff",
     "dedup_incremental_bucketed",
     "stream_table_fingerprint",
+    "fuzzy_match_names",
 ]
 
 
@@ -1820,6 +1824,22 @@ def oracle_sql() -> dict[str, str]:
                 _int_sql("CAST(round(value * 1000000) AS BIGINT)"),
                 "props"))})
             SELECT table_name, n_rows, fingerprint FROM events_canon
+        """,
+        # deletion-neighborhood blocking replayed identically: mask each
+        # position, join on (pos, masked key), verify distance == 1 —
+        # DuckDB spells the mask as substr splicing, Spark as overlay
+        "fuzzy_match_names": """
+            WITH keyed AS (
+                SELECT c_custkey AS k, c_name AS name, CAST(i AS INT) AS pos,
+                       substr(c_name, 1, CAST(i AS INT) - 1) || '~'
+                       || substr(c_name, CAST(i AS INT) + 1) AS bkey
+                FROM customer,
+                     LATERAL (SELECT unnest(range(1, length(c_name) + 1)) AS i)
+            )
+            SELECT a.k AS a_custkey, b.k AS b_custkey
+            FROM keyed a JOIN keyed b ON a.pos = b.pos AND a.bkey = b.bkey
+                                      AND a.k < b.k
+            WHERE levenshtein(a.name, b.name) = 1
         """,
         # TPC-H Q18 at threshold 250 (the spec's 300 is nearly empty on
         # this corpus); unique-orderkey tiebreak makes the cut stable

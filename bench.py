@@ -113,6 +113,8 @@ HEADLINE = [
     # r5: same screens over bucketed corpus-side state — the per-run
     # array shows the one-time table write amortizing away
     "dedup_incremental_bucketed",
+    # r5: deletion-neighborhood entity resolution — one blocked equi-join
+    "fuzzy_match_names",
     # r5: commutative content checksum — zero-exchange scan-reduce
     "table_fingerprint",
     # r5: keyed snapshot diff — one full-outer hash join on the key

@@ -755,3 +755,62 @@ def dedup_incremental_bucketed(
         .withColumn("near_hit", F.lit(True))
     )
     return _disposition_report(exact, near)
+
+
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: every customer-name pair at edit distance
+    EXACTLY 1 — found WITHOUT an all-pairs comparison, via
+    **deletion-neighborhood blocking** (a.k.a. the FastSS / symmetric-
+    delete scheme): each name emits L blocking keys, the name with
+    position i masked out; two equal-length names at substitution
+    distance 1 are identical everywhere except one position, so they
+    collide on exactly the key that masks it.  Recall is 100% by
+    construction — the edit-distance analogue of the MinHash band
+    pigeonhole — and the ``levenshtein == 1`` filter on collisions is
+    exact verification (same-key candidates could also be equal
+    strings; `a < b` plus the distance test excludes them).  No
+    ``distinct`` is needed: a distance-1 pair differs at exactly one
+    position and therefore collides at exactly one key (for same-length
+    strings an insertion+deletion spelling would cost 2).
+
+    Scale shape: L keys per row (L = 18, the fixed name width) → one
+    equi-join on (pos, masked_key), cost Σ_bucket |bucket|² over
+    near-identical-name buckets — never N².  At 100 TB this is the
+    standard typo/variant-mining pass over entity catalogs (user names,
+    product titles, URLs); hot buckets are boilerplate names, exactly
+    what an upstream exact-dedup pass removes first.  The JVM
+    ``levenshtein`` runs only on candidates.
+
+    Reference parity: north-star extension (SURVEY §2 dedup family) —
+    entity-level near-dup, complementing the document-level MinHash/
+    SimHash operators."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    keyed = cust.select(
+        "k",
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("name")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.overlay("name", F.lit("~"), i, F.lit(1)).alias("bkey"),
+                ),
+            )
+        ).alias("pb"),
+    ).select("k", "name", "pb.pos", "pb.bkey")
+    a = keyed.select(
+        F.col("k").alias("a_custkey"), F.col("name").alias("a_name"),
+        "pos", "bkey",
+    )
+    b = keyed.select(
+        F.col("k").alias("b_custkey"), F.col("name").alias("b_name"),
+        "pos", "bkey",
+    )
+    return (
+        a.join(b, ["pos", "bkey"])
+        .filter(F.col("a_custkey") < F.col("b_custkey"))
+        .filter(F.levenshtein("a_name", "b_name") == 1)
+        .select("a_custkey", "b_custkey")
+    )

@@ -724,3 +724,31 @@ def test_dedup_incremental_dispositions(spark):
         r["is_near_dup"] and not r["is_exact_dup"] for r in rows
     ), "no near-only disposition — the LSH screen is vacuous"
     assert any(r["kept"] for r in rows), "no survivor — the batch screen is vacuous"
+
+
+def test_fuzzy_match_names_equals_brute_force(spark):
+    """Recall proof for the deletion-neighborhood blocking: the blocked
+    pair set must equal the ALL-PAIRS levenshtein==1 set computed
+    independently in Python (the quadratic spelling the operator exists
+    to avoid), and a distance-2 pair must not appear."""
+    import pandas as pd
+
+    names = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
+        ["c_custkey", "c_name"]
+    ].sort_values("c_custkey")
+
+    def lev1(a, b):  # same-length fast path: exactly one differing char
+        return len(a) == len(b) and sum(x != y for x, y in zip(a, b)) == 1
+
+    rows = list(names.itertuples(index=False))
+    expected = {
+        (int(x.c_custkey), int(y.c_custkey))
+        for i, x in enumerate(rows)
+        for y in rows[i + 1 :]
+        if lev1(x.c_name, y.c_name)
+    }
+    got = {
+        (r["a_custkey"], r["b_custkey"])
+        for r in D.fuzzy_match_names(spark, SF_SMOKE).collect()
+    }
+    assert got == expected and len(got) > 0

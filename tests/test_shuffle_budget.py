@@ -50,6 +50,9 @@ BUDGETS = {
     "dedup_paragraphs": 2,
     # band-membership join + distinct + hash-membership join
     "dedup_incremental": 3,
+    # one (pos, masked-key) equi-join: broadcast at tiny SF (0);
+    # bucket-bounded shuffle at scale
+    "fuzzy_match_names": 1,
     # three scan-reduce partial aggregates, single-row outputs — the
     # whole point: a 100 TB replication check with no shuffle at all
     "table_fingerprint": 0,
