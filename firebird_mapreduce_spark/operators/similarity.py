@@ -896,12 +896,20 @@ def embedding_knn_ivf_fitted(
     )
 
 
-def _kmeans_exact_cte_chain(k: int = N_CENTROIDS, iterations: int = 3) -> str:
+def _kmeans_exact_cte_chain(
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    source: str = "embeddings",
+    prefix: str = "",
+) -> str:
     """The shared WITH-chain for the exact-k-means oracles: identical
     exploded form, identical decimal quantization points, ``iterations``
     unrolled CTE rounds (centroid → distance → QUALIFY-argmin), same
     struct-order tie-break (ORDER BY dist2, cluster).  Ends at CTE
-    ``a{iterations}`` = (vec_id, cluster, dist2)."""
+    ``a{iterations}`` = (vec_id, cluster, dist2).  ``source`` names the
+    (vec_id, embedding) relation the fit reads — ``prefix`` injects the
+    CTEs that define it when it is not the raw ``embeddings`` view
+    (e.g. the augmented corpus of ``dedup_semantic``)."""
     rounds = "".join(
         f""",
 c{t} AS (
@@ -925,12 +933,12 @@ a{t} AS (
         for t in range(1, iterations + 1)
     )
     return f"""
-WITH comp AS (
+WITH {prefix}comp AS (
     SELECT vec_id, generate_subscripts(embedding, 1) AS d,
            round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
-    FROM embeddings
+    FROM {source}
 ),
-a0 AS (SELECT vec_id, vec_id % {k} AS cluster FROM embeddings){rounds}"""
+a0 AS (SELECT vec_id, vec_id % {k} AS cluster FROM {source}){rounds}"""
 
 
 def _kmeans_exact_oracle_sql(k: int = N_CENTROIDS, iterations: int = 3) -> str:
