@@ -207,44 +207,74 @@ def compact_files(
     through a table-format commit instead).  The pass is crash-safe for
     the *data*: on entry it recovers a ``<path>_compact_old`` stranded by
     a prior crash (restoring it if the second rename never landed,
-    deleting it if it did), so a rerun always starts clean.
+    deleting it if it did), so a rerun always starts clean.  Single-writer
+    is ENFORCED, not assumed: the whole pass — including the crash
+    recovery, which would otherwise race a concurrent invocation's
+    in-flight tmp/old directories — runs under an ``O_EXCL``
+    ``<path>_compact.lock`` (the ``versioned.py`` pattern: pid@host
+    recorded for staleness diagnosis), so a second concurrent compaction
+    of the same path fails loudly with ``ConcurrentCommitError`` instead
+    of corrupting the first one's recovery state.
     """
     import math
     import os
     import shutil
+    import socket
 
-    old = path.rstrip("/") + "_compact_old"
-    tmp = path.rstrip("/") + "_compact_tmp"
-    if os.path.exists(old):
-        if os.path.exists(path):
-            # Prior run completed the swap but died before cleanup.
-            shutil.rmtree(old)
+    from ..sources.versioned import ConcurrentCommitError
+
+    lock = path.rstrip("/") + "_compact.lock"
+    try:
+        lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(lock) as fh:
+                holder = fh.read().strip() or "unknown"
+        except OSError:
+            holder = "unknown"
+        raise ConcurrentCommitError(
+            f"another compaction holds {lock} (holder: {holder}); "
+            "compact_files is single-writer per path — delete the lock "
+            "only if the holder is dead"
+        ) from None
+    try:
+        os.write(lock_fd, f"{os.getpid()}@{socket.gethostname()}".encode())
+
+        old = path.rstrip("/") + "_compact_old"
+        tmp = path.rstrip("/") + "_compact_tmp"
+        if os.path.exists(old):
+            if os.path.exists(path):
+                # Prior run completed the swap but died before cleanup.
+                shutil.rmtree(old)
+            else:
+                # Prior run crashed between the two renames: restore.
+                os.rename(old, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = spark.read.parquet(path)
+        if preserve_sort:
+            out = df.repartitionByRange(
+                n_out, *preserve_sort
+            ).sortWithinPartitions(*preserve_sort)
         else:
-            # Prior run crashed between the two renames: restore.
-            os.rename(old, path)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
-    n_out = max(1, math.ceil(total / target_bytes))
-    df = spark.read.parquet(path)
-    if preserve_sort:
-        out = df.repartitionByRange(n_out, *preserve_sort).sortWithinPartitions(
-            *preserve_sort
-        )
-    else:
-        out = df.repartition(n_out)
-    out.write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return n_out
+            out = df.repartition(n_out)
+        out.write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return n_out
+    finally:
+        os.close(lock_fd)
+        os.unlink(lock)
 
 
 def write_zordered(

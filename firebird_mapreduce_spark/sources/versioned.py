@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import socket as _socket
 import tempfile
 from contextlib import contextmanager
 
@@ -117,21 +118,56 @@ class VersionedParquetTable:
         """Single-writer mutual exclusion for the WHOLE read-modify-write
         of any mutating method.  ``O_CREAT|O_EXCL`` is atomic on POSIX;
         a second holder fails loudly; release happens on success AND
-        failure paths."""
+        failure paths.
+
+        The lock file records the holder's ``pid@host`` so a contender
+        can tell a live writer from one that died between ``os.open`` and
+        the ``finally`` (e.g. SIGKILL) and left the lock orphaned: the
+        error message reports the holder's identity and — when the holder
+        is on this host — whether that process still exists, so recovery
+        (deleting a dead holder's lock) is an informed action instead of
+        a guess."""
         lock = os.path.join(self.path, "_commits.lock")
         try:
             lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             raise ConcurrentCommitError(
-                f"another committer holds {lock}; cannot {action} — "
+                f"another committer holds {lock} "
+                f"({self._describe_lock_holder(lock)}); cannot {action} — "
                 "versioned tables are single-writer (delete the lock only "
-                "if the other writer is known dead)"
+                "if the holder is dead)"
             ) from None
         try:
+            os.write(
+                lock_fd, f"{os.getpid()}@{_socket.gethostname()}".encode()
+            )
             yield
         finally:
             os.close(lock_fd)
             os.unlink(lock)
+
+    @staticmethod
+    def _describe_lock_holder(lock: str) -> str:
+        """Best-effort liveness report for the ``pid@host`` in a lock file.
+        Never raises: the lock may vanish or be empty mid-read (a holder
+        writing or releasing concurrently), in which case the holder is
+        simply reported as unknown."""
+        try:
+            with open(lock) as fh:
+                holder = fh.read().strip()
+            pid_s, _, host = holder.partition("@")
+            pid = int(pid_s)
+        except (OSError, ValueError):
+            return "holder unknown: lock file empty or unreadable"
+        if host != _socket.gethostname():
+            return f"held by pid {pid} on {host}; liveness unknown from here"
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe, sends nothing
+            return f"held by pid {pid} on this host, still ALIVE"
+        except ProcessLookupError:
+            return f"held by pid {pid} on this host, now DEAD (stale lock)"
+        except PermissionError:
+            return f"held by pid {pid} on this host (alive, other user)"
 
     def _rewrite_log(self, lines: list[dict]) -> None:
         # write-temp + atomic replace: the log is small (one line per

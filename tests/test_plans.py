@@ -549,6 +549,27 @@ def test_compact_files_recovers_from_crash_and_sizes_partitioned_dirs(
     assert n_out >= 2, "partitioned bytes must be counted, not sized as 0"
     assert spark.read.parquet(part).count() == rows
 
+    # (d) single-writer enforcement (ADVICE r5): a held lock makes a
+    # second compaction of the same path fail loudly BEFORE it touches
+    # the first one's tmp/old recovery state, and the loser releases
+    # nothing it does not own — the path itself stays intact
+    import pytest as _pytest
+
+    from firebird_mapreduce_spark.sources.versioned import (
+        ConcurrentCommitError,
+    )
+
+    lock = path2 + "_compact.lock"
+    with open(lock, "w") as fh:
+        fh.write("99999@elsewhere")
+    with _pytest.raises(ConcurrentCommitError, match="single-writer"):
+        compact_files(spark, path2, target_bytes=10**12)
+    os.unlink(lock)
+    # lock is released on the success path → a rerun lands
+    compact_files(spark, path2, target_bytes=10**12)
+    assert spark.read.parquet(path2).count() == rows
+    assert not os.path.exists(lock)
+
 
 def test_z3_z4_match_reference_interleave_in_both_engines(spark):
     """The 3-D and 4-D Morton keys must be bit-identical to a plain

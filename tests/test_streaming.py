@@ -696,6 +696,33 @@ def test_versioned_table_concurrent_commit_fails_loudly(spark, tmp_path):
     assert t.apply_cdc_batch(spark.createDataFrame([(2, 20)], "k LONG, v LONG"), 1)
     assert len(t.commits()) == 2 and not _os.path.exists(lock)
 
+    # staleness diagnosis: the error distinguishes a live holder from a
+    # dead one via the pid@host the lock records (SIGKILL between os.open
+    # and the finally block leaves an orphan; ADVICE r5)
+    import socket as _socket
+
+    host = _socket.gethostname()
+    with open(lock, "w") as fh:  # live holder: this very process
+        fh.write(f"{_os.getpid()}@{host}")
+    with pytest.raises(ConcurrentCommitError, match="ALIVE"):
+        t.vacuum(keep_last=0)
+    with open(lock, "w") as fh:  # dead holder: pid from a spent fork
+        pid = _os.fork()
+        if pid == 0:
+            _os._exit(0)
+        _os.waitpid(pid, 0)
+        fh.write(f"{pid}@{host}")
+    with pytest.raises(ConcurrentCommitError, match="DEAD"):
+        t.vacuum(keep_last=0)
+    with open(lock, "w") as fh:  # remote holder: liveness unknowable here
+        fh.write("12345@some-other-host")
+    with pytest.raises(ConcurrentCommitError, match="liveness unknown"):
+        t.vacuum(keep_last=0)
+    _os.unlink(lock)
+    # a REAL acquisition records this process as the holder
+    assert t.apply_cdc_batch(spark.createDataFrame([(3, 30)], "k LONG, v LONG"), 2)
+    assert not _os.path.exists(lock)
+
 
 def test_crash_between_sink_commit_and_offset_commit_replays_range(
     spark, tmp_path
