@@ -1825,20 +1825,30 @@ def oracle_sql() -> dict[str, str]:
                 "props"))})
             SELECT table_name, n_rows, fingerprint FROM events_canon
         """,
-        # deletion-neighborhood blocking replayed identically: mask each
-        # position, join on (pos, masked key), verify distance == 1 —
-        # DuckDB spells the mask as substr splicing, Spark as overlay
+        # full FastSS deletion-neighborhood blocking replayed identically:
+        # planted single-deletion variants (every 97th customer, char at
+        # (k % len)+1 removed), keys = identity + each single deletion,
+        # join on the key, dedupe pairs, verify distance == 1
         "fuzzy_match_names": """
-            WITH keyed AS (
-                SELECT c_custkey AS k, c_name AS name, CAST(i AS INT) AS pos,
-                       substr(c_name, 1, CAST(i AS INT) - 1) || '~'
-                       || substr(c_name, CAST(i AS INT) + 1) AS bkey
-                FROM customer,
-                     LATERAL (SELECT unnest(range(1, length(c_name) + 1)) AS i)
+            WITH names AS (
+                SELECT c_custkey AS k, c_name AS name FROM customer
+                UNION ALL
+                SELECT c_custkey + 1000000,
+                       substr(c_name, 1, c_custkey % length(c_name))
+                       || substr(c_name, (c_custkey % length(c_name)) + 2)
+                FROM customer WHERE c_custkey % 97 = 0
+            ),
+            keyed AS (
+                SELECT k, name,
+                       CASE WHEN CAST(i AS INT) = 0 THEN name
+                            ELSE substr(name, 1, CAST(i AS INT) - 1)
+                                 || substr(name, CAST(i AS INT) + 1)
+                       END AS bkey
+                FROM names,
+                     LATERAL (SELECT unnest(range(0, length(name) + 1)) AS i)
             )
-            SELECT a.k AS a_custkey, b.k AS b_custkey
-            FROM keyed a JOIN keyed b ON a.pos = b.pos AND a.bkey = b.bkey
-                                      AND a.k < b.k
+            SELECT DISTINCT a.k AS a_custkey, b.k AS b_custkey
+            FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.k < b.k
             WHERE levenshtein(a.name, b.name) = 1
         """,
         # TPC-H Q18 at threshold 250 (the spec's 300 is nearly empty on

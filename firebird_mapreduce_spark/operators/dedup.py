@@ -757,60 +757,99 @@ def dedup_incremental_bucketed(
     return _disposition_report(exact, near)
 
 
-def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution: every customer-name pair at edit distance
-    EXACTLY 1 — found WITHOUT an all-pairs comparison, via
-    **deletion-neighborhood blocking** (a.k.a. the FastSS / symmetric-
-    delete scheme): each name emits L blocking keys, the name with
-    position i masked out; two equal-length names at substitution
-    distance 1 are identical everywhere except one position, so they
-    collide on exactly the key that masks it.  Recall is 100% by
-    construction — the edit-distance analogue of the MinHash band
-    pigeonhole — and the ``levenshtein == 1`` filter on collisions is
-    exact verification (same-key candidates could also be equal
-    strings; `a < b` plus the distance test excludes them).  No
-    ``distinct`` is needed: a distance-1 pair differs at exactly one
-    position and therefore collides at exactly one key (for same-length
-    strings an insertion+deletion spelling would cost 2).
+def _delete_char(name, pos):
+    """``name`` with the 1-based character ``pos`` removed (column
+    expression) — the deletion primitive of the FastSS key scheme; the
+    DuckDB oracles spell it ``substr(n,1,p-1) || substr(n,p+1)``."""
+    return F.concat(
+        F.substr(name, F.lit(1), pos - F.lit(1)), F.substr(name, pos + F.lit(1))
+    )
 
-    Scale shape: L keys per row (L = 18, the fixed name width) → one
-    equi-join on (pos, masked_key), cost Σ_bucket |bucket|² over
-    near-identical-name buckets — never N².  At 100 TB this is the
-    standard typo/variant-mining pass over entity catalogs (user names,
-    product titles, URLs); hot buckets are boilerplate names, exactly
-    what an upstream exact-dedup pass removes first.  The JVM
-    ``levenshtein`` runs only on candidates.
+
+def fuzzy_matching_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity catalog ``fuzzy_match_names`` mines: customer names
+    plus DETERMINISTIC planted single-deletion variants (every 97th
+    customer contributes ``c_custkey + 1000000`` with the character at
+    1-based position ``(c_custkey % len) + 1`` removed).  TPC-H names
+    are fixed-width 18 chars, so without the planting every distance-1
+    pair is a same-length substitution and the insert/delete recall
+    claim would be vacuous; the planted 17-char variants make
+    length-±1 pairs real (the ``snapshot_diff`` planted-mutation
+    idiom).  Reproduced verbatim by the oracle SQL."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    pos = F.col("k") % F.length("name") + F.lit(1)
+    planted = cust.filter(F.col("k") % 97 == 0).select(
+        (F.col("k") + 1000000).alias("k"),
+        _delete_char(F.col("name"), pos).alias("name"),
+    )
+    return cust.unionByName(planted)
+
+
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: every name pair at edit distance EXACTLY 1 —
+    substitutions AND insertions/deletions — found WITHOUT an all-pairs
+    comparison, via **deletion-neighborhood blocking** (the full FastSS /
+    symmetric-delete scheme, Bocek et al. 2007): each name emits L+1
+    blocking keys — itself, plus the L strings with one character
+    deleted.  Recall is 100% by construction, the edit-distance analogue
+    of the MinHash band pigeonhole:
+
+    - substitution (equal lengths, differ at position i): deleting i
+      from both sides yields the same string → they share that key;
+    - insert/delete (lengths n, n+1): deleting the inserted character
+      from the longer yields the shorter itself → the longer's deletion
+      key meets the shorter's identity key.
+
+    The ``levenshtein == 1`` filter on collisions is exact verification
+    (deletion variants of unrelated names can coincide), ``a < b``
+    canonicalizes, and the pair ``distinct`` precedes it because an
+    indel pair collides once per deletion of the longer that yields the
+    shorter (repeated adjacent characters: 'aab' → 'ab' two ways),
+    unlike the one-collision substitution case.  Earlier rounds shipped
+    the position-masked variant of this scheme, whose (pos, masked-key)
+    keys can only collide EQUAL-LENGTH strings — correct on fixed-width
+    catalogs but structurally blind to true insert/delete pairs; the
+    planted variable-length mutations (``fuzzy_matching_names``) keep
+    that failure mode non-vacuous here.
+
+    Scale shape: L+1 keys per row → ONE equi-join on the key string,
+    cost Σ_bucket |bucket|² over near-identical-name buckets — never N².
+    The identity key makes exact-duplicate names a |dup-group|² bucket,
+    which is precisely what an upstream exact-dedup pass removes first
+    (same discipline as the stop-shingle pruning in
+    ``dedup_ngram_jaccard``).  The JVM ``levenshtein`` runs only on
+    candidates.
 
     Reference parity: north-star extension (SURVEY §2 dedup family) —
     entity-level near-dup, complementing the document-level MinHash/
     SimHash operators."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
-    )
-    keyed = cust.select(
+    names = fuzzy_matching_names(spark, sf_dir)
+    keyed = names.select(
         "k",
         "name",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("name")),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.overlay("name", F.lit("~"), i, F.lit(1)).alias("bkey"),
+            F.concat(
+                F.array(F.col("name")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name")),
+                    lambda i: _delete_char(F.col("name"), i),
                 ),
             )
-        ).alias("pb"),
-    ).select("k", "name", "pb.pos", "pb.bkey")
+        ).alias("bkey"),
+    )
     a = keyed.select(
-        F.col("k").alias("a_custkey"), F.col("name").alias("a_name"),
-        "pos", "bkey",
+        F.col("k").alias("a_custkey"), F.col("name").alias("a_name"), "bkey"
     )
     b = keyed.select(
-        F.col("k").alias("b_custkey"), F.col("name").alias("b_name"),
-        "pos", "bkey",
+        F.col("k").alias("b_custkey"), F.col("name").alias("b_name"), "bkey"
     )
     return (
-        a.join(b, ["pos", "bkey"])
+        a.join(b, "bkey")
         .filter(F.col("a_custkey") < F.col("b_custkey"))
+        .select("a_custkey", "b_custkey", "a_name", "b_name")
+        .distinct()
         .filter(F.levenshtein("a_name", "b_name") == 1)
         .select("a_custkey", "b_custkey")
     )

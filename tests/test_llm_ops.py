@@ -727,28 +727,55 @@ def test_dedup_incremental_dispositions(spark):
 
 
 def test_fuzzy_match_names_equals_brute_force(spark):
-    """Recall proof for the deletion-neighborhood blocking: the blocked
-    pair set must equal the ALL-PAIRS levenshtein==1 set computed
-    independently in Python (the quadratic spelling the operator exists
-    to avoid), and a distance-2 pair must not appear."""
+    """Recall proof for the full FastSS deletion-neighborhood blocking:
+    the blocked pair set must equal the ALL-PAIRS levenshtein==1 set
+    computed independently in Python (the quadratic spelling the
+    operator exists to avoid) over the SAME planted catalog — and that
+    expected set must contain BOTH edit classes (same-length
+    substitutions and length-±1 insert/delete pairs), or the r5→r6
+    generalization (identity + deletion keys instead of position masks)
+    would be vacuously green."""
     import pandas as pd
 
-    names = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
         ["c_custkey", "c_name"]
     ].sort_values("c_custkey")
+    rows = [(int(k), n) for k, n in zip(cust.c_custkey, cust.c_name)]
+    # replicate the planted single-deletion variants
+    for k, n in list(rows):
+        if k % 97 == 0:
+            p = k % len(n)  # 0-based index of the removed char
+            rows.append((k + 1000000, n[:p] + n[p + 1 :]))
+    rows.sort()
 
-    def lev1(a, b):  # same-length fast path: exactly one differing char
-        return len(a) == len(b) and sum(x != y for x, y in zip(a, b)) == 1
+    def lev(a, b):  # full DP edit distance — indel pairs need the real thing
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(
+                    min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
 
-    rows = list(names.itertuples(index=False))
+    by_key = dict(rows)
     expected = {
-        (int(x.c_custkey), int(y.c_custkey))
-        for i, x in enumerate(rows)
-        for y in rows[i + 1 :]
-        if lev1(x.c_name, y.c_name)
+        (ka, kb)
+        for i, (ka, na) in enumerate(rows)
+        for kb, nb in rows[i + 1 :]
+        if abs(len(na) - len(nb)) <= 1 and lev(na, nb) == 1
     }
+    sub_pairs = {
+        (a, b) for a, b in expected if len(by_key[a]) == len(by_key[b])
+    }
+    indel_pairs = expected - sub_pairs
+    assert sub_pairs, "no substitution pairs — catalog degenerate"
+    assert indel_pairs, "no insert/delete pairs — the planting is vacuous"
     got = {
         (r["a_custkey"], r["b_custkey"])
         for r in D.fuzzy_match_names(spark, SF_SMOKE).collect()
     }
-    assert got == expected and len(got) > 0
+    assert got == expected

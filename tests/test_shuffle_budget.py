@@ -50,9 +50,10 @@ BUDGETS = {
     "dedup_paragraphs": 2,
     # band-membership join + distinct + hash-membership join
     "dedup_incremental": 3,
-    # one (pos, masked-key) equi-join: broadcast at tiny SF (0);
-    # bucket-bounded shuffle at scale
-    "fuzzy_match_names": 1,
+    # one deletion-key equi-join (broadcast at tiny SF) + the pair
+    # distinct (needed since r6's full-FastSS keys: an indel pair can
+    # collide once per deletion of the longer that yields the shorter)
+    "fuzzy_match_names": 2,
     # three scan-reduce partial aggregates, single-row outputs — the
     # whole point: a 100 TB replication check with no shuffle at all
     "table_fingerprint": 0,
