@@ -275,6 +275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: continuously-maintained replication checksum — per-batch
         # fingerprint deltas folded additively, O(1) validation state
         "stream_table_fingerprint": SJ.stream_table_fingerprint_query,
+        # r6: SemDeDup semantic dedup — the embedding tier of the dedup
+        # ladder (exact → n-gram → MinHash → SimHash → semantic):
+        # exact-k-means clusters bound the search space, SRP banding
+        # de-quadratifies within clusters, exact-cosine keep-min-id
+        "dedup_semantic": S.dedup_semantic,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -392,6 +397,7 @@ _PENDING_NEXT_WINDOW = [
     "dedup_incremental_bucketed",
     "stream_table_fingerprint",
     "fuzzy_match_names",
+    "dedup_semantic",
 ]
 
 
@@ -889,6 +895,10 @@ def oracle_sql() -> dict[str, str]:
         # IVF probe on the fitted quantizer: same exact schedule, then
         # probe the query's own cluster + exact-cosine rerank (r5)
         "embedding_knn_ivf_fitted": S.KNN_IVF_FITTED_ORACLE_SQL,
+        # SemDeDup (r6): exact-k-means chain over the augmented corpus,
+        # salted SRP banding keyed (cluster, table, sig), rounded-cosine
+        # threshold, keep-min-id disposition — all three stages replayed
+        "dedup_semantic": S.DEDUP_SEMANTIC_ORACLE_SQL,
         # correlated scalar subquery, written in its decorrelated form on
         # both sides (CTE aggregate + join); filter on the UNROUNDED avg
         "above_avg_balance": """

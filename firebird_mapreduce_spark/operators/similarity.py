@@ -896,6 +896,220 @@ def embedding_knn_ivf_fitted(
     )
 
 
+SEMANTIC_THRESHOLD = 0.9
+
+
+def semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus ``dedup_semantic`` mines: embeddings ∪ deterministic
+    planted near-copies — ``vec_id + 100000`` with +0.05 added to the
+    single component at index ``vec_id % d``.  The test embeddings are
+    unit-norm with max natural within-label cosine ≈ 0.47, so without
+    planting a semantic-dedup operator would vacuously keep everything
+    (the ``augmented_documents`` convention of ``operators.dedup``,
+    applied to vectors); the planted copy sits at cosine ≈ 0.9988 —
+    unambiguously above ``SEMANTIC_THRESHOLD`` — while NOT being an
+    exact duplicate.  All components are promoted to double BEFORE the
+    perturbation on both engines (``SEMANTIC_CORPUS_SQL`` is the
+    replica), so the +0.05 is the identical IEEE add and everything
+    downstream stays bit-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert_dim = F.col("vec_id") % F.size("embedding")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == pert_dim, x.cast("double") + F.lit(0.05))
+        .otherwise(x.cast("double")),
+    )
+    # two-stage select: perturb FIRST (against the original vec_id), THEN
+    # re-id — a single select would let Spark's lateral-column-alias
+    # resolution bind pert_dim's vec_id to the `vec_id + 100000` alias in
+    # the same list, silently perturbing dimension (vec_id+100000) % d
+    # while the oracle perturbs vec_id % d
+    near = emb.select("vec_id", perturbed.alias("embedding")).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.select("vec_id", as_double.alias("embedding")).unionByName(near)
+
+
+# DuckDB replica of semantic_corpus — shared by the dedup_semantic oracle.
+SEMANTIC_CORPUS_SQL = """
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(range(0, len(embedding)), j ->
+               CASE WHEN j = vec_id % len(embedding)
+                    THEN embedding[j+1]::DOUBLE + 0.05
+                    ELSE embedding[j+1]::DOUBLE END)
+    FROM embeddings
+"""
+
+
+def dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    threshold: float = SEMANTIC_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication — the embedding tier of the
+    dedup ladder (exact → n-gram → MinHash → SimHash → semantic): two
+    documents are duplicates when their *embeddings* are near-parallel,
+    regardless of surface text.  Composition of three existing,
+    individually-verified building blocks (Abbas et al., "SemDeDup",
+    2023, is the method source):
+
+    1. **cluster** — ``_kmeans_exact_assign`` partitions the corpus with
+       the bit-reproducible Lloyd's schedule (the SemDeDup move: only
+       within-cluster pairs are ever considered, making the search
+       space Σ_c |c|² instead of N²);
+    2. **band** — within each cluster, candidates must share an 8-bit
+       SRP signature in any of ``NEARDUP_TABLES`` tables, keyed on
+       (cluster, table, sig) — ``embedding_neardup_topk``'s
+       de-quadratification applied to the cluster blocks, so even a
+       giant cluster never goes all-pairs (candidates ≈ Σ_buckets
+       |bucket|², bucket ≈ |cluster|/256);
+    3. **rerank + keep-min-id** — exact-cosine on candidates, pairs at
+       ``round(sim, 6) >= threshold`` are semantic duplicates, and each
+       vector with any smaller-id match is dropped in favor of that
+       smallest id (``dup_of``), the deterministic SemDeDup keep rule.
+
+    Output: one disposition row per corpus vector — (vec_id, cluster,
+    kept, dup_of) — over ``semantic_corpus`` (planted near-copies at
+    cosine ≈ 0.9988; see its docstring for why planting is needed).
+
+    The DuckDB oracle replays all three stages exactly: the
+    ``_kmeans_exact_cte_chain`` over the same augmented source, the
+    identical md5-parity hyperplane banding, the same rounded-cosine
+    threshold.  Banding is part of the declared semantics (the
+    ``dedup_minhash_lsh`` contract); recall vs the within-cluster
+    brute force is measured, not assumed — tools/measure_semantic_dedup.py,
+    surface in SCALE.md.
+
+    At 100 TB: the fit is the one-time index build; assignment and
+    signatures are per-row projections; the only data-sized shuffles
+    are the (cluster, tbl, sig) candidate join and the pair distinct.
+    Clusters bound candidate generation the way labels did for
+    ``embedding_neardup_topk`` — but learned from the data instead of
+    requiring a label column."""
+    sem = semantic_corpus(spark, sf_dir)
+    # the fit is the index build: checkpoint so the banding join and the
+    # final report consume one materialized assignment, not two replays
+    assign = _kmeans_exact_assign(sem, k, iterations).localCheckpoint(
+        eager=True
+    )
+    tagged = _with_srp_sigs(sem, NEARDUP_TABLES)
+    sig_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig"))
+            for t in range(NEARDUP_TABLES)
+        ]
+    )
+    keyed = (
+        tagged.join(assign.select("vec_id", "cluster"), "vec_id")
+        .select("cluster", "vec_id", F.explode(sig_structs).alias("ts"))
+        .select(
+            "cluster",
+            "vec_id",
+            F.col("ts.tbl").alias("tbl"),
+            F.col("ts.sig").alias("sig"),
+        )
+    )
+    a = keyed.select("cluster", "tbl", "sig", F.col("vec_id").alias("a_id"))
+    b = keyed.select("cluster", "tbl", "sig", F.col("vec_id").alias("b_id"))
+    cand = (
+        a.join(b, ["cluster", "tbl", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # zero-norm guard: same NULL-vs-NaN asymmetry as embedding_neardup_topk
+    normed = sem.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    av = normed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    bv = normed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    matched = (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .filter(
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            )
+            >= F.lit(threshold)
+        )
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+        .withColumnRenamed("b_id", "vec_id")
+    )
+    return (
+        assign.select("vec_id", "cluster")
+        .join(matched, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
+def _dedup_semantic_oracle_sql(
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    threshold: float = SEMANTIC_THRESHOLD,
+) -> str:
+    """DuckDB replica of ``dedup_semantic``: the exact-k-means chain over
+    the augmented source, the salted md5-parity SRP banding keyed on
+    (cluster, table, sig), exact-cosine threshold, keep-min-id."""
+    chain = _kmeans_exact_cte_chain(
+        k, iterations, source="sem", prefix=f"sem AS ({SEMANTIC_CORPUS_SQL}), "
+    )
+    return f"""{chain},
+sigs AS (
+    SELECT s.vec_id, a.cluster, tt.t AS tbl,
+           CAST(list_sum(list_transform(range(0, 8), p ->
+               CASE WHEN round(list_sum(list_transform(range(0, 64),
+                   j -> s.embedding[j+1] *
+                        (CASE WHEN substr(md5(tt.t::VARCHAR || '|'
+                                            || p::VARCHAR || '|'
+                                            || j::VARCHAR), 1, 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                         THEN 1.0 ELSE -1.0 END))), 6) > 0
+               THEN CAST(power(2, p) AS BIGINT) ELSE 0 END))
+               AS BIGINT) AS sig
+    FROM sem s JOIN a{iterations} a USING (vec_id)
+    CROSS JOIN range(0, 8) tt(t)),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM sigs a
+    JOIN sigs b ON a.cluster = b.cluster AND a.tbl = b.tbl
+               AND a.sig = b.sig AND a.vec_id < b.vec_id),
+matched AS (
+    SELECT c.b_id AS vec_id, min(c.a_id) AS dup_of
+    FROM cand c
+    JOIN sem ea ON ea.vec_id = c.a_id
+    JOIN sem eb ON eb.vec_id = c.b_id
+    WHERE list_sum(list_transform(ea.embedding, x -> x*x)) > 0
+      AND list_sum(list_transform(eb.embedding, x -> x*x)) > 0
+      AND round(list_cosine_similarity(ea.embedding, eb.embedding), 6)
+          >= {threshold}
+    GROUP BY c.b_id)
+SELECT a.vec_id, a.cluster, m.dup_of IS NULL AS kept, m.dup_of
+FROM a{iterations} a LEFT JOIN matched m USING (vec_id)
+"""
+
+
 def _kmeans_exact_cte_chain(
     k: int = N_CENTROIDS,
     iterations: int = 3,
@@ -973,3 +1187,4 @@ ORDER BY sim DESC, a.vec_id LIMIT 10
 
 KMEANS_EXACT_ORACLE_SQL = _kmeans_exact_oracle_sql()
 KNN_IVF_FITTED_ORACLE_SQL = _knn_ivf_fitted_oracle_sql()
+DEDUP_SEMANTIC_ORACLE_SQL = _dedup_semantic_oracle_sql()

@@ -726,6 +726,36 @@ def test_dedup_incremental_dispositions(spark):
     assert any(r["kept"] for r in rows), "no survivor — the batch screen is vacuous"
 
 
+def test_dedup_semantic_disposition_properties(spark):
+    """SemDeDup pipeline invariants on the planted corpus:
+
+    - every original is kept (nothing natural sits at cosine >= 0.9, and
+      an original always precedes its planted twin in id order);
+    - every flagged duplicate's dup_of is exactly its original twin (the
+      only pairs above threshold are (i, i+100000));
+    - >= 95% of planted copies are flagged, and EVERY miss is a cluster
+      split (the twin landed in a different k-means cluster — the
+      inherent SemDeDup within-cluster restriction), never a banding
+      miss: at cosine ~0.9988 the 8-table SRP retrieval probability is
+      1 - 0.12^8, so a same-cluster miss would mean broken banding."""
+    rows = S.dedup_semantic(spark, SF_SMOKE).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    originals = [r for r in rows if r["vec_id"] < 100000]
+    planted = [r for r in rows if r["vec_id"] >= 100000]
+    assert len(originals) == len(planted) > 0
+    assert all(r["kept"] and r["dup_of"] is None for r in originals)
+    flagged = [r for r in planted if not r["kept"]]
+    assert all(r["dup_of"] == r["vec_id"] - 100000 for r in flagged)
+    assert len(flagged) >= 0.95 * len(planted)
+    for r in planted:
+        if r["kept"]:
+            twin = by_id[r["vec_id"] - 100000]
+            assert r["cluster"] != twin["cluster"], (
+                f"{r['vec_id']} missed while sharing cluster "
+                f"{r['cluster']} — a banding miss, not a cluster split"
+            )
+
+
 def test_fuzzy_match_names_equals_brute_force(spark):
     """Recall proof for the full FastSS deletion-neighborhood blocking:
     the blocked pair set must equal the ALL-PAIRS levenshtein==1 set
