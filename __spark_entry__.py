@@ -280,6 +280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-k-means clusters bound the search space, SRP banding
         # de-quadratifies within clusters, exact-cosine keep-min-id
         "dedup_semantic": S.dedup_semantic,
+        # r6: two consecutive ingests with ingest-1 survivors FOLDED
+        # into the bucketed corpus state between them (append-only
+        # O(batch) state update) — ingest 2's exact copies of ingest-1
+        # docs prove the fold, closing dedup_incremental_bucketed's loop
+        "dedup_incremental_tworound": D.dedup_incremental_tworound,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -398,6 +403,7 @@ _PENDING_NEXT_WINDOW = [
     "stream_table_fingerprint",
     "fuzzy_match_names",
     "dedup_semantic",
+    "dedup_incremental_tworound",
 ]
 
 
@@ -2073,6 +2079,60 @@ def oracle_sql() -> dict[str, str]:
             FROM new_docs nd
             LEFT JOIN corpus_h ch ON nd.h = ch.h
             LEFT JOIN near nr ON nd.doc_id = nr.doc_id
+        """,
+        # two ingests with the fold replayed as pure SQL: state2 = day-0
+        # state ∪ ingest-1 survivors' hashes/bands (UNION dedupes like
+        # the distinct-append), so the fold's semantics are hash-checked
+        # even though the oracle has no table mechanics
+        "dedup_incremental_tworound": f"""
+            WITH {_MINHASH_CTES.format(docs=D.TWOROUND_DOCS_SQL)},
+            corpus_banded AS (
+                SELECT DISTINCT b, bsig FROM banded WHERE doc_id < 100000),
+            corpus_h AS (
+                SELECT DISTINCT md5(text) AS h FROM docs WHERE doc_id < 100000),
+            b1 AS (
+                SELECT doc_id, md5(text) AS h FROM docs
+                WHERE doc_id >= 100000 AND doc_id < 200000),
+            near1 AS (
+                SELECT DISTINCT n.doc_id
+                FROM banded n JOIN corpus_banded c
+                  ON n.b = c.b AND n.bsig = c.bsig
+                WHERE n.doc_id >= 100000 AND n.doc_id < 200000),
+            r1 AS (
+                SELECT b1.doc_id,
+                       (ch.h IS NOT NULL) AS is_exact_dup,
+                       (nr.doc_id IS NOT NULL) AS is_near_dup,
+                       (ch.h IS NULL AND nr.doc_id IS NULL) AS kept
+                FROM b1
+                LEFT JOIN corpus_h ch ON b1.h = ch.h
+                LEFT JOIN near1 nr ON b1.doc_id = nr.doc_id),
+            kept1 AS (SELECT doc_id FROM r1 WHERE kept),
+            h2 AS (
+                SELECT h FROM corpus_h
+                UNION
+                SELECT md5(d.text) FROM docs d JOIN kept1 USING (doc_id)),
+            bands2 AS (
+                SELECT b, bsig FROM corpus_banded
+                UNION
+                SELECT n.b, n.bsig FROM banded n JOIN kept1 USING (doc_id)),
+            b2 AS (
+                SELECT doc_id, md5(text) AS h FROM docs
+                WHERE doc_id >= 200000),
+            near2 AS (
+                SELECT DISTINCT n.doc_id
+                FROM banded n JOIN bands2 c ON n.b = c.b AND n.bsig = c.bsig
+                WHERE n.doc_id >= 200000),
+            r2 AS (
+                SELECT b2.doc_id,
+                       (ch.h IS NOT NULL) AS is_exact_dup,
+                       (nr.doc_id IS NOT NULL) AS is_near_dup,
+                       (ch.h IS NULL AND nr.doc_id IS NULL) AS kept
+                FROM b2
+                LEFT JOIN h2 ch ON b2.h = ch.h
+                LEFT JOIN near2 nr ON b2.doc_id = nr.doc_id)
+            SELECT 1 AS ingest, * FROM r1
+            UNION ALL
+            SELECT 2 AS ingest, * FROM r2
         """,
         # identical semantics over the bucketed layout — the oracle is the
         # same aggregation (bucketing changes the plan, not the answer)

@@ -787,6 +787,206 @@ def fuzzy_matching_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(planted)
 
 
+def _screen_batch(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    k: int,
+    bands: int,
+) -> DataFrame:
+    """The shared incremental-dedup screen: one batch against one
+    corpus-state pair (hash set + banded-signature set) → disposition
+    report.  Both probes are batch×state membership joins — never a
+    self-join — so per-ingest cost is O(|batch| + matched buckets)."""
+    exact = batch.select("doc_id", F.md5("text").alias("h")).join(
+        corpus_hashes.withColumn("exact_hit", F.lit(True)), "h", "left"
+    )
+    near = (
+        banded_signatures(batch, k, bands)
+        .join(corpus_bands.select("band", "sig"), ["band", "sig"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_hit", F.lit(True))
+    )
+    return _disposition_report(exact, near)
+
+
+def _ensure_folded_state(
+    spark: SparkSession,
+    prefix: str,
+    tag: str,
+    n_buckets: int,
+    key_cols: list[str],
+    build_base,
+    build_delta,
+) -> DataFrame:
+    """Bucketed state table maintained by CREATE-then-APPEND: the base
+    snapshot is written once, then the ingest delta is APPENDED as
+    additional bucket files (``mode("append")`` with the same
+    ``bucketBy`` keeps the table's bucketing metadata, so consumers
+    still read it exchange-free) — the per-ingest state-update cost is
+    O(delta) data written, never a corpus rewrite.  A fold-complete
+    marker file guards the two-write sequence: a crash between base and
+    delta leaves the marker missing, and the next call drops the half
+    state and rebuilds instead of silently screening against a corpus
+    snapshot that forgot the previous ingest."""
+    import os
+
+    from .relational import ensure_layout_table, warehouse_path
+
+    tbl = f"{prefix}{tag}"
+    marker = os.path.join(warehouse_path(spark), f"_{tbl}_folded")
+    if spark.catalog.tableExists(tbl) and not os.path.exists(marker):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if not spark.catalog.tableExists(tbl):
+        if os.path.exists(marker):
+            os.unlink(marker)  # stale marker from a dropped/stale table
+        ensure_layout_table(
+            spark,
+            prefix,
+            tag,
+            build_base,
+            lambda w: w.bucketBy(n_buckets, *key_cols).sortBy(*key_cols),
+        )
+        (
+            build_delta()
+            .write.mode("append")
+            .bucketBy(n_buckets, *key_cols)
+            .sortBy(*key_cols)
+            .saveAsTable(tbl)
+        )
+        open(marker, "w").close()
+    return spark.table(tbl)
+
+
+def tworound_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-ingest universe: the augmented corpus plus a SECOND copy
+    of every near-copy text at ``doc_id + 300000`` — so ingest 2
+    (doc_id >= 200000) contains exact copies of ingest-1 documents
+    (+300000, the fold probe: they are exact dups IFF ingest 1's
+    survivors were folded into the corpus state) alongside exact copies
+    of originals (+200000, caught by day-0 state either way).  Must stay
+    expression-for-expression equivalent to ``TWOROUND_DOCS_SQL``."""
+    aug = augmented_documents(spark, sf_dir)
+    batch2_extra = aug.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    ).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return aug.unionByName(batch2_extra)
+
+
+# +100000 near-copies re-idded +300000: exact copies of ingest-1 docs.
+TWOROUND_DOCS_SQL = AUGMENTED_DOCS_SQL + """
+    UNION ALL
+    SELECT doc_id + 300000,
+           array_to_string(
+               (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 3, 1)],
+               ' ')
+    FROM documents
+"""
+
+
+def dedup_incremental_tworound(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """TWO consecutive ingests with the corpus state FOLDED between them
+    — closing the loop ``dedup_incremental_bucketed`` leaves open (it
+    reads corpus-side state but never updates it, so a second ingest
+    would screen against stale state and re-admit copies of ingest-1
+    survivors):
+
+      ingest 1  the near-copy batch (doc_id ∈ [100000, 200000)) screens
+                against the day-0 bucketed hash/band tables (the SAME
+                shared tables as ``dedup_incremental_bucketed``);
+      fold      ingest 1's kept rows are APPENDED into this query's own
+                state tables (``_ensure_folded_state``: base snapshot
+                written once, each ingest appends O(batch) bucket files
+                — never a corpus rewrite; separate tables because the
+                shared day-0 ones must stay corpus-only for the sibling
+                query's oracle);
+      ingest 2  exact copies of originals (+200000) AND exact copies of
+                ingest-1 documents (+300000) screen against the folded
+                state — a +300000 doc is an exact dup precisely because
+                its ingest-1 twin was kept and folded, which is the
+                property a stale-state implementation gets wrong
+                (pinned in test_llm_ops.py; zero corpus-side exchange
+                under the no-broadcast strategy pinned in
+                test_bucketing.py).
+
+    Output: (ingest, doc_id, is_exact_dup, is_near_dup, kept) for both
+    ingests.  The oracle replays both screens and the fold as pure SQL
+    (state2 = day-0 state ∪ ingest-1 survivors' hashes/bands), so the
+    fold's SEMANTICS are hash-verified even though the oracle has no
+    table mechanics.
+
+    Scale shape: per-ingest cost is O(batch) — both screens are
+    batch-side-shuffle-only membership joins against pre-bucketed state
+    (the ``dedup_incremental_bucketed`` plan), and the fold writes only
+    the survivors' state rows.  At 100 TB this is the daily-crawl loop:
+    state tables live across ingests, each day appends its survivors,
+    and no pass ever rescans or reshuffles the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    world = tworound_documents(spark, sf_dir)
+    batch1 = world.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    batch2 = world.filter(F.col("doc_id") >= 200000)
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    tag = corpus_tag(sf_dir, "documents")
+    v1_hashes = ensure_bucketed_table(
+        spark,
+        "corpus_hash_",
+        tag,
+        8,
+        ["h"],
+        lambda: docs.select(F.md5("text").alias("h")).distinct(),
+    )
+    v1_bands = ensure_bucketed_table(
+        spark,
+        f"corpus_bands_{k}x{bands}_",
+        tag,
+        8,
+        ["band", "sig"],
+        lambda: banded_signatures(docs, k, bands)
+        .select("band", "sig")
+        .distinct(),
+    )
+    r1 = _screen_batch(batch1, v1_hashes, v1_bands, k, bands).localCheckpoint(
+        eager=True
+    )
+    kept1 = batch1.join(r1.filter(F.col("kept")).select("doc_id"), "doc_id")
+
+    # the fold: survivors' state rows appended once (deltas deduped
+    # within the batch; they cannot overlap day-0 state — a doc whose
+    # hash or band was already present would not have been kept)
+    v2_hashes = _ensure_folded_state(
+        spark,
+        f"inc2_hash_{k}x{bands}_",
+        tag,
+        8,
+        ["h"],
+        lambda: docs.select(F.md5("text").alias("h")).distinct(),
+        lambda: kept1.select(F.md5("text").alias("h")).distinct(),
+    )
+    v2_bands = _ensure_folded_state(
+        spark,
+        f"inc2_bands_{k}x{bands}_",
+        tag,
+        8,
+        ["band", "sig"],
+        lambda: banded_signatures(docs, k, bands)
+        .select("band", "sig")
+        .distinct(),
+        lambda: banded_signatures(kept1, k, bands)
+        .select("band", "sig")
+        .distinct(),
+    )
+    r2 = _screen_batch(batch2, v2_hashes, v2_bands, k, bands)
+    return r1.select(F.lit(1).alias("ingest"), "*").unionByName(
+        r2.select(F.lit(2).alias("ingest"), "*")
+    )
+
+
 def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: every name pair at edit distance EXACTLY 1 —
     substitutions AND insertions/deletions — found WITHOUT an all-pairs

@@ -197,3 +197,81 @@ def test_dedup_incremental_bucketed_corpus_side_shuffle_free(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_tworound_fold_appends_delta_and_stays_corpus_shuffle_free(spark):
+    """The two-ingest fold (`dedup_incremental_tworound`):
+
+    (a) the folded state tables hold EXACTLY day-0 rows + the ingest-1
+        survivor delta — the CREATE-then-APPEND maintenance wrote O(batch)
+        new rows, not a rewrite (row accounting against the shared day-0
+        tables and the recomputed delta);
+    (b) ingest 2's screens consume the folded state through bucketed
+        scans with NO corpus-side Exchange under the at-scale
+        no-broadcast strategy (the dedup_incremental_bucketed plan pin,
+        applied to the folded tables);
+    (c) a missing fold-complete marker (crash between base and delta
+        writes) forces a rebuild instead of serving half state."""
+    import os
+
+    from firebird_mapreduce_spark.operators.dedup import (
+        banded_signatures,
+        dedup_incremental_tworound,
+        tworound_documents,
+    )
+    from firebird_mapreduce_spark.operators.relational import (
+        corpus_tag,
+        warehouse_path,
+    )
+
+    result = dedup_incremental_tworound(spark, SF_SMOKE)
+    tag = corpus_tag(SF_SMOKE, "documents")
+
+    # (a) row accounting: folded = day-0 + distinct survivor delta
+    kept1_ids = result.filter(
+        (F.col("ingest") == 1) & F.col("kept")
+    ).select("doc_id")
+    kept1 = tworound_documents(spark, SF_SMOKE).join(kept1_ids, "doc_id")
+    n_kept_hashes = kept1.select(F.md5("text")).distinct().count()
+    n_kept_bands = (
+        banded_signatures(kept1, 16, 4).select("band", "sig").distinct().count()
+    )
+    assert n_kept_hashes > 0, "no survivors — the fold is vacuous"
+    assert (
+        spark.table(f"inc2_hash_16x4_{tag}").count()
+        == spark.table(f"corpus_hash_{tag}").count() + n_kept_hashes
+    )
+    assert (
+        spark.table(f"inc2_bands_16x4_{tag}").count()
+        == spark.table(f"corpus_bands_16x4_{tag}").count() + n_kept_bands
+    )
+
+    # (b) plan: folded tables bucketed-scanned, exchanges batch-side only
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        df = dedup_incremental_tworound(spark, SF_SMOKE)
+        plan = plan_string(df, "formatted")
+        assert plan.count("Bucketed: true") == 2, plan
+        # 4 = ingest 2's four batch-side shuffles (md5-probe side,
+        # banded-probe side, near-set distinct, report join); ingest 1
+        # rides its localCheckpoint.  A corpus-side Exchange breaks ==.
+        n = count_exchanges(df)
+        assert n == 4, f"exchanges={n} (expected 4)\n{plan}"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    # (c) crash window: marker gone => rebuild, same row accounting
+    marker = os.path.join(
+        warehouse_path(spark), f"_inc2_hash_16x4_{tag}_folded"
+    )
+    assert os.path.exists(marker)
+    os.unlink(marker)
+    before = spark.table(f"inc2_hash_16x4_{tag}").count()
+    dedup_incremental_tworound(spark, SF_SMOKE)
+    assert os.path.exists(marker), "rebuild must re-mark fold completion"
+    assert spark.table(f"inc2_hash_16x4_{tag}").count() == before

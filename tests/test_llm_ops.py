@@ -726,6 +726,31 @@ def test_dedup_incremental_dispositions(spark):
     assert any(r["kept"] for r in rows), "no survivor — the batch screen is vacuous"
 
 
+def test_tworound_ingest2_sees_ingest1_survivors(spark):
+    """The fold contract: a document KEPT in ingest 1 must be flagged
+    exact-dup when its identical copy arrives in ingest 2 — exactly the
+    property a stale-state implementation (screening ingest 2 against
+    day-0 state) gets wrong.  Conversely a +300000 copy whose ingest-1
+    twin was rejected is an exact dup only if the twin itself was
+    (its text already lived in the corpus); and ingest 2 keeps nothing —
+    every one of its documents is a copy of something already seen."""
+    rows = D.dedup_incremental_tworound(spark, SF_SMOKE).collect()
+    r1 = {r["doc_id"]: r for r in rows if r["ingest"] == 1}
+    r2 = [r for r in rows if r["ingest"] == 2]
+    assert any(r["kept"] for r in r1.values()), "no ingest-1 survivor"
+    assert not any(r["kept"] for r in r2), "ingest 2 kept a pure copy"
+    for r in r2:
+        if r["doc_id"] < 300000:
+            continue  # +200000 copies of originals: day-0 exact dups
+        twin = r1[r["doc_id"] - 200000]
+        expect = twin["kept"] or twin["is_exact_dup"]
+        assert r["is_exact_dup"] == expect, (
+            f"{r['doc_id']}: exact_dup={r['is_exact_dup']} but twin "
+            f"kept={twin['kept']} exact={twin['is_exact_dup']} — the "
+            "fold did not reach ingest 2"
+        )
+
+
 def test_dedup_semantic_disposition_properties(spark):
     """SemDeDup pipeline invariants on the planted corpus:
 
