@@ -285,6 +285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # O(batch) state update) — ingest 2's exact copies of ingest-1
         # docs prove the fold, closing dedup_incremental_bucketed's loop
         "dedup_incremental_tworound": D.dedup_incremental_tworound,
+        # r6: multi-probe fitted IVF — the cure for the r5 single-probe
+        # recall finding: exact-decimal query→centroid scores pick the
+        # nprobe=3 nearest clusters, union reranked (recall 0.3→0.8)
+        "embedding_knn_ivf_multiprobe": S.embedding_knn_ivf_multiprobe,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -404,6 +408,7 @@ _PENDING_NEXT_WINDOW = [
     "fuzzy_match_names",
     "dedup_semantic",
     "dedup_incremental_tworound",
+    "embedding_knn_ivf_multiprobe",
 ]
 
 
@@ -905,6 +910,9 @@ def oracle_sql() -> dict[str, str]:
         # salted SRP banding keyed (cluster, table, sig), rounded-cosine
         # threshold, keep-min-id disposition — all three stages replayed
         "dedup_semantic": S.DEDUP_SEMANTIC_ORACLE_SQL,
+        # multi-probe fitted IVF (r6): final-centroid recompute + exact
+        # decimal query scores + (dist2, cluster)-ordered 3-cluster probe
+        "embedding_knn_ivf_multiprobe": S.KNN_IVF_MULTIPROBE_ORACLE_SQL,
         # correlated scalar subquery, written in its decorrelated form on
         # both sides (CTE aggregate + join); filter on the UNROUNDED avg
         "above_avg_balance": """

@@ -745,16 +745,35 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_exact_assign(
+def _exact_centroids(comp: DataFrame, assign: DataFrame) -> DataFrame:
+    """Exact-decimal per-(cluster, dim) centroid means over the current
+    assignment — DECIMAL(18,9) sum then one double division, so the mean
+    is reduction-order-independent (the c{t} CTE of the oracle chain)."""
+    return (
+        comp.join(assign, "vec_id")
+        .groupBy("cluster", "d")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+
+
+def _kmeans_exact_fit(
     emb: DataFrame, k: int = N_CENTROIDS, iterations: int = 3
-) -> DataFrame:
-    """The bit-reproducible Lloyd's schedule shared by
-    ``embedding_kmeans_exact`` (cluster summary) and
-    ``embedding_knn_ivf_fitted`` (IVF coarse quantizer): returns
-    ``(vec_id, cluster, dist2)`` after ``iterations`` exact-decimal
-    rounds from the deterministic ``vec_id % k`` seed.  See
-    ``embedding_kmeans_exact``'s docstring for why every reduction is
-    order-independent (decimal sums, struct-min tie-breaks)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The bit-reproducible Lloyd's schedule, returning the pieces its
+    consumers compose: ``(assignments, final_centroids, comp)`` where
+    assignments = (vec_id, cluster, dist2) after ``iterations``
+    exact-decimal rounds from the deterministic ``vec_id % k`` seed,
+    final_centroids = (cluster, d, m) RECOMPUTED over the final
+    assignment (the c_{iterations+1} table a probe scheduler scores
+    against — lazy, so callers that ignore it pay nothing), and comp =
+    the 6-dp-quantized exploded components (checkpointed once, shared).
+    See ``embedding_kmeans_exact``'s docstring for why every reduction
+    is order-independent (decimal sums, struct-min tie-breaks)."""
     comp = (
         emb.select("vec_id", F.posexplode("embedding").alias("d", "vf"))
         .select(
@@ -767,16 +786,7 @@ def _kmeans_exact_assign(
     )
     best = None
     for _ in range(iterations):
-        cent = (
-            comp.join(assign, "vec_id")
-            .groupBy("cluster", "d")
-            .agg(
-                (
-                    F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-        )
+        cent = _exact_centroids(comp, assign)
         dist = (
             comp.join(cent, "d")
             .select(
@@ -793,11 +803,22 @@ def _kmeans_exact_assign(
             F.min(F.struct("dist2", "cluster")).alias("s")
         )
         assign = best.select("vec_id", F.col("s.cluster").alias("cluster"))
-    return best.select(
+    final = best.select(
         "vec_id",
         F.col("s.cluster").alias("cluster"),
         F.col("s.dist2").alias("dist2"),
     )
+    return final, _exact_centroids(comp, assign), comp
+
+
+def _kmeans_exact_assign(
+    emb: DataFrame, k: int = N_CENTROIDS, iterations: int = 3
+) -> DataFrame:
+    """``_kmeans_exact_fit``'s assignment table alone — the entry point
+    shared by ``embedding_kmeans_exact`` (cluster summary),
+    ``embedding_knn_ivf_fitted`` (IVF coarse quantizer) and
+    ``dedup_semantic`` (SemDeDup clustering)."""
+    return _kmeans_exact_fit(emb, k, iterations)[0]
 
 
 def embedding_kmeans_exact(
@@ -1110,6 +1131,78 @@ FROM a{iterations} a LEFT JOIN matched m USING (vec_id)
 """
 
 
+def embedding_knn_ivf_multiprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Multi-probe fitted IVF — the standard cure for the r5 honest
+    finding that SINGLE-probe recall on this near-isotropic corpus is
+    0.2-0.4 (SCALE.md): instead of scanning only the cluster that owns
+    the query's vector, score the query against the FINAL fitted
+    centroids (the c_{iterations+1} table, exact-decimal distances so
+    the probe choice is engine-reproducible) and scan the ``nprobe``
+    nearest clusters, then exact-cosine rerank the union.  Measured on
+    this corpus (tools/measure_ivf_fitted.py sweep, full surface in
+    SCALE.md): recall@10 at nprobe 1/2/3/4/6/8 is 0.4/0.5/0.5/0.7/0.8/
+    1.0 at sf0.01 and 0.2/0.3/0.3/0.3/0.6/0.7 at sf0.1, each probe
+    costing ~1/k more of the corpus.  The slope is HONESTLY shallow
+    here: true neighbors sit at cosine ≈ 0.45 (no real cluster
+    structure), so they scatter across many cells — on a corpus whose
+    neighbors are actual near-duplicates the first few probes capture
+    nearly everything, which is why nprobe is the standard IVF dial.
+    The registered default nprobe=3 keeps the declared query a strict
+    probe-scheduler demonstration rather than a recall promise.
+
+    Everything stays oracle-backed like ``embedding_knn_ivf_fitted``:
+    the same ``_kmeans_exact_fit`` schedule, centroid means as exact
+    DECIMAL(18,9) sums, query→centroid distances as exact
+    DECIMAL(28,15) sums, probe selection by (dist2, cluster) — the
+    DuckDB twin extends the shared CTE chain with the identical
+    centroid + probe CTEs.
+
+    At 100 TB: the table is written ``partitionBy(cluster)`` and a
+    query reads nprobe partitions (~nprobe·N/k vectors); the probe
+    scheduler is a k-row centroid scores sort on the driver-sized
+    centroid table — the scan/recall dial with no index rebuild."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cent, comp = _kmeans_exact_fit(emb, k, iterations)
+    assign = assign.localCheckpoint(eager=True)
+    qdist = (
+        comp.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .join(cent, "d")
+        .select(
+            "cluster",
+            ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+            .cast("decimal(28,15)")
+            .alias("term"),
+        )
+        .groupBy("cluster")
+        .agg(F.sum("term").alias("dist2"))
+    )
+    probes = (
+        qdist.orderBy(F.col("dist2").asc(), F.col("cluster").asc())
+        .limit(nprobe)
+        .select("cluster")
+    )
+    probed = assign.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        F.broadcast(probes), "cluster"
+    )
+    query_vec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        probed.join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
 def _kmeans_exact_cte_chain(
     k: int = N_CENTROIDS,
     iterations: int = 3,
@@ -1185,6 +1278,43 @@ ORDER BY sim DESC, a.vec_id LIMIT 10
 """
 
 
+def _knn_ivf_multiprobe_oracle_sql(
+    k: int = N_CENTROIDS, iterations: int = 3, nprobe: int = 3
+) -> str:
+    """DuckDB replica of ``embedding_knn_ivf_multiprobe`` — the shared
+    schedule chain, the final-centroid recompute (the c{iterations+1}
+    CTE, same SQL as the in-loop rounds), exact-decimal query→centroid
+    scores, (dist2, cluster)-ordered probe pick, union rerank."""
+    t = iterations + 1
+    return f"""{_kmeans_exact_cte_chain(k, iterations)},
+c{t} AS (
+    SELECT a.cluster, comp.d,
+           CAST(sum(CAST(comp.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM comp JOIN a{iterations} a USING (vec_id)
+    GROUP BY a.cluster, comp.d
+),
+qd AS (
+    SELECT c.cluster,
+           sum(CAST((comp.v - c.m) * (comp.v - c.m) AS DECIMAL(28,15)))
+               AS dist2
+    FROM comp JOIN c{t} c USING (d)
+    WHERE comp.vec_id = 0
+    GROUP BY c.cluster
+),
+probes AS (SELECT cluster FROM qd ORDER BY dist2, cluster LIMIT {nprobe}),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) AS sim
+FROM a{iterations} a
+JOIN probes USING (cluster)
+JOIN embeddings e ON e.vec_id = a.vec_id
+CROSS JOIN qv
+WHERE a.vec_id <> 0
+ORDER BY sim DESC, a.vec_id LIMIT 10
+"""
+
+
 KMEANS_EXACT_ORACLE_SQL = _kmeans_exact_oracle_sql()
 KNN_IVF_FITTED_ORACLE_SQL = _knn_ivf_fitted_oracle_sql()
 DEDUP_SEMANTIC_ORACLE_SQL = _dedup_semantic_oracle_sql()
+KNN_IVF_MULTIPROBE_ORACLE_SQL = _knn_ivf_multiprobe_oracle_sql()

@@ -26,6 +26,7 @@ from firebird_mapreduce_spark.operators.similarity import (  # noqa: E402
     embedding_knn,
     embedding_knn_ivf,
     embedding_knn_ivf_fitted,
+    embedding_knn_ivf_multiprobe,
 )
 from firebird_mapreduce_spark.sources import load_table  # noqa: E402
 
@@ -61,6 +62,30 @@ def main() -> int:
                 probe = None
             frac = f" probe={probe}/{n} ({probe / n:.1%})" if probe else ""
             print(f"{sf_dir} {name}: recall@10={recall:.2f}{frac}")
+        # nprobe sweep: recall@10 vs scan fraction for the multi-probe
+        # scheduler (nprobe=1 probes the query-NEAREST centroid, which
+        # can differ from ivf_fitted's own-cluster rule on boundary
+        # queries — both shown so the scheduler's effect is visible)
+        assign = _kmeans_exact_assign(load_table(spark, sf_dir, "embeddings"))
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for nprobe in (1, 2, 3, 4):
+            got_rows = embedding_knn_ivf_multiprobe(
+                spark, sf_dir, nprobe=nprobe
+            ).collect()
+            got = [r.vec_id for r in got_rows]
+            recall = len(set(exact) & set(got)) / len(exact)
+            # scanned = members of the probed clusters; recompute probes
+            # from the same (dist2, cluster) rule is overkill here — the
+            # scan fraction is ~nprobe/k by construction, report exact
+            print(
+                f"{sf_dir} ivf_multiprobe nprobe={nprobe}: "
+                f"recall@10={recall:.2f} (~{nprobe}/{len(sizes)} of corpus)"
+            )
     return 0
 
 
