@@ -289,6 +289,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall finding: exact-decimal query→centroid scores pick the
         # nprobe=3 nearest clusters, union reranked (recall 0.3→0.8)
         "embedding_knn_ivf_multiprobe": S.embedding_knn_ivf_multiprobe,
+        # r6: heavy hitters whose key cardinality (~23k 8-grams) forces
+        # the Misra-Gries compression path in every partition — the
+        # driver-facing case for the algorithm, not just the easy one
+        "heavy_hitters_8gram": FQ.heavy_hitters_8gram,
+        # r6: snapshot diff over bucketed (key, hash) snapshot tables —
+        # the zero-exchange daily-diff layout its docstring prescribed,
+        # now demonstrated (plan pinned in test_bucketing.py)
+        "snapshot_diff_bucketed": IG.snapshot_diff_bucketed,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -409,6 +417,8 @@ _PENDING_NEXT_WINDOW = [
     "dedup_semantic",
     "dedup_incremental_tworound",
     "embedding_knn_ivf_multiprobe",
+    "heavy_hitters_8gram",
+    "snapshot_diff_bucketed",
 ]
 
 
@@ -1791,6 +1801,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             HAVING count(*) >= (3 * (SELECT n FROM tot) + 99) // 100
         """,
+        # forced-compression variant: the same HAVING spelling over the
+        # mixed 8-gram ∪ token stream (integer-exact ceil(N/100)); the
+        # MG summaries compress thousands of times per partition but
+        # candidacy stays a superset, so the outputs must coincide
+        "heavy_hitters_8gram": """
+            WITH tk AS (
+                SELECT string_split(lower(text), ' ') AS tk FROM documents
+            ),
+            g AS (
+                SELECT array_to_string(tk[i:i+7], ' ') AS gram
+                FROM tk,
+                     LATERAL (SELECT unnest(range(1, greatest(len(tk) - 6, 1))) AS i)
+                UNION ALL
+                SELECT unnest(tk) FROM tk
+            ),
+            tot AS (SELECT count(*) AS n FROM g)
+            SELECT gram,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(count(*) / (SELECT n FROM tot), 6) AS share
+            FROM g
+            GROUP BY gram
+            HAVING count(*) >= ((SELECT n FROM tot) + 99) // 100
+        """,
         # commutative content checksum: md5 over the identical canonical
         # row string (ints as decimal text, money doubles as exact cents,
         # timestamps as wall-clock seconds, NULL as '<NULL>'), first 15
@@ -1813,6 +1846,32 @@ def oracle_sql() -> dict[str, str]:
         # the query and mirrored verbatim here; content identity is the
         # SAME canonicalization as the fingerprint (shared helper)
         "snapshot_diff": f"""
+            WITH b AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 101 = 0
+                            THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT -(o_orderkey + 1), o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 103 = 0),
+            ah AS (SELECT o_orderkey AS k,
+                          md5({_ORDERS_CONTENT_CANON}) AS h FROM orders),
+            bh AS (SELECT o_orderkey AS k,
+                          md5({_ORDERS_CONTENT_CANON}) AS h FROM b)
+            SELECT coalesce(ah.k, bh.k) AS o_orderkey,
+                   CASE WHEN ah.k IS NULL THEN 'inserted'
+                        WHEN bh.k IS NULL THEN 'deleted'
+                        ELSE 'changed' END AS change_type
+            FROM ah FULL OUTER JOIN bh ON ah.k = bh.k
+            WHERE ah.k IS NULL OR bh.k IS NULL OR ah.h <> bh.h
+        """,
+        # identical semantics over the bucketed snapshot-hash layout —
+        # the oracle is the same statement (layout changes the plan,
+        # never the answer; the dedup_exact_bucketed idiom)
+        "snapshot_diff_bucketed": f"""
             WITH b AS (
                 SELECT o_orderkey, o_custkey, o_orderstatus,
                        CASE WHEN o_orderkey % 101 = 0

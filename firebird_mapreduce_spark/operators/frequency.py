@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import exploded_word_shingles
 from ..sources import load_table
 
 
@@ -122,6 +123,53 @@ def heavy_hitters_exact(
         "cnt",
         F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
     )
+
+
+def gram_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-order n-gram key stream of ``heavy_hitters_8gram``:
+    every word 8-gram UNION ALL every single token over the lowercased
+    corpus — one column ``gram``.  The 8-gram side is the cardinality
+    (≈22.6k distinct at sf0.01, max frequency 3: real passage-level
+    keys, none heavy); the token side is the mass (the ~30-word
+    vocabulary, each carrying ~1.7% of the combined stream).  Shared by
+    the query and the compression-assertion test so the two can never
+    measure different streams."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = exploded_word_shingles(docs, "doc_id", "text", 8).select(
+        F.col("shingle").alias("gram")
+    )
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("gram")
+    )
+    return grams.unionByName(toks)
+
+
+def heavy_hitters_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a key space that FORCES the Misra-Gries
+    compression path: grams carrying >= 1% of the mixed token ∪ 8-gram
+    stream, exactly.
+
+    ``heavy_hitters_tokens``' 31-word vocabulary fits inside its 34
+    counters, so its registered run never compresses (admitted in its
+    docstring — the overflow path was only test-exercised).  This query
+    is the missing driver-facing case: the stream's ~23k distinct keys
+    dwarf the k = ceil(1/phi) = 100 counters, so EVERY partition's
+    summary overflows and compresses (decrement-and-drop) many times —
+    asserted as candidates ≪ distinct keys in test_frequency.py — while
+    the ~30 heavy tokens still surface exactly (the MG guarantee:
+    candidacy is a superset at any overflow rate; pass 2 recounts
+    exactly).  Neither key class is planted: the 8-grams are the
+    corpus' real passage-level keys (none above 0.013%), the tokens its
+    real vocabulary.
+
+    Scale shape: identical to ``heavy_hitters_exact`` — pass 1 zero
+    shuffle with <= (k+1)·partitions driver rows regardless of
+    cardinality (at a billion distinct n-grams the full groupBy this
+    replaces would shuffle the corpus vocabulary), pass 2 shuffles only
+    candidate-key rows.  The mixed-order stream is the one-pass corpus
+    profile a curation pipeline wants anyway: hot tokens and hot
+    boilerplate passages from the same scan."""
+    return heavy_hitters_exact(gram_token_stream(spark, sf_dir), "gram", 1, 100)
 
 
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,3 +275,38 @@ def test_tworound_fold_appends_delta_and_stays_corpus_shuffle_free(spark):
     dedup_incremental_tworound(spark, SF_SMOKE)
     assert os.path.exists(marker), "rebuild must re-mark fold completion"
     assert spark.table(f"inc2_hash_16x4_{tag}").count() == before
+
+
+def test_snapshot_diff_bucketed_zero_exchange_matches_plain(spark):
+    """The bucketed snapshot diff must (a) equal the plain spelling
+    row-for-row (layout never changes the answer) and (b) plan its one
+    full-outer join over BOTH pre-bucketed snapshot-hash tables with
+    ZERO exchanges under the at-scale no-broadcast strategy — the
+    daily-diff layout its r5 docstring prescribed, demonstrated."""
+    from firebird_mapreduce_spark.operators.integrity import (
+        snapshot_diff,
+        snapshot_diff_bucketed,
+    )
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(snapshot_diff_bucketed(spark, SF_SMOKE)) == rows(
+        snapshot_diff(spark, SF_SMOKE)
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        df = snapshot_diff_bucketed(spark, SF_SMOKE)
+        plan = plan_string(df, "formatted")
+        assert plan.count("Bucketed: true") == 2, plan
+        n = count_exchanges(df)
+        assert n == 0, f"exchanges={n} (expected 0)\n{plan}"
+        # non-vacuous: all three change classes present
+        kinds = {r["change_type"] for r in df.collect()}
+        assert kinds == {"inserted", "deleted", "changed"}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

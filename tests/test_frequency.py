@@ -87,3 +87,46 @@ def test_heavy_hitters_tokens_smoke_non_vacuous(spark):
     keys = {r["token"] for r in out}
     assert len(keys) == 30  # the vocabulary passes ...
     assert "dup" not in keys  # ... the planted rare token does not
+
+
+def test_heavy_hitters_8gram_compression_fires_and_stays_exact(spark):
+    """The registered forced-compression case (VERDICT r5 item 7): over
+    the mixed 8-gram ∪ token stream the pass-1 Misra-Gries summaries
+    must COMPRESS — candidate count a small fraction of the distinct
+    key count (heavy_hitters_tokens' vocabulary fits in its counters,
+    so the driver row never exercised the overflow path before) — while
+    the final answer still equals the exact groupBy spelling: the 30
+    vocabulary tokens and not a single 8-gram (max 8-gram frequency is
+    3 on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from firebird_mapreduce_spark.operators.frequency import (
+        gram_token_stream,
+        heavy_hitters_8gram,
+    )
+
+    stream = gram_token_stream(spark, SF_SMOKE).select(
+        F.col("gram").cast("string")
+    )
+    summary = stream.mapInPandas(
+        _mg_partition(100), schema="key string, n long, is_total boolean"
+    ).collect()
+    candidates = {r["key"] for r in summary if not r["is_total"]}
+    n_distinct = stream.distinct().count()
+    assert n_distinct > 10_000, "stream cardinality collapsed — vacuous"
+    assert len(candidates) < n_distinct / 50, (
+        f"{len(candidates)} candidates vs {n_distinct} keys: "
+        "compression never fired"
+    )
+
+    out = heavy_hitters_8gram(spark, SF_SMOKE).collect()
+    threshold = -(-stream.count() // 100)  # ceil(N/100), integer-exact
+    exact = {
+        (r["gram"], r["cnt"])
+        for r in stream.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if r["cnt"] >= threshold
+    }
+    assert {(r["gram"], r["cnt"]) for r in out} == exact
+    assert len(out) > 0 and all(" " not in r["gram"] for r in out)
