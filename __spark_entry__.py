@@ -53,16 +53,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER IS LOAD-BEARING: the round driver's correctness gate checks the
     first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
-    1-50 for round 4 to the exact complement of the round-3 window: the
-    corpus was regenerated before round 3, so r1/r2 driver rows are
-    stale evidence, and this window re-checks every query r3 did not —
-    plus ``image_features``, whose r3 row was the rows-only stub and
-    which is oracle-backed (real PNG decode) as of r4.  The union r3 ∪
-    r4 gives EVERY registered query a post-regeneration driver row, and
-    every oracle-backed query a post-regeneration hash row
-    (tests/test_docs_consistency.py asserts the invariant).  The full
-    registry stays under the local gate regardless
-    (tests/test_oracle_parity.py + tools/check_correctness.py).
+    1-50 for ROUND 6: the entire r5 backlog (27 queries registered after
+    the r5 window was pinned full), the 5 r6 additions (net-new
+    registrations capped to the leftover slots, so nothing new is
+    deferred), and 18 of the 19 queries whose only driver evidence is
+    r3-era.  The union r3 ∪ r4 ∪ r5 ∪ this window gives EVERY registered
+    query a post-regeneration driver row, and every oracle-backed query
+    a post-regeneration hash row (tests/test_docs_consistency.py asserts
+    the invariant).  The full registry stays under the local gate
+    regardless (tests/test_oracle_parity.py + tools/check_correctness.py).
     """
     registry = {
         # ---- positions 1-50: driver-checked, unique oracles ----
@@ -303,90 +302,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry for ROUND 5 (see queries() docstring):
-# the r5 rotation promised in VERDICT r4 item 1.  Groups, in order:
-# (a) the 19 queries that became oracle-backed after the r4 window was
-# pinned full (_PENDING_NEXT_WINDOW as of r4) — their FIRST driver rows;
-# (b) re-checks whose implementation changed in r5 AFTER their r4 driver
-# row (neardup pair mining re-tiered to SRP-banded candidates, SSSP probe
-# merged into the checkpoint via observe());
-# (c) re-checks whose implementation changed in r4 AFTER their r3 driver
-# row (codegen simhash64, the recall-0.94 multi-probe LSH default);
-# (d)-(f) refreshes of the oldest (r3) evidence: the streaming-state
-# family, the join family, and core relational/mapreduce;
-# (g) sssp_syn18k rows-only re-check (observe() probe changed it in r5).
+# Positions 1-50 of the registry for ROUND 6 (see queries() docstring):
+# the r6 rotation promised in VERDICT r5 item 1, which ALSO addressed the
+# pacing problem the verdict named — r6 capped net-new registrations at 5
+# (dedup_semantic, dedup_incremental_tworound, embedding_knn_ivf_multiprobe,
+# heavy_hitters_8gram, snapshot_diff_bucketed) so the whole backlog fits
+# in ONE window and _PENDING_NEXT_WINDOW ends the round EMPTY.  Groups:
+# (a) the 27 queries registered after the r5 window was pinned full
+#     (_PENDING_NEXT_WINDOW as of r5) — their FIRST driver rows;
+# (b) the 5 r6 additions — first driver rows, zero deferral;
+# (c) fuzzy_match_names moved from (a) conceptually: its code ALSO
+#     changed in r6 (full-FastSS keys), so this row is both its first
+#     driver evidence and the post-change check;
+# (d) re-checks of the oldest evidence: 18 of the 19 queries whose only
+#     driver row is r3-era.  The one left to r7 is embedding_kmeans —
+#     rows-only by design, and its bit-reproducible twin
+#     (embedding_kmeans_exact) plus both fitted-IVF compositions carry
+#     r5/r6 hash rows over the same fit code.
 # Result: every registered query has a post-regeneration driver row in
-# r3 ∪ r4 ∪ r5, every oracle-backed one a hash row, and every operator
-# whose code changed this round gets fresh driver evidence
-# (tests/test_docs_consistency.py asserts the union invariant).
+# r3 ∪ r4 ∪ r5 ∪ this window, every oracle-backed one a hash row, and
+# every operator whose code changed this round gets fresh driver
+# evidence (tests/test_docs_consistency.py asserts the union invariant).
 _DRIVER_WINDOW = [
-    # (a) first driver rows — oracle-backed after the r4 pinning
-    "embedding_knn_ivf_fitted",
-    "dedup_exact_bucketed",
-    "pagerank_nations",
-    "skewed_rank_events",
-    "bucketed_join_orders",
-    "quality_filter_c4",
-    "stream_static_join",
-    "embedding_kmeans_exact",
-    "lang_mix_downsample",
-    "above_avg_balance",
-    "unigram_logprob",
-    "zorder_key_events",
-    "zorder3_key_events",
-    "profile_events",
-    "tpch_q5_sql",
-    "stream_custom_source",
-    "variant_extract_events",
-    "curation_pipeline",
-    "lateral_topk_per_nation",
-    # (b) changed in r5 after their r4 row
-    "embedding_neardup_topk",
-    "sssp_fixpoint",
-    # (c) changed in r4 after their r3 row
-    "dedup_simhash64",
-    "embedding_lsh_ann_multi",
-    # (d) streaming-state family, last row r3
-    "stream_session_window",
-    "stream_running_count",
-    "stream_session_custom",
-    "stream_dedup",
-    "stream_stream_join",
-    "stream_group_count",
-    "stream_tumbling_window",
-    # (e) join family, last row r3
-    "left_outer_join",
-    "full_outer_join",
-    "broadcast_join",
-    "semi_anti_join",
-    "bucketed_theta_join",
-    "skew_join_events",
-    "merge_upsert_orders",
-    # (f) core relational / mapreduce, last row r3
-    "filter_predicate",
-    "flatmap_tokenize",
-    "group_min",
-    "rollup_revenue",
-    "pivot_events",
-    "argmax_order_per_cust",
-    "window_lag_lead",
-    "tpch_revenue_by_nation",
-    "set_ops_customers",
-    "json_extract_events",
-    "mapreduce_group_count",
-    "salted_group_count",
-    # (g) rows-only re-check, changed in r5
-    "sssp_syn18k",
-]
-
-
-# Queries registered AFTER the r5 window above was pinned at its 50-slot
-# capacity (the driver hash-checks only positions 1-50 per round).  Each
-# is covered by the LOCAL parity gate (tests/test_oracle_parity.py +
-# tools/check_correctness.py, DuckDB at sf0.01) and takes a driver-window
-# slot at the r6 rotation — listed explicitly so the deferral is visible,
-# not silent.
-_PENDING_NEXT_WINDOW = [
+    # (a) the r5 backlog — first driver rows
     "dpp_join_events",
     "runtime_bloom_join",
     "zorder4_key_events",
@@ -413,13 +351,43 @@ _PENDING_NEXT_WINDOW = [
     "snapshot_diff",
     "dedup_incremental_bucketed",
     "stream_table_fingerprint",
+    # (c) first row AND post-change check (full-FastSS generalization)
     "fuzzy_match_names",
+    # (b) the r6 additions — first driver rows, zero deferral
     "dedup_semantic",
     "dedup_incremental_tworound",
     "embedding_knn_ivf_multiprobe",
     "heavy_hitters_8gram",
     "snapshot_diff_bucketed",
+    # (d) oldest-evidence re-checks (only driver row is r3-era)
+    "string_agg_nations",
+    "sliding_window_count",
+    "scalar_functions",
+    "doc_length_stats",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "udtf_chunk_documents",
+    "doc_fingerprint",
+    "binary_file_meta",
+    "image_decode",
+    "audio_decode",
+    "word_count",
+    "unpivot_lineitem",
+    "ntile_ranks",
+    "window_moving_avg",
+    "approx_percentile_stats",
+    "lang_id_chargram",
 ]
+
+
+# Queries registered AFTER the current window was pinned at its 50-slot
+# capacity (the driver hash-checks only positions 1-50 per round); each
+# would be covered by the LOCAL parity gate until its rotation slot.
+# EMPTY as of r6: the round capped net-new registrations (5) to the
+# leftover slots, per VERDICT r5 item 1 — any r7 registration must
+# either fit the next window's leftover capacity or land here visibly.
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 # Char-trigram language-ID oracle, generated from the SAME profile table

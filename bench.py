@@ -129,6 +129,19 @@ HEADLINE = [
     "dpp_join_events",
     # interpolated bigram LM scoring (two model shuffles + broadcast-back)
     "bigram_logprob",
+    # r6: SemDeDup — exact-k-means fit + within-cluster SRP banding +
+    # exact-cosine rerank over the augmented embedding corpus
+    "dedup_semantic",
+    # r6: two-ingest incremental dedup with the state fold — run 0 pays
+    # the one-time state-table writes, runs 1+ are the amortized screens
+    "dedup_incremental_tworound",
+    # r6: multi-probe fitted IVF (nprobe=3 exact-decimal probe pick)
+    "embedding_knn_ivf_multiprobe",
+    # r6: forced-compression heavy hitters (23k keys vs 100 counters)
+    "heavy_hitters_8gram",
+    # r6: zero-exchange bucketed snapshot diff — run 0 pays the two
+    # snapshot-hash table writes, runs 1+ are the amortized keyed diff
+    "snapshot_diff_bucketed",
 ]
 
 

@@ -1168,8 +1168,14 @@ def embedding_knn_ivf_multiprobe(
     scheduler is a k-row centroid scores sort on the driver-sized
     centroid table — the scan/recall dial with no index rebuild."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, cent, comp = _kmeans_exact_fit(emb, k, iterations)
+    assign, _, comp = _kmeans_exact_fit(emb, k, iterations)
     assign = assign.localCheckpoint(eager=True)
+    # final centroids REBUILT over the checkpointed assignment (value-
+    # identical to the fit's own c_{it+1} — the centroid is a function
+    # of the final assignment alone) so the serving plan hangs off the
+    # materialized fit instead of replaying the 3-iteration lineage:
+    # 11 static exchanges → 4 (comp is checkpointed by the fit)
+    cent = _exact_centroids(comp, assign.select("vec_id", "cluster"))
     qdist = (
         comp.filter(F.col("vec_id") == QUERY_VEC_ID)
         .join(cent, "d")

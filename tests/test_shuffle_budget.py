@@ -45,6 +45,9 @@ BUDGETS = {
     # returned plan: broadcast candidate join + exact recount groupBy;
     # the MG candidate pass itself is a zero-shuffle mapInPandas job
     "heavy_hitters_tokens": 1,
+    # same two-pass shape over the mixed 8-gram ∪ token stream — the
+    # forced-compression case keeps the identical returned plan
+    "heavy_hitters_8gram": 1,
     # first-occurrence window + reassembly groupBy; the report join
     # broadcasts at tiny SF (at scale it reuses the doc_id partitioning)
     "dedup_paragraphs": 2,
