@@ -972,6 +972,7 @@ def dedup_semantic(
     k: int = N_CENTROIDS,
     iterations: int = 3,
     threshold: float = SEMANTIC_THRESHOLD,
+    nassign: int = 1,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication — the embedding tier of the
     dedup ladder (exact → n-gram → MinHash → SimHash → semantic): two
@@ -1012,13 +1013,52 @@ def dedup_semantic(
     are the (cluster, tbl, sig) candidate join and the pair distinct.
     Clusters bound candidate generation the way labels did for
     ``embedding_neardup_topk`` — but learned from the data instead of
-    requiring a label column."""
+    requiring a label column.
+
+    ``nassign``: the CLUSTER-SPLIT cure.  With nassign = 1 (the
+    registered default, hash-pinned) a near-dup pair straddling a
+    k-means boundary is structurally invisible — the measured 1-3% of
+    planted pairs (SCALE.md).  nassign > 1 enrolls each vector in its
+    nassign nearest clusters for CANDIDATE GENERATION ONLY (exact-
+    decimal distances to the final centroids, (dist2, cluster) rank —
+    the same scheduler as ``embedding_knn_ivf_multiprobe``, applied at
+    index time), multiplying candidate cost by ≤ nassign while the
+    reported ``cluster`` column stays the primary assignment.
+    nassign = 2 recovers every split pair on this corpus
+    (test_llm_ops.py)."""
     sem = semantic_corpus(spark, sf_dir)
     # the fit is the index build: checkpoint so the banding join and the
     # final report consume one materialized assignment, not two replays
-    assign = _kmeans_exact_assign(sem, k, iterations).localCheckpoint(
-        eager=True
-    )
+    assign, _, comp = _kmeans_exact_fit(sem, k, iterations)
+    assign = assign.localCheckpoint(eager=True)
+    if nassign <= 1:
+        member = assign.select("vec_id", "cluster")
+    else:
+        from pyspark.sql import Window
+
+        cent = _exact_centroids(comp, assign.select("vec_id", "cluster"))
+        dist = (
+            comp.join(cent, "d")
+            .select(
+                "vec_id",
+                "cluster",
+                ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+                .cast("decimal(28,15)")
+                .alias("term"),
+            )
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum("term").alias("dist2"))
+        )
+        member = (
+            dist.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("dist2", "cluster")
+                ),
+            )
+            .filter(F.col("rn") <= nassign)
+            .select("vec_id", "cluster")
+        )
     tagged = _with_srp_sigs(sem, NEARDUP_TABLES)
     sig_structs = F.array(
         *[
@@ -1027,7 +1067,7 @@ def dedup_semantic(
         ]
     )
     keyed = (
-        tagged.join(assign.select("vec_id", "cluster"), "vec_id")
+        tagged.join(member, "vec_id")
         .select("cluster", "vec_id", F.explode(sig_structs).alias("ts"))
         .select(
             "cluster",

@@ -781,6 +781,33 @@ def test_dedup_semantic_disposition_properties(spark):
             )
 
 
+def test_dedup_semantic_multi_assignment_recovers_cluster_splits(spark):
+    """The nassign cure: every planted pair nassign=1 misses is a
+    cluster split (asserted above), and enrolling each vector in its 2
+    nearest clusters for candidate generation must recover ALL of them
+    (500/500 measured at sf0.001 and sf0.01) without losing anything —
+    the flagged set strictly grows, dup_of stays the twin, and the
+    reported cluster column stays the primary assignment."""
+    r1 = {r["vec_id"]: r for r in S.dedup_semantic(spark, SF_SMOKE).collect()}
+    r2 = {
+        r["vec_id"]: r
+        for r in S.dedup_semantic(spark, SF_SMOKE, nassign=2).collect()
+    }
+    planted = [v for v in r1 if v >= 100000]
+    flagged1 = {v for v in planted if not r1[v]["kept"]}
+    flagged2 = {v for v in planted if not r2[v]["kept"]}
+    assert flagged1 < flagged2 or (
+        flagged1 == flagged2 == set(planted)
+    ), "nassign=2 must recover split pairs (or nothing was split)"
+    assert flagged2 == set(planted), (
+        f"nassign=2 still misses {sorted(set(planted) - flagged2)}"
+    )
+    assert all(r2[v]["dup_of"] == v - 100000 for v in flagged2)
+    assert all(r2[v]["cluster"] == r1[v]["cluster"] for v in r1), (
+        "multi-assignment must not change the reported primary cluster"
+    )
+
+
 def test_fuzzy_match_names_equals_brute_force(spark):
     """Recall proof for the full FastSS deletion-neighborhood blocking:
     the blocked pair set must equal the ALL-PAIRS levenshtein==1 set
