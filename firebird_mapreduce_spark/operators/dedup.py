@@ -744,17 +744,7 @@ def dedup_incremental_bucketed(
         .select("band", "sig")
         .distinct(),
     )
-    exact = new_batch.select(
-        "doc_id", F.md5("text").alias("h")
-    ).join(corpus_hashes.withColumn("exact_hit", F.lit(True)), "h", "left")
-    near = (
-        banded_signatures(new_batch, k, bands)
-        .join(corpus_bands, ["band", "sig"])
-        .select("doc_id")
-        .distinct()
-        .withColumn("near_hit", F.lit(True))
-    )
-    return _disposition_report(exact, near)
+    return _screen_batch(new_batch, corpus_hashes, corpus_bands, k, bands)
 
 
 def _delete_char(name, pos):

@@ -207,13 +207,16 @@ def compact_files(
     through a table-format commit instead).  The pass is crash-safe for
     the *data*: on entry it recovers a ``<path>_compact_old`` stranded by
     a prior crash (restoring it if the second rename never landed,
-    deleting it if it did), so a rerun always starts clean.  Single-writer
-    is ENFORCED, not assumed: the whole pass — including the crash
-    recovery, which would otherwise race a concurrent invocation's
-    in-flight tmp/old directories — runs under an ``O_EXCL``
-    ``<path>_compact.lock`` (the ``versioned.py`` pattern: pid@host
-    recorded for staleness diagnosis), so a second concurrent compaction
-    of the same path fails loudly with ``ConcurrentCommitError`` instead
+    deleting it if it did) — though a crash that ALSO orphans the lock
+    below needs that lock removed first (the error reports whether its
+    holder is still alive, so that is an informed delete).
+    Single-writer is ENFORCED, not assumed: the whole pass — including
+    the crash recovery, which would otherwise race a concurrent
+    invocation's in-flight tmp/old directories — runs under an
+    ``O_EXCL`` ``<path>_compact.lock`` (the ``versioned.py`` pattern:
+    pid@host recorded, holder liveness probed by the shared
+    ``_describe_lock_holder``), so a second concurrent compaction of
+    the same path fails loudly with ``ConcurrentCommitError`` instead
     of corrupting the first one's recovery state.
     """
     import math
@@ -221,19 +224,18 @@ def compact_files(
     import shutil
     import socket
 
-    from ..sources.versioned import ConcurrentCommitError
+    from ..sources.versioned import (
+        ConcurrentCommitError,
+        VersionedParquetTable,
+    )
 
     lock = path.rstrip("/") + "_compact.lock"
     try:
         lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        try:
-            with open(lock) as fh:
-                holder = fh.read().strip() or "unknown"
-        except OSError:
-            holder = "unknown"
         raise ConcurrentCommitError(
-            f"another compaction holds {lock} (holder: {holder}); "
+            f"another compaction holds {lock} "
+            f"({VersionedParquetTable._describe_lock_holder(lock)}); "
             "compact_files is single-writer per path — delete the lock "
             "only if the holder is dead"
         ) from None

@@ -219,6 +219,70 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_TABLES = 8
 
 
+def _banded_candidate_pairs(
+    tagged: DataFrame, block_col: str, n_tables: int
+) -> DataFrame:
+    """Distinct candidate pairs sharing (block, table, SRP signature) —
+    the banding contract shared by ``embedding_neardup_topk`` (block =
+    the given ``label``) and ``dedup_semantic`` (block = the learned
+    k-means cluster).  ``tagged`` carries ``vec_id``, ``block_col`` and
+    the ``sig_0..sig_{L-1}`` columns from ``_with_srp_sigs``."""
+    sig_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig"))
+            for t in range(n_tables)
+        ]
+    )
+    keyed = tagged.select(
+        F.col(block_col).alias("blk"), "vec_id", F.explode(sig_structs).alias("ts")
+    ).select(
+        "blk", "vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+    )
+    a = keyed.select("blk", "tbl", "sig", F.col("vec_id").alias("a_id"))
+    b = keyed.select("blk", "tbl", "sig", F.col("vec_id").alias("b_id"))
+    return (
+        a.join(b, ["blk", "tbl", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def _rerank_candidate_pairs(cand: DataFrame, vectors: DataFrame) -> DataFrame:
+    """Exact-cosine scores (rounded 6 dp) for candidate (a_id, b_id)
+    pairs — the shared rerank tail.  Zero-norm vectors have no cosine:
+    exclude them on BOTH engines (left as a NULL-vs-NaN asymmetry,
+    Spark's desc sort puts NULL last while DuckDB sorts NaN first — a
+    guaranteed hash mismatch the moment a zero vector shares a
+    bucket)."""
+    normed = vectors.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    av = normed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    bv = normed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    return (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+
 def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked near-duplicate mining, SUB-QUADRATIC within blocks: the 50
     most-similar candidate pairs where candidates share a ``label`` AND an
@@ -251,55 +315,8 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "vec_id", "embedding"
     )
     tagged = _with_srp_sigs(emb, NEARDUP_TABLES)
-    sig_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig")
-            )
-            for t in range(NEARDUP_TABLES)
-        ]
-    )
-    keyed = tagged.select(
-        "label", "vec_id", F.explode(sig_structs).alias("ts")
-    ).select("label", "vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
-    a = keyed.select("label", "tbl", "sig", F.col("vec_id").alias("a_id"))
-    b = keyed.select("label", "tbl", "sig", F.col("vec_id").alias("b_id"))
-    cand = (
-        a.join(b, ["label", "tbl", "sig"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    # zero-norm vectors have no cosine: exclude them from the rerank on
-    # BOTH engines (left as a NULL-vs-NaN asymmetry, Spark's desc sort
-    # puts NULL last while DuckDB sorts NaN first — a guaranteed hash
-    # mismatch the moment a zero vector shares a bucket)
-    normed = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    ).filter(F.col("nrm") > 0)
-    av = normed.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_vec"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    bv = normed.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_vec"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    pairs = (
-        cand.join(av, "a_id")
-        .join(bv, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                dot(F.col("a_vec"), F.col("b_vec"))
-                / (F.col("a_nrm") * F.col("b_nrm")),
-                6,
-            ).alias("sim"),
-        )
-    )
+    cand = _banded_candidate_pairs(tagged, "label", NEARDUP_TABLES)
+    pairs = _rerank_candidate_pairs(cand, emb.select("vec_id", "embedding"))
     return pairs.orderBy(
         F.col("sim").desc(), F.col("a_id").asc(), F.col("b_id").asc()
     ).limit(50)
@@ -763,15 +780,18 @@ def _exact_centroids(comp: DataFrame, assign: DataFrame) -> DataFrame:
 
 def _kmeans_exact_fit(
     emb: DataFrame, k: int = N_CENTROIDS, iterations: int = 3
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """The bit-reproducible Lloyd's schedule, returning the pieces its
-    consumers compose: ``(assignments, final_centroids, comp)`` where
-    assignments = (vec_id, cluster, dist2) after ``iterations``
-    exact-decimal rounds from the deterministic ``vec_id % k`` seed,
-    final_centroids = (cluster, d, m) RECOMPUTED over the final
-    assignment (the c_{iterations+1} table a probe scheduler scores
-    against — lazy, so callers that ignore it pay nothing), and comp =
-    the 6-dp-quantized exploded components (checkpointed once, shared).
+    consumers compose: ``(assignments, comp)`` where assignments =
+    (vec_id, cluster, dist2) after ``iterations`` exact-decimal rounds
+    from the deterministic ``vec_id % k`` seed, and comp = the
+    6-dp-quantized exploded components (checkpointed once, shared).
+    Consumers that need the FINAL centroids (the c_{iterations+1} table
+    a probe scheduler scores against) derive them as
+    ``_exact_centroids(comp, assignments)`` AFTER checkpointing the
+    assignment — deliberately not returned here, because the in-loop
+    variant would replay the whole iteration lineage in the serving
+    plan (measured 11 → 2 static exchanges in the multiprobe query).
     See ``embedding_kmeans_exact``'s docstring for why every reduction
     is order-independent (decimal sums, struct-min tie-breaks)."""
     comp = (
@@ -808,7 +828,7 @@ def _kmeans_exact_fit(
         F.col("s.cluster").alias("cluster"),
         F.col("s.dist2").alias("dist2"),
     )
-    return final, _exact_centroids(comp, assign), comp
+    return final, comp
 
 
 def _kmeans_exact_assign(
@@ -1029,7 +1049,7 @@ def dedup_semantic(
     sem = semantic_corpus(spark, sf_dir)
     # the fit is the index build: checkpoint so the banding join and the
     # final report consume one materialized assignment, not two replays
-    assign, _, comp = _kmeans_exact_fit(sem, k, iterations)
+    assign, comp = _kmeans_exact_fit(sem, k, iterations)
     assign = assign.localCheckpoint(eager=True)
     if nassign <= 1:
         member = assign.select("vec_id", "cluster")
@@ -1059,56 +1079,11 @@ def dedup_semantic(
             .filter(F.col("rn") <= nassign)
             .select("vec_id", "cluster")
         )
-    tagged = _with_srp_sigs(sem, NEARDUP_TABLES)
-    sig_structs = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig"))
-            for t in range(NEARDUP_TABLES)
-        ]
-    )
-    keyed = (
-        tagged.join(member, "vec_id")
-        .select("cluster", "vec_id", F.explode(sig_structs).alias("ts"))
-        .select(
-            "cluster",
-            "vec_id",
-            F.col("ts.tbl").alias("tbl"),
-            F.col("ts.sig").alias("sig"),
-        )
-    )
-    a = keyed.select("cluster", "tbl", "sig", F.col("vec_id").alias("a_id"))
-    b = keyed.select("cluster", "tbl", "sig", F.col("vec_id").alias("b_id"))
-    cand = (
-        a.join(b, ["cluster", "tbl", "sig"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    # zero-norm guard: same NULL-vs-NaN asymmetry as embedding_neardup_topk
-    normed = sem.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    ).filter(F.col("nrm") > 0)
-    av = normed.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_vec"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    bv = normed.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_vec"),
-        F.col("nrm").alias("b_nrm"),
-    )
+    tagged = _with_srp_sigs(sem, NEARDUP_TABLES).join(member, "vec_id")
+    cand = _banded_candidate_pairs(tagged, "cluster", NEARDUP_TABLES)
     matched = (
-        cand.join(av, "a_id")
-        .join(bv, "b_id")
-        .filter(
-            F.round(
-                dot(F.col("a_vec"), F.col("b_vec"))
-                / (F.col("a_nrm") * F.col("b_nrm")),
-                6,
-            )
-            >= F.lit(threshold)
-        )
+        _rerank_candidate_pairs(cand, sem)
+        .filter(F.col("sim") >= F.lit(threshold))
         .groupBy("b_id")
         .agg(F.min("a_id").alias("dup_of"))
         .withColumnRenamed("b_id", "vec_id")
@@ -1208,7 +1183,7 @@ def embedding_knn_ivf_multiprobe(
     scheduler is a k-row centroid scores sort on the driver-sized
     centroid table — the scan/recall dial with no index rebuild."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, _, comp = _kmeans_exact_fit(emb, k, iterations)
+    assign, comp = _kmeans_exact_fit(emb, k, iterations)
     assign = assign.localCheckpoint(eager=True)
     # final centroids REBUILT over the checkpointed assignment (value-
     # identical to the fit's own c_{it+1} — the centroid is a function

@@ -39,9 +39,18 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
+    from firebird_mapreduce_spark.operators.similarity import (
+        N_CENTROIDS,
+    )
+
     for sf_dir in dirs:
         exact = [r.vec_id for r in embedding_knn(spark, sf_dir).collect()]
         n = load_table(spark, sf_dir, "embeddings").count()
+        # ONE fit per sf_dir, reused by the probe accounting and the
+        # nprobe sweep (the exact schedule is the tool's slowest stage)
+        assign = _kmeans_exact_assign(
+            load_table(spark, sf_dir, "embeddings")
+        ).localCheckpoint(eager=True)
         for name, fn in (
             ("ivf_standin", embedding_knn_ivf),
             ("ivf_fitted", embedding_knn_ivf_fitted),
@@ -49,9 +58,6 @@ def main() -> int:
             got = [r.vec_id for r in fn(spark, sf_dir).collect()]
             recall = len(set(exact) & set(got)) / len(exact)
             if name == "ivf_fitted":
-                assign = _kmeans_exact_assign(
-                    load_table(spark, sf_dir, "embeddings")
-                )
                 qc = (
                     assign.filter(F.col("vec_id") == QUERY_VEC_ID)
                     .select("cluster")
@@ -66,25 +72,17 @@ def main() -> int:
         # scheduler (nprobe=1 probes the query-NEAREST centroid, which
         # can differ from ivf_fitted's own-cluster rule on boundary
         # queries — both shown so the scheduler's effect is visible)
-        assign = _kmeans_exact_assign(load_table(spark, sf_dir, "embeddings"))
-        sizes = {
-            r["cluster"]: r["n"]
-            for r in assign.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
         for nprobe in (1, 2, 3, 4):
             got_rows = embedding_knn_ivf_multiprobe(
                 spark, sf_dir, nprobe=nprobe
             ).collect()
             got = [r.vec_id for r in got_rows]
             recall = len(set(exact) & set(got)) / len(exact)
-            # scanned = members of the probed clusters; recompute probes
-            # from the same (dist2, cluster) rule is overkill here — the
-            # scan fraction is ~nprobe/k by construction, report exact
+            # scan fraction is ~nprobe/k by construction (each probe is
+            # one of the k cells)
             print(
                 f"{sf_dir} ivf_multiprobe nprobe={nprobe}: "
-                f"recall@10={recall:.2f} (~{nprobe}/{len(sizes)} of corpus)"
+                f"recall@10={recall:.2f} (~{nprobe}/{N_CENTROIDS} of corpus)"
             )
     return 0
 

@@ -112,12 +112,14 @@ def measure(sf_dir: str) -> None:
             start = 0
             for e in range(1, len(order) + 1):
                 if e == len(order) or svals[e] != svals[start]:
+                    # no bucket-size cap: the real pipeline has none, and
+                    # a silent cap here would under-report exactly the
+                    # hot-bucket pairs dedup targets
                     bucket = order[start:e]
-                    if 1 < len(bucket) <= 4096:
-                        for x in range(len(bucket)):
-                            for y in range(x + 1, len(bucket)):
-                                a, b = ids[bucket[x]], ids[bucket[y]]
-                                cand.add((min(a, b), max(a, b)))
+                    for x in range(len(bucket)):
+                        for y in range(x + 1, len(bucket)):
+                            a, b = ids[bucket[x]], ids[bucket[y]]
+                            cand.add((min(a, b), max(a, b)))
                     start = e
 
     got_pairs = true_pairs & cand
