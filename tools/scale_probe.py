@@ -235,6 +235,136 @@ def shapes(spark):
             ).alias("kept_text"),
         )
 
+    def fastss_keys(n):
+        # r6 fuzzy_match_names core: n BLOCKING-KEY rows (the exploded
+        # unit that actually scales — n//13 synthetic 12-char names ×
+        # (L+1) identity+deletion keys), self-join on the key, a<b,
+        # levenshtein==1 verify, pair distinct.  Synthetic hex names
+        # give near-unique buckets (the non-pathological catalog), and
+        # every 100th name plants a single-deletion variant so matches
+        # are non-vacuous.  Sub-quadratic claim under test: wall grows
+        # with Σ|bucket|² ≈ key rows, never (n//13)².
+        names = spark.range(n // 13).select(
+            F.col("id").alias("k"),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 12).alias(
+                "name"
+            ),
+        )
+        planted = names.filter(F.col("k") % 100 == 0).select(
+            (F.col("k") + n).alias("k"),
+            F.concat(
+                F.substring("name", 1, 4), F.substring("name", 6, 7)
+            ).alias("name"),
+        )
+        cat = names.unionByName(planted)
+        keyed = cat.select(
+            "k",
+            "name",
+            F.explode(
+                F.array_distinct(
+                    F.concat(
+                        F.array(F.col("name")),
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("name")),
+                            lambda i: F.concat(
+                                F.substr(F.col("name"), F.lit(1), i - F.lit(1)),
+                                F.substr(F.col("name"), i + F.lit(1)),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("bkey"),
+        )
+        a = keyed.select(
+            F.col("k").alias("ak"), F.col("name").alias("an"), "bkey"
+        )
+        b = keyed.select(
+            F.col("k").alias("bk"), F.col("name").alias("bn"), "bkey"
+        )
+        return (
+            a.join(b, "bkey")
+            .filter(F.col("ak") < F.col("bk"))
+            .filter(F.levenshtein("an", "bn") == 1)
+            .select("ak", "bk")
+            .distinct()
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("pairs"))
+        )
+
+    def semantic_candidates(n):
+        # r6 dedup_semantic core (post-fit, post-signature): n (vector,
+        # table) key rows — n//8 vectors × 8 SRP tables, synthetic 8-bit
+        # sigs — self-join on (cluster, tbl, sig), a<b, pair distinct.
+        # The banding join is THE data-sized shuffle of the operator;
+        # candidates ≈ Σ|bucket|² with bucket ≈ vectors/(clusters·256).
+        # The CLUSTER COUNT SCALES WITH N (v/1000, the SemDeDup/IVF
+        # deployment rule: k grows with corpus so cells stay
+        # bounded-size) — a first cut of this probe fixed clusters at
+        # 1000 and candidate volume went quadratic by 100M rows, which
+        # is precisely the mis-sized-index failure the rule prevents;
+        # with scaling clusters, candidates ≈ 15·vectors stays linear.
+        v = n // 8
+        n_clusters = max(1000, v // 1000)
+        keyed = (
+            spark.range(v)
+            .select(
+                F.col("id").alias("vid"),
+                (F.col("id") % n_clusters).alias("cluster"),
+            )
+            .select(
+                "vid", "cluster", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("tbl")
+            )
+            .select(
+                "vid",
+                "cluster",
+                "tbl",
+                ((F.col("vid") * 2654435761 + F.col("tbl") * 40503) % 256).alias(
+                    "sig"
+                ),
+            )
+        )
+        a = keyed.select("cluster", "tbl", "sig", F.col("vid").alias("a_id"))
+        b = keyed.select("cluster", "tbl", "sig", F.col("vid").alias("b_id"))
+        return (
+            a.join(b, ["cluster", "tbl", "sig"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("candidates"))
+        )
+
+    def snapshot_diff_hash(n):
+        # r6 snapshot_diff core: two n//2-row snapshots reduced to
+        # (key, 32-hex content hash), ONE keyed full-outer join, change
+        # classification — the join carries 2 columns per side no matter
+        # how wide the table; 1% planted mutations keep the output real.
+        def side(mutate):
+            content = (F.col("id") % 1000).cast("string")
+            if mutate:
+                content = F.when(
+                    F.col("id") % 101 == 0, F.lit("mutated")
+                ).otherwise(content)
+            return spark.range(n // 2).select(
+                F.col("id").alias("k"), F.md5(content).alias("h")
+            )
+
+        ah = side(False).withColumnRenamed("h", "ha")
+        bh = side(True).withColumnRenamed("h", "hb")
+        j = ah.join(bh, "k", "full_outer")
+        return (
+            j.select(
+                F.when(F.col("ha").isNull(), "inserted")
+                .when(F.col("hb").isNull(), "deleted")
+                .when(F.col("ha") != F.col("hb"), "changed")
+                .otherwise("unchanged")
+                .alias("ct")
+            )
+            .filter(F.col("ct") != "unchanged")
+            .groupBy("ct")
+            .count()
+        )
+
     return {
         "agg_100keys": agg,
         "shuffle_join": shuffle_join,
@@ -248,6 +378,9 @@ def shapes(spark):
         "funnel_stages": funnel_stages,
         "fingerprint_sum": fingerprint_sum,
         "paragraph_dedup": paragraph_dedup,
+        "fastss_keys": fastss_keys,
+        "semantic_candidates": semantic_candidates,
+        "snapshot_diff_hash": snapshot_diff_hash,
     }
 
 
