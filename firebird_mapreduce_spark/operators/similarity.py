@@ -841,6 +841,53 @@ def _kmeans_exact_assign(
     return _kmeans_exact_fit(emb, k, iterations)[0]
 
 
+def _quantized_components(emb: DataFrame) -> DataFrame:
+    """The 6-dp-quantized exploded (vec_id, d, v) components — the
+    relational form every exact-k-means consumer scores against.  A
+    cheap per-row projection (posexplode + round), recomputable on
+    demand; ``_kmeans_exact_fit`` checkpoints its own copy because the
+    ITERATION rescans it, but post-fit consumers (probe scheduling,
+    multi-assignment) don't need that materialization."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "vf")
+    ).select("vec_id", "d", F.round(F.col("vf").cast("double"), 6).alias("v"))
+
+
+def ensure_kmeans_exact_table(
+    spark: SparkSession,
+    sf_dir: str,
+    source_name: str,
+    emb: DataFrame,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+) -> DataFrame:
+    """The exact-k-means assignment PERSISTED as a bucketed warehouse
+    table — "the fit is the one-time index build" made literal: the
+    first call per (corpus, source, k, iterations) runs the
+    bit-reproducible Lloyd's schedule and writes (vec_id, cluster,
+    dist2) ``bucketBy(8, vec_id)``; every subsequent consumer — the
+    cluster summary, both fitted-IVF probes, SemDeDup's banding join —
+    READS the index instead of refitting (the ``dedup_exact_bucketed``
+    pay-once machinery; idempotent via the embeddings content tag, so a
+    regenerated corpus refits and stale indexes are dropped).  The fit
+    is deterministic (that is the whole point of the exact-decimal
+    schedule), so cached and recomputed assignments are identical —
+    pinned in test_llm_ops.py.  ``source_name`` keys the augmentation
+    variant ("raw" vs the planted "sem" corpus), which the content tag
+    alone cannot see because both derive from the same parquet."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    tag = corpus_tag(sf_dir, "embeddings")
+    return ensure_bucketed_table(
+        spark,
+        f"kmx_{source_name}_{k}x{iterations}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: _kmeans_exact_fit(emb, k, iterations)[0],
+    )
+
+
 def embedding_kmeans_exact(
     spark: SparkSession,
     sf_dir: str,
@@ -872,8 +919,9 @@ def embedding_kmeans_exact(
     oracle-comparable spelling; the 100 TB serving path remains
     ``kmeans_fit`` (array columns + broadcast centroids, float sums) —
     exactness here is what certifies that path's algorithm."""
-    final = _kmeans_exact_assign(
-        load_table(spark, sf_dir, "embeddings"), k, iterations
+    final = ensure_kmeans_exact_table(
+        spark, sf_dir, "raw", load_table(spark, sf_dir, "embeddings"), k,
+        iterations,
     )
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
@@ -912,12 +960,10 @@ def embedding_knn_ivf_fitted(
     ~N/k vectors, and more probes (multi-cluster) buy recall exactly as
     IVF-probe tuning always does."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # one pass for the assignment, reused by both the query-bucket lookup
-    # and the probe filter (localCheckpoint: the fit is the index build,
-    # not something to recompute per action)
-    assign = _kmeans_exact_assign(emb, k, iterations).localCheckpoint(
-        eager=True
-    )
+    # the fit is the index build — read the persisted assignment table
+    # (built once per corpus by ensure_kmeans_exact_table), reused by
+    # both the query-bucket lookup and the probe filter
+    assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
     qcluster = F.broadcast(
         assign.filter(F.col("vec_id") == QUERY_VEC_ID).select("cluster")
     )
@@ -1047,15 +1093,17 @@ def dedup_semantic(
     nassign = 2 recovers every split pair on this corpus
     (test_llm_ops.py)."""
     sem = semantic_corpus(spark, sf_dir)
-    # the fit is the index build: checkpoint so the banding join and the
-    # final report consume one materialized assignment, not two replays
-    assign, comp = _kmeans_exact_fit(sem, k, iterations)
-    assign = assign.localCheckpoint(eager=True)
+    # the fit is the index build — persisted once per corpus ("sem"
+    # keys the augmented source), read by the banding join + the report
+    assign = ensure_kmeans_exact_table(
+        spark, sf_dir, "sem", sem, k, iterations
+    )
     if nassign <= 1:
         member = assign.select("vec_id", "cluster")
     else:
         from pyspark.sql import Window
 
+        comp = _quantized_components(sem)
         cent = _exact_centroids(comp, assign.select("vec_id", "cluster"))
         dist = (
             comp.join(cent, "d")
@@ -1183,13 +1231,13 @@ def embedding_knn_ivf_multiprobe(
     scheduler is a k-row centroid scores sort on the driver-sized
     centroid table — the scan/recall dial with no index rebuild."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, comp = _kmeans_exact_fit(emb, k, iterations)
-    assign = assign.localCheckpoint(eager=True)
-    # final centroids REBUILT over the checkpointed assignment (value-
-    # identical to the fit's own c_{it+1} — the centroid is a function
-    # of the final assignment alone) so the serving plan hangs off the
-    # materialized fit instead of replaying the 3-iteration lineage:
-    # 11 static exchanges → 4 (comp is checkpointed by the fit)
+    # the fit is the persisted index (one build per corpus); the final
+    # centroids are REBUILT over the stored assignment (value-identical
+    # to the fit's own c_{it+1} — the centroid is a function of the
+    # final assignment alone) so the serving plan hangs off the index
+    # table instead of replaying the 3-iteration fit lineage
+    assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
+    comp = _quantized_components(emb)
     cent = _exact_centroids(comp, assign.select("vec_id", "cluster"))
     qdist = (
         comp.filter(F.col("vec_id") == QUERY_VEC_ID)

@@ -781,6 +781,24 @@ def test_dedup_semantic_disposition_properties(spark):
             )
 
 
+def test_kmeans_index_table_equals_fresh_fit(spark):
+    """The persisted exact-k-means index must be row-identical to a
+    fresh run of the fit it caches — the determinism that makes
+    pay-once-and-reuse safe (a nondeterministic fit would make the
+    first caller's luck everyone's answer)."""
+    from firebird_mapreduce_spark.operators.similarity import (
+        _kmeans_exact_fit,
+        ensure_kmeans_exact_table,
+    )
+    from firebird_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cached = ensure_kmeans_exact_table(spark, SF_SMOKE, "raw", emb)
+    fresh = _kmeans_exact_fit(emb)[0]
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(cached) == rows(fresh) and cached.count() > 0
+
+
 def test_dedup_semantic_multi_assignment_recovers_cluster_splits(spark):
     """The nassign cure: every planted pair nassign=1 misses is a
     cluster split (asserted above), and enrolling each vector in its 2
