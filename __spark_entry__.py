@@ -299,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the zero-exchange daily-diff layout its docstring prescribed,
         # now demonstrated (plan pinned in test_bucketing.py)
         "snapshot_diff_bucketed": IG.snapshot_diff_bucketed,
+        # r6: the cluster-split cure as a declared query — each vector
+        # enrolls in its 2 nearest final clusters for candidate
+        # generation; flags every planted pair at every SF measured
+        "dedup_semantic_multiassign": S.dedup_semantic_multiassign,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -313,15 +317,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # in ONE window and _PENDING_NEXT_WINDOW ends the round EMPTY.  Groups:
 # (a) the 27 queries registered after the r5 window was pinned full
 #     (_PENDING_NEXT_WINDOW as of r5) — their FIRST driver rows;
-# (b) the 5 r6 additions — first driver rows, zero deferral;
+# (b) the 6 r6 additions — first driver rows, zero deferral;
 # (c) fuzzy_match_names moved from (a) conceptually: its code ALSO
 #     changed in r6 (full-FastSS keys), so this row is both its first
 #     driver evidence and the post-change check;
-# (d) re-checks of the oldest evidence: 18 of the 19 queries whose only
-#     driver row is r3-era.  The one left to r7 is embedding_kmeans —
-#     rows-only by design, and its bit-reproducible twin
-#     (embedding_kmeans_exact) plus both fitted-IVF compositions carry
-#     r5/r6 hash rows over the same fit code.
+# (d) re-checks of the oldest evidence: 17 of the 19 queries whose only
+#     driver row is r3-era.  The two left to r7 are the rows-only pair
+#     embedding_kmeans (its bit-reproducible twin embedding_kmeans_exact
+#     plus both fitted-IVF compositions carry r5/r6 hash rows over the
+#     same fit code) and approx_percentile_stats (rows-only by design —
+#     the weakest evidence class — displaced by
+#     dedup_semantic_multiassign's FIRST hash row; both keep their r3
+#     rows under the union invariant).
 # Result: every registered query has a post-regeneration driver row in
 # r3 ∪ r4 ∪ r5 ∪ this window, every oracle-backed one a hash row, and
 # every operator whose code changed this round gets fresh driver
@@ -358,6 +365,7 @@ _DRIVER_WINDOW = [
     "fuzzy_match_names",
     # (b) the r6 additions — first driver rows, zero deferral
     "dedup_semantic",
+    "dedup_semantic_multiassign",
     "dedup_incremental_tworound",
     "embedding_knn_ivf_multiprobe",
     "heavy_hitters_8gram",
@@ -379,7 +387,6 @@ _DRIVER_WINDOW = [
     "unpivot_lineitem",
     "ntile_ranks",
     "window_moving_avg",
-    "approx_percentile_stats",
     "lang_id_chargram",
 ]
 
@@ -894,6 +901,9 @@ def oracle_sql() -> dict[str, str]:
         # multi-probe fitted IVF (r6): final-centroid recompute + exact
         # decimal query scores + (dist2, cluster)-ordered 3-cluster probe
         "embedding_knn_ivf_multiprobe": S.KNN_IVF_MULTIPROBE_ORACLE_SQL,
+        # multi-assignment SemDeDup (r6): the same chain with the
+        # QUALIFY-rank-<=2 membership CTEs — the split cure hash-checked
+        "dedup_semantic_multiassign": S.DEDUP_SEMANTIC_MULTIASSIGN_ORACLE_SQL,
         # correlated scalar subquery, written in its decorrelated form on
         # both sides (CTE aggregate + join); filter on the UNROUNDED avg
         "above_avg_balance": """

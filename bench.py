@@ -132,6 +132,8 @@ HEADLINE = [
     # r6: SemDeDup — exact-k-means fit + within-cluster SRP banding +
     # exact-cosine rerank over the augmented embedding corpus
     "dedup_semantic",
+    # r6: the split cure — 2-nearest-cluster membership for candidates
+    "dedup_semantic_multiassign",
     # r6: two-ingest incremental dedup with the state fold — run 0 pays
     # the one-time state-table writes, runs 1+ are the amortized screens
     "dedup_incremental_tworound",

@@ -1148,20 +1148,67 @@ def dedup_semantic(
     )
 
 
+def dedup_semantic_multiassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_semantic`` with ``nassign = 2`` — the cluster-split cure
+    as a DECLARED query: each vector enrolls in its two nearest final
+    clusters for candidate generation (exact-decimal centroid scores,
+    (dist2, cluster) rank), so a near-dup pair straddling a k-means
+    boundary still meets in the runner-up cell.  Flags every planted
+    pair at every SF measured where single-assignment loses the 1-3%
+    boundary stragglers (SCALE.md; per-miss analysis in
+    test_llm_ops.py).  The oracle extends the semantic-dedup chain with
+    the identical final-centroid recompute + all-cluster distance +
+    QUALIFY rank ≤ 2 membership, so the cure itself is hash-verified —
+    not just locally asserted.  Candidate cost ≤ 2×; the reported
+    ``cluster`` stays the primary assignment, read from the same
+    persisted index table as the single-assign query."""
+    return dedup_semantic(spark, sf_dir, nassign=2)
+
+
 def _dedup_semantic_oracle_sql(
     k: int = N_CENTROIDS,
     iterations: int = 3,
     threshold: float = SEMANTIC_THRESHOLD,
+    nassign: int = 1,
 ) -> str:
     """DuckDB replica of ``dedup_semantic``: the exact-k-means chain over
     the augmented source, the salted md5-parity SRP banding keyed on
-    (cluster, table, sig), exact-cosine threshold, keep-min-id."""
+    (cluster, table, sig), exact-cosine threshold, keep-min-id.  With
+    ``nassign > 1`` the banding membership comes from the QUALIFY-ranked
+    nassign nearest final centroids (the multi-assignment cure),
+    replaying ``dedup_semantic``'s member table exactly."""
     chain = _kmeans_exact_cte_chain(
         k, iterations, source="sem", prefix=f"sem AS ({SEMANTIC_CORPUS_SQL}), "
     )
-    return f"""{chain},
+    t = iterations + 1
+    if nassign <= 1:
+        extra = ""
+        member = f"SELECT vec_id, cluster FROM a{iterations}"
+    else:
+        # final-centroid recompute + all-cluster exact distances +
+        # QUALIFY rank <= nassign — the multi-assignment member table,
+        # the same CTEs the multiprobe oracle uses for its scheduler
+        extra = f""",
+c{t} AS (
+    SELECT a.cluster, comp.d,
+           CAST(sum(CAST(comp.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM comp JOIN a{iterations} a USING (vec_id)
+    GROUP BY a.cluster, comp.d
+),
+alldist AS (
+    SELECT comp.vec_id, c.cluster,
+           sum(CAST((comp.v - c.m) * (comp.v - c.m) AS DECIMAL(28,15)))
+               AS dist2
+    FROM comp JOIN c{t} c USING (d)
+    GROUP BY comp.vec_id, c.cluster
+)"""
+        member = f"""SELECT vec_id, cluster FROM alldist
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist2, cluster) <= {nassign}"""
+    return f"""{chain}{extra},
+member AS ({member}),
 sigs AS (
-    SELECT s.vec_id, a.cluster, tt.t AS tbl,
+    SELECT s.vec_id, m.cluster, tt.t AS tbl,
            CAST(list_sum(list_transform(range(0, 8), p ->
                CASE WHEN round(list_sum(list_transform(range(0, 64),
                    j -> s.embedding[j+1] *
@@ -1172,7 +1219,7 @@ sigs AS (
                          THEN 1.0 ELSE -1.0 END))), 6) > 0
                THEN CAST(power(2, p) AS BIGINT) ELSE 0 END))
                AS BIGINT) AS sig
-    FROM sem s JOIN a{iterations} a USING (vec_id)
+    FROM sem s JOIN member m USING (vec_id)
     CROSS JOIN range(0, 8) tt(t)),
 cand AS (
     SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -1386,4 +1433,5 @@ ORDER BY sim DESC, a.vec_id LIMIT 10
 KMEANS_EXACT_ORACLE_SQL = _kmeans_exact_oracle_sql()
 KNN_IVF_FITTED_ORACLE_SQL = _knn_ivf_fitted_oracle_sql()
 DEDUP_SEMANTIC_ORACLE_SQL = _dedup_semantic_oracle_sql()
+DEDUP_SEMANTIC_MULTIASSIGN_ORACLE_SQL = _dedup_semantic_oracle_sql(nassign=2)
 KNN_IVF_MULTIPROBE_ORACLE_SQL = _knn_ivf_multiprobe_oracle_sql()
