@@ -1101,31 +1101,50 @@ def dedup_semantic(
     if nassign <= 1:
         member = assign.select("vec_id", "cluster")
     else:
-        from pyspark.sql import Window
+        # multi-assignment enrollment is an INDEX-BUILD artifact (each
+        # vector's nassign nearest final cells), so it is persisted
+        # alongside the assignment with the same pay-once machinery —
+        # deterministic by the exact-decimal scoring + (dist2, cluster)
+        # rank, hash-verified end to end by the multiassign oracle
+        from .relational import corpus_tag, ensure_bucketed_table
 
-        comp = _quantized_components(sem)
-        cent = _exact_centroids(comp, assign.select("vec_id", "cluster"))
-        dist = (
-            comp.join(cent, "d")
-            .select(
-                "vec_id",
-                "cluster",
-                ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
-                .cast("decimal(28,15)")
-                .alias("term"),
+        def build_member() -> DataFrame:
+            from pyspark.sql import Window
+
+            comp = _quantized_components(sem)
+            cent = _exact_centroids(comp, assign.select("vec_id", "cluster"))
+            dist = (
+                comp.join(cent, "d")
+                .select(
+                    "vec_id",
+                    "cluster",
+                    ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+                    .cast("decimal(28,15)")
+                    .alias("term"),
+                )
+                .groupBy("vec_id", "cluster")
+                .agg(F.sum("term").alias("dist2"))
             )
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum("term").alias("dist2"))
-        )
-        member = (
-            dist.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy("dist2", "cluster")
-                ),
+            return (
+                dist.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("vec_id").orderBy(
+                            "dist2", "cluster"
+                        )
+                    ),
+                )
+                .filter(F.col("rn") <= nassign)
+                .select("vec_id", "cluster")
             )
-            .filter(F.col("rn") <= nassign)
-            .select("vec_id", "cluster")
+
+        member = ensure_bucketed_table(
+            spark,
+            f"kmx_member_sem_{k}x{iterations}x{nassign}_",
+            corpus_tag(sf_dir, "embeddings"),
+            8,
+            ["vec_id"],
+            build_member,
         )
     tagged = _with_srp_sigs(sem, NEARDUP_TABLES).join(member, "vec_id")
     cand = _banded_candidate_pairs(tagged, "cluster", NEARDUP_TABLES)
