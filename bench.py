@@ -14,10 +14,19 @@ identical commit), and min-of-N is the standard noise-robust point
 estimate of what the code actually costs.  Round 2's min-of-2 was too
 noisy to compare rounds (its recorded ``dedup_minhash_lsh`` 6.26 s was
 re-measured in round 3 at median 3.79 s / min 3.76 s over 5 runs —
-tools/measure_minhash.py); the output line therefore also carries the
-per-run arrays (``queries_runs``, first run ≈ cold cache, rest warm) and
-the medians (``queries_median``) so future regressions can be separated
-from load spikes without re-running.
+tools/measure_minhash.py); the per-run arrays (``queries_runs``, first
+run ≈ cold cache, rest warm) and the medians (``queries_median``) let
+future regressions be separated from load spikes without re-running.
+
+The stdout line is deliberately COMPACT (min-of-N per query only, no
+separators' whitespace): the round driver records only the LAST 2000
+characters of stdout and json-parses them, so the r5/r6 full payloads —
+per-run arrays for ~58 queries, ~6.7 KB — were tail-truncated and the
+independent BENCH_r{N}.json artifacts carried ``parsed: null`` (VERDICT
+r6, "what's wrong" #1).  The full payload (arrays + medians) is instead
+written to ``BENCH_local_latest.json`` next to this script (override
+with ``SPARK_GRAFT_BENCH_DETAIL``), which each round's CHANGES notes
+snapshot as ``BENCH_r{N}_local.json``.
 """
 
 from __future__ import annotations
@@ -180,8 +189,14 @@ def main() -> None:
         medians[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local_latest.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
@@ -190,11 +205,43 @@ def main() -> None:
                 "queries_median": medians,
                 "queries_runs": per_run,
                 "runs_per_query": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
         )
-    )
+        fh.write("\n")
+    # ONE compact line, ≤2000 chars including the newline (the driver's
+    # stdout capture window) — sanity-checked in tests/test_docs_consistency
+    print(summary_line(total, timings, runs, os.path.basename(detail_path), sf_val))
     spark.stop()
+
+
+def summary_line(total, timings, runs, detail, sf_val) -> str:
+    """The compact stdout JSON line.  Falls back to 2-dp per-query values
+    if the 3-dp spelling would overflow the driver's 2000-char capture
+    (64 per-query entries at worst-case widths sit ~1.9 KB; the guard
+    keeps a future 70-query headline from silently re-truncating)."""
+    import json as _json
+
+    def render(vals):
+        return _json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": vals,
+                "runs_per_query": runs,
+                "detail": detail,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    line = render(timings)
+    if len(line) > 1950:
+        line = render({k: round(v, 2) for k, v in timings.items()})
+    return line
 
 
 if __name__ == "__main__":

@@ -163,7 +163,15 @@ class VersionedParquetTable:
             return f"held by pid {pid} on {host}; liveness unknown from here"
         try:
             os.kill(pid, 0)  # signal 0: existence probe, sends nothing
-            return f"held by pid {pid} on this host, still ALIVE"
+            # a pid existing proves only that SOME process has that pid —
+            # the OS recycles pids, so the original holder may be long
+            # dead with an unrelated process wearing its number; say so
+            # rather than steering an operator away from a stale lock
+            return (
+                f"held by pid {pid} on this host; a process with that pid "
+                "exists (may be the holder, or a recycled pid — verify "
+                "before deleting)"
+            )
         except ProcessLookupError:
             return f"held by pid {pid} on this host, now DEAD (stale lock)"
         except PermissionError:

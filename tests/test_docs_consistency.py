@@ -88,3 +88,22 @@ def test_bench_headline_entries_are_registered():
     queries = entrymod.queries()
     for name in bench.HEADLINE:
         assert name in queries, f"bench entry {name} not in queries()"
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """The driver records only the LAST 2000 chars of bench stdout and
+    json-parses them; r5/r6 shipped ~6.7 KB lines that truncated
+    (VERDICT r6 what's-wrong #1).  Worst-case render of the current
+    HEADLINE set must fit with margin."""
+    import bench
+
+    worst = {name: 999.999 for name in bench.HEADLINE}
+    line = bench.summary_line(
+        99999.999, worst, 5, "BENCH_local_latest.json", 0.1
+    )
+    assert len(line) + 1 <= 2000, f"bench stdout line {len(line)} chars"
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)

@@ -704,7 +704,9 @@ def test_versioned_table_concurrent_commit_fails_loudly(spark, tmp_path):
     host = _socket.gethostname()
     with open(lock, "w") as fh:  # live holder: this very process
         fh.write(f"{_os.getpid()}@{host}")
-    with pytest.raises(ConcurrentCommitError, match="ALIVE"):
+    # the message must hedge: os.kill(pid, 0) proves a process with that
+    # pid exists, not that it is the recorded holder (pids recycle)
+    with pytest.raises(ConcurrentCommitError, match="recycled pid"):
         t.vacuum(keep_last=0)
     with open(lock, "w") as fh:  # dead holder: pid from a spent fork
         pid = _os.fork()
