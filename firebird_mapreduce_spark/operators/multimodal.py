@@ -469,6 +469,285 @@ def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(run, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Image near-dup: perceptual hash (dHash) over decoded pixels — the
+# multimodal tier of the dedup ladder (VERDICT r6 item 1)
+# ---------------------------------------------------------------------------
+
+# dHash geometry: images are 32x32 RGB, mean-pooled 4x4 into an 8x8 grid,
+# hashed as 8 rows x 7 left-to-right comparisons = 56 bits — deliberately
+# under 63 so the packed hash stays positive in a signed BIGINT on both
+# engines (bit 63 would wrap Spark's shiftleft and overflow DuckDB's sum).
+_PHASH_BASE = 256  # base assets: documents with doc_id < this
+_PHASH_SIDE = 32
+_PHASH_GRID = 8
+_PHASH_BITS = 56
+_PHASH_BANDS = 4  # 4 disjoint 14-bit bands
+_PHASH_THRESHOLD = 3  # pairs at Hamming <= 3 are near-dups
+
+
+def _phash_grid(doc_id: int, pert: int) -> list[list[int]]:
+    """The 8x8 block-gray grid for one fixture asset — md5-derived per
+    cell (the ``_srp_weights`` idiom: reproducible on any engine with
+    md5, and DECORRELATED across assets — a first cut used multiplicative
+    hashing of ``seed + bx + 8*by``, whose grids are all shifts of one
+    sequence, putting ~150 unrelated pairs at Hamming 0):
+
+      g(bx,by)  = md5("ph|doc_id|bx|by")[:4 hex] % 200
+      pert 1    = +1 everywhere   (global brightness shift: every strict
+                  comparison is preserved, so the dHash is IDENTICAL —
+                  the invariance that makes dHash a *perceptual* hash)
+      pert 2    = +37 at (bx,by) = (4,3)  (one block retouched: only the
+                  two comparisons that touch the block can flip, so the
+                  Hamming distance to the base is <= 2)
+
+    Values stay in [0, 236] so no perturbation wraps a byte."""
+    import hashlib
+
+    grid = [
+        [
+            int(
+                hashlib.md5(f"ph|{doc_id}|{bx}|{by}".encode()).hexdigest()[:4], 16
+            )
+            % 200
+            for bx in range(8)
+        ]
+        for by in range(8)
+    ]
+    if pert == 1:
+        grid = [[g + 1 for g in row] for row in grid]
+    elif pert == 2:
+        grid[3][4] += 37
+    return grid
+
+
+def _phash_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the perceptual-hash fixture: one 32x32 RGB PNG per
+    asset, pixels constant over each 4x4 block at the ``_phash_grid``
+    gray level (RGB = (g,g,g)), encoded with the cycling filter mode so
+    decode runs every unfilter path.  Assets: every document with
+    doc_id < ``_PHASH_BASE`` contributes a base image (id = doc_id*10);
+    every 4th also a brightness-shifted near-copy (id+1) and every 8th a
+    one-block retouch (id+2) — the planted near-dup classes.  Same
+    idempotence + stale-prune discipline as the PNG/WAV fixtures."""
+    import hashlib
+
+    from ..functions.png import png_encode
+
+    tag = hashlib.md5(f"phash|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"phash_{tag}",
+    )
+    doc_ids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PHASH_BASE)
+        .select("doc_id")
+        .collect()  # tiny fixture id set, not a data path
+    ]
+    assets = [(d * 10, d, 0) for d in doc_ids]
+    assets += [(d * 10 + 1, d, 1) for d in doc_ids if d % 4 == 0]
+    assets += [(d * 10 + 2, d, 2) for d in doc_ids if d % 8 == 0]
+    os.makedirs(out_dir, exist_ok=True)
+    expected = {f"asset_{aid:07d}.png" for aid, _, _ in assets}
+    for name in os.listdir(out_dir):
+        if name.endswith(".png") and name not in expected:
+            os.remove(os.path.join(out_dir, name))
+    for aid, doc_id, pert in assets:
+        grid = _phash_grid(doc_id, pert)
+        rgb = bytearray()
+        for y in range(_PHASH_SIDE):
+            for x in range(_PHASH_SIDE):
+                g = grid[y // 4][x // 4]
+                rgb += bytes((g, g, g))
+        payload = png_encode(_PHASH_SIDE, _PHASH_SIDE, bytes(rgb), filter_mode="mixed")
+        path = os.path.join(out_dir, f"asset_{aid:07d}.png")
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                if fh.read() == payload:
+                    continue
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    return out_dir
+
+
+def phash_hashes(assets: DataFrame, content_col: str = "content") -> DataFrame:
+    """(asset_id, phash): the 56-bit dHash computed FROM DECODED PIXELS —
+    binary payload → PNG parse/inflate/unfilter → per-pixel gray
+    ((r+g+b)//3) → 4x4 mean pooling to the 8x8 grid (integer sum//16) →
+    row-wise left<right comparisons packed little-endian by position
+    (pos = by*7 + bx).  Arrow-batched ``mapInPandas`` with the codec
+    shipped by value (``decode_png_features``'s closure discipline), so
+    the hash is a real decode product, not filename arithmetic."""
+    from pyspark import cloudpickle
+
+    from ..functions import png as _png_module
+
+    cloudpickle.register_pickle_by_value(_png_module)
+    png_decode = _png_module.png_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def hash_one(blob: bytes) -> int:
+            w, h, rgb = png_decode(bytes(blob))
+            gw, gh = w // 4, h // 4
+            grid = [[0] * gw for _ in range(gh)]
+            for by in range(gh):
+                for bx in range(gw):
+                    s = 0
+                    for y in range(by * 4, by * 4 + 4):
+                        base = (y * w + bx * 4) * 3
+                        for x in range(4):
+                            o = base + x * 3
+                            s += (rgb[o] + rgb[o + 1] + rgb[o + 2]) // 3
+                    grid[by][bx] = s // 16
+            ph = 0
+            for by in range(gh):
+                for bx in range(gw - 1):
+                    if grid[by][bx + 1] > grid[by][bx]:
+                        ph |= 1 << (by * (gw - 1) + bx)
+            return ph
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "phash": [hash_one(c) for c in pdf[content_col]],
+                }
+            )
+
+    return assets.mapInPandas(run, schema="asset_id bigint, phash bigint")
+
+
+def phash_pairs(hashes: DataFrame, threshold: int = _PHASH_THRESHOLD) -> DataFrame:
+    """All asset pairs at Hamming distance <= ``threshold`` WITHOUT an
+    all-pairs join: the 56-bit hash splits into ``_PHASH_BANDS`` disjoint
+    14-bit bands and candidates must collide on at least one whole band —
+    with threshold 3 < 4 bands the pigeonhole guarantees a true pair has
+    some untouched band, so recall is 100% by construction (the
+    ``dedup_simhash`` blocking argument at 56 bits).  Candidates are then
+    exactly verified with ``bit_count(xor)`` — all JVM codegen."""
+    width = _PHASH_BITS // _PHASH_BANDS
+    banded = hashes.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("asset_id", "phash", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    a = banded.select(
+        F.col("asset_id").alias("a_id"), F.col("phash").alias("a_hash"), "band", "bval"
+    )
+    b = banded.select(
+        F.col("asset_id").alias("b_id"), F.col("phash").alias("b_hash"), "band", "bval"
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= threshold)
+        .distinct()
+    )
+
+
+def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: IMAGE near-duplicate detection via perceptual hash
+    — the multimodal tier of the dedup ladder (exact → n-gram → MinHash →
+    SimHash → semantic → **perceptual**): on-disk PNGs through the
+    ``binaryFile`` source, REAL decode (inflate + all-five unfilter), a
+    dHash over the mean-pooled gray grid, banded blocking, exact Hamming
+    verification.  Finds every planted near-copy class: the global
+    brightness shift lands at distance 0 (dHash's comparison structure is
+    shift-invariant — the property that makes it perceptual) and the
+    one-block retouch at distance <= 2; unrelated images sit near
+    distance 28 (56 Bernoulli(~.5) bits), so threshold 3 separates
+    cleanly — measured, with banding recall vs brute force, in
+    tools/measure_phash.py / SCALE.md.
+
+    Oracle-checkable end to end because the fixture pixels derive from
+    doc_id arithmetic (``_phash_grid``): the DuckDB twin re-derives every
+    asset's 56-bit hash RELATIONALLY (grid CTE → comparison bits →
+    power-of-two sum) and replays the same band join + Hamming filter —
+    a decoder that misparsed, mis-pooled, or mis-packed hash-mismatches
+    (the ``image_features`` trick, r4, applied to hashing).
+
+    At 100 TB: hashing is a map-only decode pass (bounded Arrow batches
+    over binaryFile splits); the only shuffles are the 4-key-per-asset
+    band join — Σ_bucket |bucket|², never N² — and the pair distinct.
+    The same plan dedups a billion thumbnails: store (asset_id, phash)
+    as a bucketed table and new crawls probe it incrementally exactly
+    like ``dedup_incremental``'s hash screen."""
+    fixture = _phash_fixture_dir(spark, sf_dir)
+    files = read_binary_dir(spark, fixture, glob="*.png")
+    assets = files.select(
+        F.regexp_extract(F.col("path"), r"asset_(\d+)\.png$", 1)
+        .cast("bigint")
+        .alias("asset_id"),
+        "content",
+    )
+    return phash_pairs(phash_hashes(assets))
+
+
+# DuckDB twin of dedup_images_phash: re-derive each asset's 56-bit dHash
+# relationally from the _phash_grid arithmetic (grid CTE -> row-wise
+# comparison bits -> exact power-of-two sum; 2^55 and the 56-bit sum both
+# fit BIGINT), then the same 14-bit band join + Hamming <= 3 verify.
+DEDUP_IMAGES_PHASH_ORACLE_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_PHASH_BASE}),
+assets AS (
+    SELECT doc_id * 10 AS id, doc_id, 0 AS pert FROM ids
+    UNION ALL
+    SELECT doc_id * 10 + 1, doc_id, 1 FROM ids WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id * 10 + 2, doc_id, 2 FROM ids WHERE doc_id % 8 = 0
+),
+grid AS (
+    SELECT a.id, bx.i AS bx, by.i AS by,
+           CAST('0x' || substr(md5('ph|' || CAST(a.doc_id AS VARCHAR) || '|'
+                                  || CAST(bx.i AS VARCHAR) || '|'
+                                  || CAST(by.i AS VARCHAR)), 1, 4) AS BIGINT) % 200
+           + CASE WHEN a.pert = 1 THEN 1
+                  WHEN a.pert = 2 AND bx.i = 4 AND by.i = 3 THEN 37
+                  ELSE 0 END AS g
+    FROM assets a, range(0, {_PHASH_GRID}) bx(i), range(0, {_PHASH_GRID}) by(i)
+),
+hashes AS (
+    SELECT l.id,
+           CAST(sum(CASE WHEN r.g > l.g
+                         THEN CAST(power(2, l.by * 7 + l.bx) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM grid l JOIN grid r ON r.id = l.id AND r.by = l.by AND r.bx = l.bx + 1
+    GROUP BY l.id
+),
+banded AS (
+    SELECT id, phash, b.b AS band,
+           (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384 AS bval
+    FROM hashes, range(0, {_PHASH_BANDS}) b(b)
+)
+SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.id < b.id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_THRESHOLD}
+"""
+
+
 def sample_frames(
     df: DataFrame,
     frame_len: int = 64,

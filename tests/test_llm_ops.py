@@ -879,3 +879,51 @@ def test_fuzzy_match_names_equals_brute_force(spark):
         for r in D.fuzzy_match_names(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_phash_pairs_equal_brute_force_and_planted_classes(spark):
+    """Recall proof for the banded perceptual-hash image dedup: the
+    blocked pair set must equal ALL-PAIRS Hamming <= 3 over hashes
+    recomputed independently in Python from the fixture arithmetic —
+    and contain every planted near-copy class: brightness shifts at
+    distance 0 (dHash's shift invariance) and one-block retouches at
+    distance <= 2, with NO unrelated pair flagged."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    doc_ids = sorted(int(d) for d in docs.doc_id if d < M._PHASH_BASE)
+    assets = [(d * 10, d, 0) for d in doc_ids]
+    assets += [(d * 10 + 1, d, 1) for d in doc_ids if d % 4 == 0]
+    assets += [(d * 10 + 2, d, 2) for d in doc_ids if d % 8 == 0]
+
+    def dhash(doc_id, pert):
+        grid = M._phash_grid(doc_id, pert)
+        ph = 0
+        for by in range(8):
+            for bx in range(7):
+                if grid[by][bx + 1] > grid[by][bx]:
+                    ph |= 1 << (by * 7 + bx)
+        return ph
+
+    hashes = {aid: dhash(d, p) for aid, d, p in assets}
+    ids = sorted(hashes)
+    expected = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= M._PHASH_THRESHOLD
+    }
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in M.dedup_images_phash(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    pairs = {(a, b): h for a, b, h in got}
+    bright = {(d * 10, d * 10 + 1) for d in doc_ids if d % 4 == 0}
+    bumps = {(d * 10, d * 10 + 2) for d in doc_ids if d % 8 == 0}
+    assert bright and bumps, "planting degenerate at this SF"
+    assert all(pairs.get(p) == 0 for p in bright), "brightness not invariant"
+    assert all(pairs.get(p, 99) <= 2 for p in bumps), "retouch pair missed"
+    same_doc = bright | bumps | {(d * 10 + 1, d * 10 + 2) for d in doc_ids if d % 8 == 0}
+    unrelated = set(pairs) - same_doc
+    assert not unrelated, f"unrelated images flagged as near-dups: {unrelated}"
