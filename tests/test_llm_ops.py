@@ -927,3 +927,58 @@ def test_phash_pairs_equal_brute_force_and_planted_classes(spark):
     same_doc = bright | bumps | {(d * 10 + 1, d * 10 + 2) for d in doc_ids if d % 8 == 0}
     unrelated = set(pairs) - same_doc
     assert not unrelated, f"unrelated images flagged as near-dups: {unrelated}"
+
+
+def test_fuzzy_match_names_k2_equals_brute_force(spark):
+    """Recall proof for the depth-2 deletion neighborhood (FastSS k=2):
+    the blocked pair set must equal ALL-PAIRS levenshtein in [1,2] over
+    the same planted catalog — and the expected set must contain
+    length-gap-2 pairs (the double-deletion plants), or the k=2
+    generalization would be vacuously green on a fixed-width catalog."""
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
+        ["c_custkey", "c_name"]
+    ].sort_values("c_custkey")
+    rows = [
+        (int(k), n)
+        for k, n in zip(cust.c_custkey, cust.c_name)
+        if k % 7 == 0  # the sampled catalog (see fuzzy_matching_names_k2)
+    ]
+    for k, n in list(rows):
+        if k % 91 == 0:
+            p = k % len(n)
+            rows.append((k + 1000000, n[:p] + n[p + 1 :]))
+        if k % 77 == 0:
+            p = k % len(n)
+            n1 = n[:p] + n[p + 1 :]
+            q = (k * 7) % len(n1)
+            rows.append((k + 2000000, n1[:q] + n1[q + 1 :]))
+    rows.sort()
+
+    def lev(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(
+                    min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (ka, kb, lev(na, nb))
+        for i, (ka, na) in enumerate(rows)
+        for kb, nb in rows[i + 1 :]
+        if abs(len(na) - len(nb)) <= 2 and 1 <= lev(na, nb) <= 2
+    }
+    gap2 = {(a, b) for a, b, _ in expected if b >= 2000000}
+    assert gap2, "no double-deletion plants in range — planting vacuous"
+    got = {
+        (r["a_custkey"], r["b_custkey"], r["dist"])
+        for r in D.fuzzy_match_names_k2(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
