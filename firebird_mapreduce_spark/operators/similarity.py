@@ -219,6 +219,26 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_TABLES = 8
 
 
+def _sig_keys(tagged: DataFrame, block_col: str, n_tables: int) -> DataFrame:
+    """(blk, tbl, sig, vec_id): one banding key row per (vector, table) —
+    the exploded form both the self-join pair miner
+    (``_banded_candidate_pairs``) and the batch-vs-state membership probe
+    (``dedup_semantic_incremental``) join on, extracted so the bucketing
+    rule cannot drift between them (the ``banded_signatures`` discipline
+    applied to the vector tier)."""
+    sig_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig"))
+            for t in range(n_tables)
+        ]
+    )
+    return tagged.select(
+        F.col(block_col).alias("blk"), "vec_id", F.explode(sig_structs).alias("ts")
+    ).select(
+        "blk", "vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+    )
+
+
 def _banded_candidate_pairs(
     tagged: DataFrame, block_col: str, n_tables: int
 ) -> DataFrame:
@@ -227,17 +247,7 @@ def _banded_candidate_pairs(
     the given ``label``) and ``dedup_semantic`` (block = the learned
     k-means cluster).  ``tagged`` carries ``vec_id``, ``block_col`` and
     the ``sig_0..sig_{L-1}`` columns from ``_with_srp_sigs``."""
-    sig_structs = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig"))
-            for t in range(n_tables)
-        ]
-    )
-    keyed = tagged.select(
-        F.col(block_col).alias("blk"), "vec_id", F.explode(sig_structs).alias("ts")
-    ).select(
-        "blk", "vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
-    )
+    keyed = _sig_keys(tagged, block_col, n_tables)
     a = keyed.select("blk", "tbl", "sig", F.col("vec_id").alias("a_id"))
     b = keyed.select("blk", "tbl", "sig", F.col("vec_id").alias("b_id"))
     return (
@@ -1338,49 +1348,776 @@ def embedding_knn_ivf_multiprobe(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (VERDICT r6 item 3): the memory-bounded candidate
+# representation for ANN at 100 TB — full float64 embeddings are
+# corpus-sized; PQ codes are m small integers per vector.
+# ---------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces (4 dims each over the 64-dim corpus)
+PQ_KSUB = 16  # centroids per sub-codebook -> 4-bit codes, 8 bytes/vector
+PQ_ITERATIONS = 3
+PQ_CANDIDATES = 100  # ADC survivors handed to the exact rerank
+_PQ_INDICATOR = 100.0  # subspace-indicator magnitude (see _pq_subvectors)
+
+
+def _pq_subvectors(emb: DataFrame, m: int = PQ_M) -> DataFrame:
+    """The derived sub-vector relation ONE exact-k-means fit trains all
+    ``m`` sub-codebooks on: row (vec_id·m + s) carries subspace ``s``'s
+    64/m-dim slice plus one INDICATOR component ``s·100`` — cross-
+    subspace squared distance then starts at 100² ≫ any within-subspace
+    distance on unit-norm data, and the ``sub_id % (m·ksub)`` seed puts
+    only same-subspace rows in each initial cluster (sub_id ≡ c mod m·ksub
+    ⇒ sub_id ≡ c mod m), so every cluster is subspace-pure at round 0 and
+    provably stays pure through Lloyd's — one fit, m independent
+    codebooks, no per-subspace driver loop (purity pinned in
+    test_llm_ops.py)."""
+    d_sub = 64 // m
+    s = F.col("s")
+    slice_cast = F.transform(
+        F.slice(F.col("embedding"), s * d_sub + F.lit(1), d_sub),
+        lambda x: x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("s"),
+    ).select(
+        (F.col("vec_id") * m + s).alias("vec_id"),
+        F.concat(
+            slice_cast, F.array((s * F.lit(_PQ_INDICATOR)).cast("double"))
+        ).alias("embedding"),
+    )
+
+
+def ensure_pq_codes_table(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iterations: int = PQ_ITERATIONS,
+) -> DataFrame:
+    """The PQ CODEBOOK FIT persisted as the index artifact — (sub_id,
+    cluster, dist2) from the exact-decimal schedule over the sub-vector
+    relation, bucketed by sub_id; pay-once per corpus like the coarse
+    k-means index (``ensure_kmeans_exact_table``)."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    tag = corpus_tag(sf_dir, "embeddings")
+    return ensure_bucketed_table(
+        spark,
+        f"kmx_pq_{m}x{ksub}x{iterations}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: _kmeans_exact_fit(_pq_subvectors(emb, m), m * ksub, iterations)[0],
+    )
+
+
+def embedding_knn_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iterations: int = PQ_ITERATIONS,
+    nprobe: int = 3,
+    n_candidates: int = PQ_CANDIDATES,
+) -> DataFrame:
+    """IVF + PRODUCT QUANTIZATION ANN — the memory-bounded serving path
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    2011): at 100 TB the IVF candidate payload cannot be float64 arrays
+    (the index would be corpus-sized); PQ stores each vector as ``m``
+    sub-codebook ids — here 16 4-bit codes = 8 BYTES per vector vs 512
+    (64×; m chose the measured recall knee: 4/8/16 subspaces give
+    0.1/0.4/0.9 full-corpus recall@10 at C=100 on this corpus, the
+    narrower-subspace axis of the PQ trade) — and scores candidates by
+    ASYMMETRIC DISTANCE
+    (ADC): the query precomputes its exact distance to every sub-centroid
+    (an m·ksub-row table), a candidate's approximate distance is the SUM
+    of m lookups, and only the top-``n_candidates`` survivors are
+    exact-cosine reranked against their full vectors.
+
+    Composition of persisted index artifacts, all exact-decimal so the
+    whole pipeline stays oracle-backed:
+
+      coarse   the SAME raw k-means index as every IVF query
+               (``ensure_kmeans_exact_table``) + the multiprobe
+               scheduler picks ``nprobe`` cells by (dist2, cluster);
+      codes    ONE exact fit over the sub-vector relation trains all m
+               sub-codebooks (``_pq_subvectors``'s indicator trick keeps
+               clusters subspace-pure), persisted bucketed by sub_id;
+      ADC      query sub-distances to the FINAL sub-centroids (recomputed
+               from the stored assignment — the multiprobe move), summed
+               per candidate as exact DECIMAL(28,15) so the top-C cut is
+               engine-reproducible, (adc, vec_id)-tie-broken;
+      rerank   exact cosine on the C survivors only, top-10.
+
+    Measured recall@10 vs brute force and vs plain multiprobe IVF, with
+    the candidate-budget curve, in tools/measure_ivfpq.py → SCALE.md —
+    the honest cost of 256× index compression on this corpus.
+
+    At 100 TB: codes live with the coarse index partition
+    (``partitionBy(cluster)``), a query reads nprobe partitions of
+    2-byte codes instead of raw vectors, and only C full vectors are
+    ever fetched — the fetch pattern PQ exists to buy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # coarse index + probe scheduler (shared with embedding_knn_ivf_multiprobe)
+    coarse = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
+    comp = _quantized_components(emb)
+    cent = _exact_centroids(comp, coarse.select("vec_id", "cluster"))
+    qdist = (
+        comp.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .join(cent, "d")
+        .select(
+            "cluster",
+            ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+            .cast("decimal(28,15)")
+            .alias("term"),
+        )
+        .groupBy("cluster")
+        .agg(F.sum("term").alias("dist2"))
+    )
+    probes = (
+        qdist.orderBy(F.col("dist2").asc(), F.col("cluster").asc())
+        .limit(nprobe)
+        .select("cluster")
+    )
+    in_probes = (
+        coarse.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes), "cluster")
+        .select("vec_id")
+    )
+    # PQ codes + final sub-centroids + the query's ADC lookup table
+    sub = _pq_subvectors(emb, m)
+    pq_assign = ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
+    comp_sub = _quantized_components(sub)
+    pq_cent = _exact_centroids(comp_sub, pq_assign.select("vec_id", "cluster"))
+    qd = (
+        comp_sub.filter(F.col("vec_id") < m)  # query sub ids 0..m-1
+        .join(pq_cent, "d")
+        .select(
+            (F.col("vec_id") % m).alias("s"),
+            "cluster",
+            ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+            .cast("decimal(28,15)")
+            .alias("term"),
+        )
+        .groupBy("s", "cluster")
+        .agg(F.sum("term").alias("dist2"))
+    )
+    codes = pq_assign.select(
+        F.expr(f"vec_id div {m}").alias("ovec"),
+        (F.col("vec_id") % m).alias("s"),
+        "cluster",
+    )
+    adc = (
+        codes.join(in_probes, codes["ovec"] == in_probes["vec_id"])
+        .join(F.broadcast(qd), ["s", "cluster"])
+        .groupBy("ovec")
+        .agg(F.sum("dist2").alias("adc"))
+    )
+    cand = adc.orderBy(F.col("adc").asc(), F.col("ovec").asc()).limit(
+        n_candidates
+    )
+    query_vec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.join(emb.select("vec_id", "embedding"), cand["ovec"] == F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def _knn_ivfpq_oracle_sql(
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iterations: int = PQ_ITERATIONS,
+    nprobe: int = 3,
+    n_candidates: int = PQ_CANDIDATES,
+) -> str:
+    """DuckDB replica of ``embedding_knn_ivfpq``: the coarse chain + the
+    prefix-renamed sub-codebook chain side by side, final-centroid
+    recomputes for both, the (dist2, cluster) probe pick, exact-decimal
+    ADC sums with the (adc, vec_id) top-C cut, exact rerank."""
+    d_sub = 64 // m
+    t = iterations + 1
+    pt = pq_iterations + 1
+    coarse = _kmeans_exact_cte_chain(k, iterations)
+    pqsub = f"""pqsub AS (
+    SELECT vec_id * {m} + s.s AS vec_id,
+           list_transform(range(0, {d_sub}),
+               j -> CAST(embedding[s.s * {d_sub} + j + 1] AS DOUBLE))
+           || [CAST(s.s * {_PQ_INDICATOR} AS DOUBLE)] AS embedding
+    FROM embeddings, range(0, {m}) s(s)
+), """
+    pq_chain = _kmeans_exact_cte_chain(
+        m * ksub,
+        pq_iterations,
+        source="pqsub",
+        prefix=pqsub,
+        cte_prefix="pq",
+        with_kw=False,
+    )
+    return f"""{coarse}{pq_chain},
+c{t} AS (
+    SELECT a.cluster, comp.d,
+           CAST(sum(CAST(comp.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM comp JOIN a{iterations} a USING (vec_id)
+    GROUP BY a.cluster, comp.d
+),
+qdc AS (
+    SELECT c.cluster,
+           sum(CAST((comp.v - c.m) * (comp.v - c.m) AS DECIMAL(28,15)))
+               AS dist2
+    FROM comp JOIN c{t} c USING (d)
+    WHERE comp.vec_id = 0
+    GROUP BY c.cluster
+),
+probes AS (SELECT cluster FROM qdc ORDER BY dist2, cluster LIMIT {nprobe}),
+inprobe AS (
+    SELECT a.vec_id FROM a{iterations} a JOIN probes USING (cluster)
+    WHERE a.vec_id <> 0),
+pqc{pt} AS (
+    SELECT a.cluster, comp.d,
+           CAST(sum(CAST(comp.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM pqcomp comp JOIN pqa{pq_iterations} a USING (vec_id)
+    GROUP BY a.cluster, comp.d
+),
+pqqd AS (
+    SELECT comp.vec_id % {m} AS s, c.cluster,
+           sum(CAST((comp.v - c.m) * (comp.v - c.m) AS DECIMAL(28,15)))
+               AS dist2
+    FROM pqcomp comp JOIN pqc{pt} c USING (d)
+    WHERE comp.vec_id < {m}
+    GROUP BY comp.vec_id % {m}, c.cluster
+),
+codes AS (
+    SELECT vec_id // {m} AS ovec, vec_id % {m} AS s, cluster
+    FROM pqa{pq_iterations}),
+adc AS (
+    SELECT c.ovec AS vec_id, sum(q.dist2) AS adc
+    FROM codes c
+    JOIN inprobe i ON i.vec_id = c.ovec
+    JOIN pqqd q ON q.s = c.s AND q.cluster = c.cluster
+    GROUP BY c.ovec),
+cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT {n_candidates}),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT c.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) AS sim
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.vec_id
+CROSS JOIN qv
+ORDER BY sim DESC, c.vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance of the semantic tier (VERDICT r6 item 2): new
+# embedding batches enroll ASSIGN-ONLY into the persisted k-means index,
+# near-dups screen against folded state, and a drift metric says when the
+# assign-only regime has decayed enough to refit.
+# ---------------------------------------------------------------------------
+
+
+def incremental_embedding_batches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(corpus, batch1, batch2): the two-ingest vector universe —
+    ``semantic_corpus``'s planting discipline applied to the daily-crawl
+    shape.  corpus = the raw embeddings (double-cast); batch1
+    (+200000) = near-copies of the even corpus vectors (+0.05 at
+    dimension ``vec_id % d``, cosine ≈ 0.9988 — flagged against day-0
+    state) interleaved with NEGATED odd vectors (cosine −1 to their
+    source on a corpus whose max natural cosine ≈ 0.47: genuinely new,
+    so they SURVIVE and get folded); batch2 (+400000) = near-copies of
+    the even corpus vectors again (+0.05 at ``(vec_id+1) % d``) AND
+    near-copies of batch1's negated survivors (−x with +0.05 at
+    ``vec_id % d``) — the latter are flagged PRECISELY because ingest
+    1's survivors were enrolled, which is the property a stale-index
+    implementation gets wrong.  Perturbations are applied against the
+    original vec_id BEFORE re-idding (two-stage selects — the
+    lateral-alias pitfall ``semantic_corpus`` documents, mirrored as
+    nested subqueries in the oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", as_double.alias("embedding"))
+    d = F.size("embedding")
+    p0 = F.col("vec_id") % d
+    p1 = (F.col("vec_id") + 1) % d
+    pert0 = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == p0, x.cast("double") + F.lit(0.05)).otherwise(
+            x.cast("double")
+        ),
+    )
+    pert1 = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == p1, x.cast("double") + F.lit(0.05)).otherwise(
+            x.cast("double")
+        ),
+    )
+    neg = F.transform(F.col("embedding"), lambda x: -x.cast("double"))
+    negpert = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == p0, -x.cast("double") + F.lit(0.05)).otherwise(
+            -x.cast("double")
+        ),
+    )
+    b1 = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, pert0).otherwise(neg).alias("embedding"),
+    ).select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    b2 = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, pert1).otherwise(negpert).alias("embedding"),
+    ).select((F.col("vec_id") + 400000).alias("vec_id"), "embedding")
+    return corpus, b1, b2
+
+
+def _assign_to_centroids(comp: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign-only enrollment: (vec_id, cluster, dist2) by exact-decimal
+    distance to GIVEN centroids — one broadcast-sized join + argmin, no
+    refit.  The same arithmetic as one ``_kmeans_exact_fit`` round (and
+    the multiprobe scheduler), so enrollment is engine-reproducible."""
+    dist = (
+        comp.join(cent, "d")
+        .select(
+            "vec_id",
+            "cluster",
+            ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+            .cast("decimal(28,15)")
+            .alias("term"),
+        )
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum("term").alias("dist2"))
+    )
+    best = dist.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "cluster")).alias("s")
+    )
+    return best.select(
+        "vec_id",
+        F.col("s.cluster").alias("cluster"),
+        F.col("s.dist2").alias("dist2"),
+    )
+
+
+def _semantic_screen(
+    batch_keys: DataFrame,
+    batch_assign: DataFrame,
+    state_bands: DataFrame,
+    vectors: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """One ingest's screen: batch banding keys probe the state's banding
+    table on (cluster, tbl, sig) — a batch×state MEMBERSHIP join, never a
+    self-join — candidates exact-cosine reranked, each batch vector with
+    any state partner at sim >= threshold flagged dup_of the smallest
+    such id.  Output: (vec_id, cluster, dist2, kept, dup_of)."""
+    cand = (
+        batch_keys.select("blk", "tbl", "sig", F.col("vec_id").alias("b_id"))
+        .join(
+            state_bands.select("blk", "tbl", "sig", F.col("vec_id").alias("a_id")),
+            ["blk", "tbl", "sig"],
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    matched = (
+        _rerank_candidate_pairs(cand, vectors)
+        .filter(F.col("sim") >= F.lit(threshold))
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+        .withColumnRenamed("b_id", "vec_id")
+    )
+    return batch_assign.join(matched, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.round(F.col("dist2").cast("double"), 6).alias("dist2"),
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )
+
+
+def dedup_semantic_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    threshold: float = SEMANTIC_THRESHOLD,
+) -> DataFrame:
+    """TWO consecutive EMBEDDING ingests maintained against the persisted
+    k-means index — ``dedup_incremental_tworound``'s closed loop applied
+    to the vector tier, closing the maintenance gap the r6 verdict named
+    (the index was fit-once but new vectors had no path in short of a
+    full refit):
+
+      enroll    batch vectors are assigned to their nearest FINAL
+                centroid by exact-decimal distance (``_assign_to_
+                centroids`` — the multiprobe scheduler's arithmetic at
+                index time): an O(|batch|·k·d) broadcast join, NO refit;
+      ingest 1  near-copies of corpus vectors (flagged against day-0
+                state) + negated vectors (genuinely new → kept);
+      fold      survivors' banding keys and vectors APPEND into this
+                query's own bucketed state tables (``_ensure_folded_
+                state`` — O(batch) files under the crash-guard marker);
+      ingest 2  near-copies of corpus vectors AND of ingest-1 SURVIVORS
+                — the latter flagged precisely because the fold
+                happened (pinned in test_llm_ops.py against a
+                stale-state screen).
+
+    Output: (ingest, vec_id, cluster, dist2, kept, dup_of) for both
+    batches — dist2 is the enrollment distance, the raw material of the
+    DRIFT metric (``semantic_index_drift``: when the batch's mean
+    enrollment dist2 pulls away from the fit-time mean, assign-only has
+    decayed and a refit is due; assign-vs-refit cost note in SCALE.md).
+
+    The DuckDB oracle replays everything as pure SQL — the exact-k-means
+    chain, the final-centroid recompute, both batch constructions, the
+    salted SRP banding, both screens, and the fold (state2 = corpus ∪
+    ingest-1 survivors) — so the maintenance SEMANTICS are hash-verified
+    even though the oracle has no table mechanics (the tworound
+    contract).
+
+    At 100 TB this is the daily embedding crawl: the index is fit once
+    (``ensure_kmeans_exact_table``), each day's batch enrolls
+    assign-only (broadcast centroids — no shuffle), screens against
+    pre-bucketed band/vector state with batch-side-only exchanges, and
+    appends its survivors' O(batch) state rows."""
+    from .dedup import _ensure_folded_state
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus, b1, b2 = incremental_embedding_batches(spark, sf_dir)
+    # the persisted raw-corpus index — the SAME table every IVF consumer
+    # reads; final centroids recomputed from the stored assignment (the
+    # multiprobe move), lazily checkpointed: both enrollments reuse them
+    assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
+    cent = _exact_centroids(
+        _quantized_components(emb), assign.select("vec_id", "cluster")
+    ).localCheckpoint(eager=False)
+    tag = corpus_tag(sf_dir, "embeddings")
+
+    def corpus_band_rows() -> DataFrame:
+        tagged = _with_srp_sigs(corpus, NEARDUP_TABLES).join(
+            assign.select("vec_id", "cluster"), "vec_id"
+        )
+        return _sig_keys(tagged, "cluster", NEARDUP_TABLES)
+
+    # day-0 state (corpus-only, shared shape with the banding join)
+    v1_bands = ensure_bucketed_table(
+        spark,
+        f"semv_bands_{k}x{iterations}_",
+        tag,
+        8,
+        ["blk", "tbl", "sig"],
+        corpus_band_rows,
+    )
+    v1_vecs = ensure_bucketed_table(
+        spark, "semv_vecs_", tag, 8, ["vec_id"], lambda: corpus
+    )
+
+    a1 = _assign_to_centroids(_quantized_components(b1), cent).localCheckpoint(
+        eager=True
+    )
+    keys1 = _sig_keys(
+        _with_srp_sigs(b1, NEARDUP_TABLES).join(
+            a1.select("vec_id", "cluster"), "vec_id"
+        ),
+        "cluster",
+        NEARDUP_TABLES,
+    )
+    r1 = _semantic_screen(
+        keys1, a1, v1_bands, v1_vecs.unionByName(b1), threshold
+    ).localCheckpoint(eager=True)
+    kept_ids = r1.filter(F.col("kept")).select("vec_id")
+    kept1 = b1.join(kept_ids, "vec_id")
+
+    # the fold: survivors' band keys + vectors appended once, crash-guarded
+    v2_bands = _ensure_folded_state(
+        spark,
+        f"semvf_bands_{k}x{iterations}_",
+        tag,
+        8,
+        ["blk", "tbl", "sig"],
+        corpus_band_rows,
+        lambda: _sig_keys(
+            _with_srp_sigs(kept1, NEARDUP_TABLES).join(
+                a1.select("vec_id", "cluster"), "vec_id"
+            ),
+            "cluster",
+            NEARDUP_TABLES,
+        ),
+    )
+    v2_vecs = _ensure_folded_state(
+        spark,
+        "semvf_vecs_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: corpus,
+        lambda: kept1,
+    )
+
+    a2 = _assign_to_centroids(_quantized_components(b2), cent)
+    keys2 = _sig_keys(
+        _with_srp_sigs(b2, NEARDUP_TABLES).join(
+            a2.select("vec_id", "cluster"), "vec_id"
+        ),
+        "cluster",
+        NEARDUP_TABLES,
+    )
+    r2 = _semantic_screen(
+        keys2, a2, v2_bands, v2_vecs.unionByName(b2), threshold
+    )
+    return r1.select(F.lit(1).alias("ingest"), "*").unionByName(
+        r2.select(F.lit(2).alias("ingest"), "*")
+    )
+
+
+def semantic_index_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    refit_ratio: float = 1.5,
+) -> DataFrame:
+    """The REFIT TRIGGER for the assign-only regime: compare the mean
+    squared enrollment distance of an incoming batch against the
+    fit-time mean stored in the persisted index.  A batch drawn from the
+    fit distribution enrolls at ≈ the fit mean (ingest 1's near-copies
+    do); a drifted batch (here: the negated vectors — a worst-case
+    distribution flip) enrolls measurably farther, and past
+    ``refit_ratio`` the answer is a refit, not more enrollment.
+    Unregistered helper (the declared query is the dedup); asserted
+    directionally in test_llm_ops.py and quantified in SCALE.md."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, b1, _ = incremental_embedding_batches(spark, sf_dir)
+    assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
+    cent = _exact_centroids(
+        _quantized_components(emb), assign.select("vec_id", "cluster")
+    )
+    a1 = _assign_to_centroids(_quantized_components(b1), cent)
+    fit = assign.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.avg(F.col("dist2").cast("double")).alias("fit_mean_dist2"),
+    )
+    batch = a1.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.avg(F.col("dist2").cast("double")).alias("batch_mean_dist2"),
+    )
+    return (
+        fit.crossJoin(batch)
+        .withColumn(
+            "drift_ratio", F.col("batch_mean_dist2") / F.col("fit_mean_dist2")
+        )
+        .withColumn("refit_recommended", F.col("drift_ratio") > refit_ratio)
+    )
+
+
+def _dedup_semantic_incremental_oracle_sql(
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    threshold: float = SEMANTIC_THRESHOLD,
+) -> str:
+    """DuckDB replica of ``dedup_semantic_incremental``: the raw-corpus
+    exact-k-means chain, the final-centroid recompute, both batch
+    constructions (perturb in a subquery, re-id outside — the
+    lateral-alias discipline), exact-decimal assign-only enrollment,
+    salted SRP banding, both membership screens, and the fold as pure
+    SQL (state2 = corpus ∪ ingest-1 survivors)."""
+    chain = _kmeans_exact_cte_chain(k, iterations)
+    t = iterations + 1
+
+    def sigs(src: str, member: str) -> str:
+        return f"""
+    SELECT s.vec_id, m.cluster, tt.t AS tbl,
+           CAST(list_sum(list_transform(range(0, 8), p ->
+               CASE WHEN round(list_sum(list_transform(range(0, 64),
+                   j -> s.embedding[j+1] *
+                        (CASE WHEN substr(md5(tt.t::VARCHAR || '|'
+                                            || p::VARCHAR || '|'
+                                            || j::VARCHAR), 1, 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                         THEN 1.0 ELSE -1.0 END))), 6) > 0
+               THEN CAST(power(2, p) AS BIGINT) ELSE 0 END))
+               AS BIGINT) AS sig
+    FROM {src} s JOIN {member} m USING (vec_id)
+    CROSS JOIN range(0, 8) tt(t)"""
+
+    def enroll(comp: str) -> str:
+        return f"""
+    SELECT vec_id, cluster, dist2 FROM (
+        SELECT cb.vec_id, c.cluster,
+               sum(CAST((cb.v - c.m) * (cb.v - c.m) AS DECIMAL(28,15)))
+                   AS dist2
+        FROM {comp} cb JOIN c{t} c USING (d)
+        GROUP BY cb.vec_id, c.cluster)
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist2, cluster) = 1"""
+
+    def screen(cand: str, vecs: str) -> str:
+        return f"""
+    SELECT c.b_id AS vec_id, min(c.a_id) AS dup_of
+    FROM {cand} c
+    JOIN {vecs} ea ON ea.vec_id = c.a_id
+    JOIN {vecs} eb ON eb.vec_id = c.b_id
+    WHERE list_sum(list_transform(ea.embedding, x -> x*x)) > 0
+      AND list_sum(list_transform(eb.embedding, x -> x*x)) > 0
+      AND round(list_cosine_similarity(ea.embedding, eb.embedding), 6)
+          >= {threshold}
+    GROUP BY c.b_id"""
+
+    return f"""{chain},
+c{t} AS (
+    SELECT a.cluster, comp.d,
+           CAST(sum(CAST(comp.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM comp JOIN a{iterations} a USING (vec_id)
+    GROUP BY a.cluster, comp.d
+),
+corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        AS embedding
+    FROM embeddings
+),
+b1 AS (
+    SELECT vec_id + 200000 AS vec_id, embedding FROM (
+        SELECT vec_id,
+               CASE WHEN vec_id % 2 = 0 THEN
+                   list_transform(range(0, len(embedding)), j ->
+                       CASE WHEN j = vec_id % len(embedding)
+                            THEN CAST(embedding[j+1] AS DOUBLE) + 0.05
+                            ELSE CAST(embedding[j+1] AS DOUBLE) END)
+               ELSE list_transform(embedding, x -> -CAST(x AS DOUBLE)) END
+                   AS embedding
+        FROM embeddings)
+),
+b2 AS (
+    SELECT vec_id + 400000 AS vec_id, embedding FROM (
+        SELECT vec_id,
+               CASE WHEN vec_id % 2 = 0 THEN
+                   list_transform(range(0, len(embedding)), j ->
+                       CASE WHEN j = (vec_id + 1) % len(embedding)
+                            THEN CAST(embedding[j+1] AS DOUBLE) + 0.05
+                            ELSE CAST(embedding[j+1] AS DOUBLE) END)
+               ELSE
+                   list_transform(range(0, len(embedding)), j ->
+                       CASE WHEN j = vec_id % len(embedding)
+                            THEN -CAST(embedding[j+1] AS DOUBLE) + 0.05
+                            ELSE -CAST(embedding[j+1] AS DOUBLE) END)
+               END AS embedding
+        FROM embeddings)
+),
+compb1 AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+    FROM b1
+),
+compb2 AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+    FROM b2
+),
+a_b1 AS ({enroll("compb1")}),
+a_b2 AS ({enroll("compb2")}),
+memc AS (SELECT vec_id, cluster FROM a{iterations}),
+sigc AS ({sigs("corpus", "memc")}),
+sigb1 AS ({sigs("b1", "a_b1")}),
+sigb2 AS ({sigs("b2", "a_b2")}),
+cand1 AS (
+    SELECT DISTINCT s.vec_id AS a_id, b.vec_id AS b_id
+    FROM sigb1 b JOIN sigc s
+      ON s.cluster = b.cluster AND s.tbl = b.tbl AND s.sig = b.sig),
+vecs1 AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1),
+m1 AS ({screen("cand1", "vecs1")}),
+r1 AS (
+    SELECT a.vec_id, a.cluster, round(CAST(a.dist2 AS DOUBLE), 6) AS dist2,
+           m.dup_of IS NULL AS kept, m.dup_of
+    FROM a_b1 a LEFT JOIN m1 m USING (vec_id)),
+kept1 AS (SELECT vec_id FROM r1 WHERE kept),
+state2 AS (
+    SELECT * FROM sigc
+    UNION ALL
+    SELECT s.* FROM sigb1 s JOIN kept1 USING (vec_id)),
+cand2 AS (
+    SELECT DISTINCT s.vec_id AS a_id, b.vec_id AS b_id
+    FROM sigb2 b JOIN state2 s
+      ON s.cluster = b.cluster AND s.tbl = b.tbl AND s.sig = b.sig),
+vecs2 AS (
+    SELECT * FROM corpus
+    UNION ALL
+    SELECT v.* FROM b1 v JOIN kept1 USING (vec_id)
+    UNION ALL
+    SELECT * FROM b2),
+m2 AS ({screen("cand2", "vecs2")}),
+r2 AS (
+    SELECT a.vec_id, a.cluster, round(CAST(a.dist2 AS DOUBLE), 6) AS dist2,
+           m.dup_of IS NULL AS kept, m.dup_of
+    FROM a_b2 a LEFT JOIN m2 m USING (vec_id))
+SELECT 1 AS ingest, * FROM r1
+UNION ALL
+SELECT 2 AS ingest, * FROM r2
+"""
+
+
 def _kmeans_exact_cte_chain(
     k: int = N_CENTROIDS,
     iterations: int = 3,
     source: str = "embeddings",
     prefix: str = "",
+    cte_prefix: str = "",
+    with_kw: bool = True,
 ) -> str:
     """The shared WITH-chain for the exact-k-means oracles: identical
     exploded form, identical decimal quantization points, ``iterations``
     unrolled CTE rounds (centroid → distance → QUALIFY-argmin), same
     struct-order tie-break (ORDER BY dist2, cluster).  Ends at CTE
-    ``a{iterations}`` = (vec_id, cluster, dist2).  ``source`` names the
-    (vec_id, embedding) relation the fit reads — ``prefix`` injects the
-    CTEs that define it when it is not the raw ``embeddings`` view
-    (e.g. the augmented corpus of ``dedup_semantic``)."""
+    ``{cte_prefix}a{iterations}`` = (vec_id, cluster, dist2).  ``source``
+    names the (vec_id, embedding) relation the fit reads — ``prefix``
+    injects the CTEs that define it when it is not the raw ``embeddings``
+    view (e.g. the augmented corpus of ``dedup_semantic``).
+    ``cte_prefix`` renames every chain CTE so TWO independent fits can
+    coexist in one statement (the IVFPQ oracle runs the coarse chain and
+    the sub-codebook chain side by side); ``with_kw=False`` emits a
+    continuation (leading comma body) instead of a full WITH head."""
+    p = cte_prefix
     rounds = "".join(
         f""",
-c{t} AS (
+{p}c{t} AS (
     SELECT a.cluster, comp.d,
            CAST(sum(CAST(comp.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
-    FROM comp JOIN a{t - 1} a USING (vec_id)
+    FROM {p}comp comp JOIN {p}a{t - 1} a USING (vec_id)
     GROUP BY a.cluster, comp.d
 ),
-dist{t} AS (
+{p}dist{t} AS (
     SELECT comp.vec_id, c.cluster,
            sum(CAST((comp.v - c.m) * (comp.v - c.m) AS DECIMAL(28,15)))
                AS dist2
-    FROM comp JOIN c{t} c USING (d)
+    FROM {p}comp comp JOIN {p}c{t} c USING (d)
     GROUP BY comp.vec_id, c.cluster
 ),
-a{t} AS (
-    SELECT vec_id, cluster, dist2 FROM dist{t}
+{p}a{t} AS (
+    SELECT vec_id, cluster, dist2 FROM {p}dist{t}
     QUALIFY row_number() OVER (
         PARTITION BY vec_id ORDER BY dist2, cluster) = 1
 )"""
         for t in range(1, iterations + 1)
     )
-    return f"""
-WITH {prefix}comp AS (
+    head = "\nWITH " if with_kw else ",\n"
+    return f"""{head}{prefix}{p}comp AS (
     SELECT vec_id, generate_subscripts(embedding, 1) AS d,
            round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
     FROM {source}
 ),
-a0 AS (SELECT vec_id, vec_id % {k} AS cluster FROM {source}){rounds}"""
+{p}a0 AS (SELECT vec_id, vec_id % {k} AS cluster FROM {source}){rounds}"""
 
 
 def _kmeans_exact_oracle_sql(k: int = N_CENTROIDS, iterations: int = 3) -> str:
@@ -1454,3 +2191,5 @@ KNN_IVF_FITTED_ORACLE_SQL = _knn_ivf_fitted_oracle_sql()
 DEDUP_SEMANTIC_ORACLE_SQL = _dedup_semantic_oracle_sql()
 DEDUP_SEMANTIC_MULTIASSIGN_ORACLE_SQL = _dedup_semantic_oracle_sql(nassign=2)
 KNN_IVF_MULTIPROBE_ORACLE_SQL = _knn_ivf_multiprobe_oracle_sql()
+DEDUP_SEMANTIC_INCREMENTAL_ORACLE_SQL = _dedup_semantic_incremental_oracle_sql()
+KNN_IVFPQ_ORACLE_SQL = _knn_ivfpq_oracle_sql()

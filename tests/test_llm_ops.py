@@ -982,3 +982,86 @@ def test_fuzzy_match_names_k2_equals_brute_force(spark):
         for r in D.fuzzy_match_names_k2(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_semantic_incremental_fold_flags_survivor_copies(spark):
+    """The maintenance property a stale vector index gets wrong: ingest
+    2's near-copies of ingest-1 SURVIVORS (the +400000 odd ids, perturbed
+    copies of batch1's negated vectors) must be flagged — and their
+    dup_of must point INTO batch1 (ids >= 200000), which is only possible
+    because the survivors' banding keys and vectors were folded into the
+    state between the ingests.  Day-0 corpus state contains no vector
+    within cosine 0.9 of a negated embedding."""
+    rows = S.dedup_semantic_incremental(spark, SF_SMOKE).collect()
+    r1 = [r for r in rows if r["ingest"] == 1]
+    r2 = [r for r in rows if r["ingest"] == 2]
+    assert len(r1) == len(r2) > 0
+    # ingest 1: every negated (odd-source) vector is genuinely new
+    odd1 = [r for r in r1 if (r["vec_id"] - 200000) % 2 == 1]
+    assert odd1 and all(r["kept"] for r in odd1), "negated vectors not new?"
+    # ingest 2, odd class: flagged via the fold, partner inside batch1
+    odd2 = [r for r in r2 if (r["vec_id"] - 400000) % 2 == 1]
+    flagged = [r for r in odd2 if not r["kept"]]
+    assert len(flagged) >= 0.9 * len(odd2), (
+        f"fold probe failed: only {len(flagged)}/{len(odd2)} flagged"
+    )
+    assert all(200000 <= r["dup_of"] < 300000 for r in flagged), (
+        "a flagged survivor-copy matched something other than batch1 state"
+    )
+    # ingest 2, even class: near-copies of corpus vectors — partners are
+    # day-0 corpus ids, EXCEPT when the corpus pair missed banding but the
+    # batch1 even copy both evaded ingest 1's screen (got folded) and
+    # catches here: then the partner is that folded evader (>= 200000),
+    # which is still fold-correct state, not a bug
+    kept1_ids = {r["vec_id"] for r in r1 if r["kept"]}
+    even2 = [r for r in r2 if (r["vec_id"] - 400000) % 2 == 0]
+    even_flagged = [r for r in even2 if not r["kept"]]
+    assert len(even_flagged) >= 0.9 * len(even2)
+    assert all(
+        r["dup_of"] < 100000 or r["dup_of"] in kept1_ids for r in even_flagged
+    )
+
+
+def test_semantic_index_drift_detects_distribution_flip(spark):
+    """The refit trigger: batch1 carries the negated half (a worst-case
+    distribution flip vs the fitted corpus), so its mean enrollment
+    dist2 must sit measurably above the fit-time mean."""
+    row = S.semantic_index_drift(spark, SF_SMOKE).first()
+    assert row["n_fit"] > 0 and row["n_batch"] > 0
+    assert row["batch_mean_dist2"] > row["fit_mean_dist2"], (
+        f"drift invisible: batch {row['batch_mean_dist2']} "
+        f"vs fit {row['fit_mean_dist2']}"
+    )
+    assert row["drift_ratio"] > 1.0
+
+
+def test_pq_codes_subspace_pure_and_rerank_exact(spark):
+    """PQ invariants: (1) the single shared fit never mixes subspaces —
+    every sub-vector's code cluster satisfies cluster % m == subspace
+    (the indicator-dimension argument in _pq_subvectors); (2) the
+    declared query's top-10 similarities are EXACT cosines (the rerank
+    contract): every returned (vec_id, sim) must equal the brute-force
+    score for that vec_id."""
+    from firebird_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pq = S.ensure_pq_codes_table(spark, SF_SMOKE, emb)
+    assert (
+        pq.filter((F.col("vec_id") % S.PQ_M) != (F.col("cluster") % S.PQ_M)).count()
+        == 0
+    )
+    # codes cover every (vector, subspace)
+    n_vecs = emb.count()
+    assert pq.count() == n_vecs * S.PQ_M
+    exact = {
+        r["vec_id"]: r["sim"]
+        for r in S.cosine_topk(
+            emb.filter(F.col("vec_id") != S.QUERY_VEC_ID),
+            S._query_vector(spark, SF_SMOKE, S.QUERY_VEC_ID),
+            k=n_vecs,
+        ).collect()
+    }
+    got = S.embedding_knn_ivfpq(spark, SF_SMOKE).collect()
+    assert len(got) == 10
+    for r in got:
+        assert exact[r["vec_id"]] == r["sim"], "rerank sim is not exact"
