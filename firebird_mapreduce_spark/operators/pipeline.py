@@ -552,6 +552,260 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-width curation funnel — ``curation_pipeline`` with
+    the two stages every real training-data run inserts between dedup
+    and mixing (VERDICT r6 item 5): MinHash NEAR-dedup and a benchmark
+    DECONTAMINATION screen.  One declared query, per-language attrition
+    accounting for all six stages:
+
+      corpus   documents ∪ +200000 exact copies, with the benchmark
+               snippet planted on doc_id % 13 == 0 BEFORE the union
+               (both copies inherit it, so exact-dup pairs survive the
+               plant — the ``contamination_check`` fixture);
+      quality  the C4-style rule gate (``quality_filter_c4``'s exact
+               rounded expressions);
+      unique   exact content dedup, min-id survivorship
+               (``dedup_exact_hash``'s rule);
+      neardup  MinHash-LSH band collisions among the unique survivors
+               (``banded_signatures`` — the same 16-hash/4-band rule as
+               ``dedup_minhash_lsh``), keep-min-id: any survivor that
+               collides with a smaller-id survivor on a full band is
+               dropped (the corpus has natural near-dup pairs, so the
+               stage is non-vacuous — the same pairs
+               ``split_leakage_after_dedup`` clusters);
+      clean    decontamination: drop any doc sharing >= 1 distinct word
+               8-gram with the benchmark (doc 0's raw text — which
+               removes doc 0 itself and every planted %13 doc;
+               ``contamination_check``'s overlap expressions);
+      final    dynamic language-mix downsampling over the clean set
+               (``lang_mix_downsample``'s md5-prefix cuts, rates from
+               the CLEAN per-language counts).
+
+    Output: (lang, n_corpus, n_quality, n_unique, n_neardup, n_clean,
+    n_final, min_final, max_final) — the left-join discipline of
+    ``curation_pipeline`` so a fully-filtered language still reports its
+    zeros.  The oracle replays the whole chain as nested CTEs (the
+    MinHash banding via the shared ``_MINHASH_CTES``), so the
+    INTEGRATION of all six stages is hash-verified, not just the parts.
+
+    Plan shape at 100 TB: quality and planting are map-only; exact dedup
+    one content-hash shuffle; near-dedup one banded self-join over
+    survivors (signature explode is map-side); decontamination a
+    broadcast of the benchmark gram set; mix cuts language-count-sized.
+    The stage frames reuse each other (kept → uniq → nd → clean), so the
+    corpus is scanned twice (funnel path + per-language base counts) —
+    the ``curation_pipeline`` recompute-vs-materialize trade."""
+    from ..functions.hashing import exploded_word_shingles
+    from .dedup import banded_signatures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    probe = docs.filter(F.col("doc_id") == 0).select(
+        F.col("text").alias("probe_text")
+    )
+    planted = docs.crossJoin(F.broadcast(probe)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.substring("probe_text", 1, 80)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    corpus = planted.unionByName(
+        planted.select((F.col("doc_id") + 200000).alias("doc_id"), "text", "lang")
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(toks).cast("long")
+    mwl = F.round(
+        F.length(F.translate(F.col("text"), " ", "")).cast("double") / n_words, 6
+    )
+    stop_ratio = F.round(
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "a", "of", "to", "and"))
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    q = corpus.withColumn(
+        "keep", (n_words >= 30) & (mwl <= 5.0) & (stop_ratio >= 0.03)
+    )
+    kept = q.filter("keep")
+    survivors = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    uniq = survivors.select("doc_id").join(
+        kept.select("doc_id", "text", "lang"), "doc_id"
+    )
+    banded = banded_signatures(uniq.select("doc_id", "text"))
+    nd_dropped = (
+        banded.select(F.col("doc_id").alias("a_id"), "band", "sig")
+        .join(banded.select(F.col("doc_id").alias("b_id"), "band", "sig"),
+              ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    nd = uniq.join(nd_dropped, "doc_id", "left_anti")
+    probe_grams = (
+        exploded_word_shingles(
+            docs.filter(F.col("doc_id") == 0), "doc_id", "text", 8
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        exploded_word_shingles(nd, "doc_id", "text", 8)
+        .join(F.broadcast(probe_grams), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = nd.join(contaminated, "doc_id", "left_anti")
+    counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean"))
+    target = counts.agg(F.min("n_clean").alias("n_target"))
+    cuts = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n_clean",
+        F.floor(
+            F.col("n_target").cast("double") / F.col("n_clean") * F.lit(4294967296.0)
+        ).alias("cut"),
+    )
+    hashv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long")
+    staged = clean.join(F.broadcast(cuts), "lang").withColumn(
+        "fin", hashv < F.col("cut")
+    )
+    base = q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality"),
+    )
+    u_cnt = uniq.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
+    nd_cnt = nd.groupBy("lang").agg(F.count(F.lit(1)).alias("n_neardup"))
+    funnel = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum(F.col("fin").cast("long")).alias("n_final"),
+        F.min(F.when(F.col("fin"), F.col("doc_id"))).alias("min_final"),
+        F.max(F.when(F.col("fin"), F.col("doc_id"))).alias("max_final"),
+    )
+    return (
+        base.join(u_cnt, "lang", "left")
+        .join(nd_cnt, "lang", "left")
+        .join(funnel, "lang", "left")
+        .select(
+            "lang",
+            "n_corpus",
+            "n_quality",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            "min_final",
+            "max_final",
+        )
+    )
+
+
+def curation_pipeline_full_oracle_sql(minhash_ctes: str) -> str:
+    """DuckDB twin of ``curation_pipeline_full`` — caller supplies the
+    shared MinHash banding CTE block (``_MINHASH_CTES`` in the driver
+    registry, formatted over the unique survivors) so the banding rule
+    cannot drift from ``dedup_minhash_lsh``'s oracle."""
+    banding = minhash_ctes.format(docs="SELECT doc_id, text FROM uniqd")
+    return f"""
+        WITH probe AS (SELECT text FROM documents WHERE doc_id = 0),
+        planted AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 13 = 0
+                        THEN d.text || ' ' || substr(p.text, 1, 80)
+                        ELSE d.text END AS text,
+                   d.lang
+            FROM documents d CROSS JOIN probe p),
+        corpus AS (
+            SELECT doc_id, text, lang FROM planted
+            UNION ALL
+            SELECT doc_id + 200000, text, lang FROM planted),
+        q AS (
+            SELECT doc_id, text, lang,
+                   (CAST(len(string_split(lower(text), ' ')) AS BIGINT) >= 30
+                    AND round(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                          / len(string_split(lower(text), ' ')), 6) <= 5.0
+                    AND round(CAST(len(list_filter(
+                              string_split(lower(text), ' '),
+                              t -> t IN ('the','a','of','to','and')))
+                          AS DOUBLE)
+                          / len(string_split(lower(text), ' ')), 6) >= 0.03)
+                       AS keep
+            FROM corpus),
+        kept AS (SELECT * FROM q WHERE keep),
+        surv AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                 FROM kept GROUP BY 1),
+        uniqd AS (SELECT s.doc_id, k.text, k.lang
+                  FROM surv s JOIN kept k USING (doc_id)),
+        {banding},
+        nddrop AS (
+            SELECT DISTINCT b.doc_id
+            FROM banded a JOIN banded b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        nd AS (SELECT * FROM uniqd
+               WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+        pg AS (
+            SELECT DISTINCT g AS shingle FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                           i -> array_to_string(t[i:i+7], ' '))) AS g
+                FROM (SELECT string_split(lower(text), ' ') AS t
+                      FROM documents WHERE doc_id = 0))),
+        contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                           i -> array_to_string(t[i:i+7], ' '))) AS g
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                      FROM nd)) x
+            JOIN pg ON x.g = pg.shingle),
+        clean AS (SELECT * FROM nd
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        counts AS (SELECT lang, count(*) AS n_clean FROM clean GROUP BY lang),
+        cuts AS (
+            SELECT lang,
+                   CAST(floor(
+                        CAST((SELECT min(n_clean) FROM counts) AS DOUBLE)
+                        / n_clean * 4294967296.0) AS BIGINT) AS cut
+            FROM counts),
+        staged AS (
+            SELECT c.lang, c.doc_id,
+                   (CAST('0x' || substr(
+                        md5('mix|' || CAST(c.doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) < k.cut) AS fin
+            FROM clean c JOIN cuts k USING (lang)),
+        base AS (
+            SELECT lang, count(*) AS n_corpus,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_quality
+            FROM q GROUP BY lang),
+        ucnt AS (SELECT lang, count(*) AS n_unique FROM uniqd GROUP BY lang),
+        ndcnt AS (SELECT lang, count(*) AS n_neardup FROM nd GROUP BY lang),
+        funnel AS (
+            SELECT lang, count(*) AS n_clean,
+                   CAST(sum(CASE WHEN fin THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_final,
+                   min(CASE WHEN fin THEN doc_id END) AS min_final,
+                   max(CASE WHEN fin THEN doc_id END) AS max_final
+            FROM staged GROUP BY lang)
+        SELECT b.lang, b.n_corpus, b.n_quality,
+               coalesce(u.n_unique, 0) AS n_unique,
+               coalesce(nc.n_neardup, 0) AS n_neardup,
+               coalesce(f.n_clean, 0) AS n_clean,
+               coalesce(f.n_final, 0) AS n_final,
+               f.min_final, f.max_final
+        FROM base b
+        LEFT JOIN ucnt u USING (lang)
+        LEFT JOIN ndcnt nc USING (lang)
+        LEFT JOIN funnel f USING (lang)
+    """
+
+
 def split_leakage_check(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
     """Train→test SPLIT-LEAKAGE audit: for every test-split document,
     how many of its distinct word ``n``-grams also occur anywhere in the

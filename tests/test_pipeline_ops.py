@@ -224,3 +224,25 @@ def test_curation_pipeline_reports_fully_filtered_language(spark, tmp_path):
     assert xx.n_corpus == 10 and xx.n_quality == 0
     assert xx.n_unique == 0 and xx.n_final == 0
     assert xx.min_final is None and xx.max_final is None
+
+
+def test_curation_pipeline_full_stages_monotone_and_biting(spark):
+    """The production-width funnel: every stage must be monotone
+    (corpus >= quality >= 2*unique-ish, unique >= neardup >= clean >=
+    final per language) and the two NEW stages must genuinely bite —
+    near-dedup drops at least one natural near-dup pair somewhere, and
+    decontamination removes the planted %13 benchmark-snippet docs
+    (which concentrate in whatever language doc 0 carries)."""
+    rows = {r.lang: r for r in P.curation_pipeline_full(spark, SF_SMOKE).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.n_corpus >= r.n_quality >= r.n_unique
+        assert r.n_unique >= r.n_neardup >= r.n_clean >= r.n_final
+        if r.n_final > 0:
+            assert r.min_final is not None and r.max_final >= r.min_final
+    assert sum(r.n_unique - r.n_neardup for r in rows.values()) > 0, (
+        "near-dedup stage vacuous: no natural near-dup collisions"
+    )
+    assert sum(r.n_neardup - r.n_clean for r in rows.values()) > 0, (
+        "decontamination stage vacuous: planted snippets not caught"
+    )
