@@ -53,15 +53,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER IS LOAD-BEARING: the round driver's correctness gate checks the
     first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
-    1-50 for ROUND 6: the entire r5 backlog (27 queries registered after
-    the r5 window was pinned full), the 5 r6 additions (net-new
-    registrations capped to the leftover slots, so nothing new is
-    deferred), and 18 of the 19 queries whose only driver evidence is
-    r3-era.  The union r3 ∪ r4 ∪ r5 ∪ this window gives EVERY registered
-    query a post-regeneration driver row, and every oracle-backed query
-    a post-regeneration hash row (tests/test_docs_consistency.py asserts
-    the invariant).  The full registry stays under the local gate
-    regardless (tests/test_oracle_parity.py + tools/check_correctness.py).
+    1-50 for ROUND 7: the 2 queries whose only driver evidence is still
+    r3-era (``embedding_kmeans``, ``approx_percentile_stats`` — both
+    rows-only by design, explicitly displaced from the r6 window and
+    promised the r7 lead, VERDICT r6 item 4), the 5 r7 additions
+    (net-new capped well under the leftover slots, zero deferral), and
+    43 of the 48 queries whose newest driver row is r4-era (the 5 left
+    at r4 evidence are the ones with the strongest collateral — an
+    oracle-twin or near-twin already re-checked, or rows-only with
+    property tests; named in the window comment).  The union
+    r4 ∪ r5 ∪ r6 ∪ this window gives EVERY registered query a driver row
+    no older than r4, and every oracle-backed query a hash row in that
+    union (tests/test_docs_consistency.py asserts the invariant).  The
+    full registry stays under the local gate regardless
+    (tests/test_oracle_parity.py + tools/check_correctness.py).
     """
     registry = {
         # ---- registry (grouped by family; FINAL ORDER comes from
@@ -303,100 +308,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # enrolls in its 2 nearest final clusters for candidate
         # generation; flags every planted pair at every SF measured
         "dedup_semantic_multiassign": S.dedup_semantic_multiassign,
+        # r7: image near-dup via perceptual hash — the multimodal tier of
+        # the dedup ladder: REAL PNG decode → mean-pooled 56-bit dHash →
+        # 14-bit band blocking (pigeonhole-complete at Hamming <= 3) →
+        # exact bit_count(xor) verify; fixture pixels derive from doc_id
+        # arithmetic so the oracle re-derives every hash relationally
+        "dedup_images_phash": M.dedup_images_phash,
+        # r7: FastSS at its k=2 operating point — depth-2 deletion
+        # neighborhoods, one key equi-join, exact levenshtein-in-[1,2]
+        # verify; sampled catalog so the bench measures blocking, not
+        # answer-writing (the r6 verdict's finding on the k=1 number)
+        "fuzzy_match_names_k2": D.fuzzy_match_names_k2,
+        # r7: the vector tier's maintenance loop closed — two embedding
+        # ingests enroll ASSIGN-ONLY into the persisted k-means index,
+        # survivors fold into bucketed band/vector state, ingest 2's
+        # copies of ingest-1 survivors prove the fold (VERDICT r6 item 2)
+        "dedup_semantic_incremental": S.dedup_semantic_incremental,
+        # r7: product quantization for IVF candidates — 16 sub-codebooks
+        # from ONE exact fit (subspace-indicator purity), 8-byte codes
+        # (64x), exact-decimal ADC top-C + exact rerank (VERDICT r6 item 3)
+        "embedding_knn_ivfpq": S.embedding_knn_ivfpq,
+        # r7: the production-width curation funnel — near-dedup and
+        # benchmark decontamination inserted between exact dedup and
+        # language mixing, per-language attrition for all six stages
+        "curation_pipeline_full": P.curation_pipeline_full,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
     return ordered
 
 
-# Positions 1-50 of the registry for ROUND 6 (see queries() docstring):
-# the r6 rotation promised in VERDICT r5 item 1, which ALSO addressed the
-# pacing problem the verdict named — r6 capped net-new registrations at 5
-# (dedup_semantic, dedup_incremental_tworound, embedding_knn_ivf_multiprobe,
-# heavy_hitters_8gram, snapshot_diff_bucketed) so the whole backlog fits
-# in ONE window and _PENDING_NEXT_WINDOW ends the round EMPTY.  Groups:
-# (a) the 27 queries registered after the r5 window was pinned full
-#     (_PENDING_NEXT_WINDOW as of r5) — their FIRST driver rows;
-# (b) the 6 r6 additions — first driver rows, zero deferral;
-# (c) fuzzy_match_names moved from (a) conceptually: its code ALSO
-#     changed in r6 (full-FastSS keys), so this row is both its first
-#     driver evidence and the post-change check;
-# (d) re-checks of the oldest evidence: 17 of the 19 queries whose only
-#     driver row is r3-era.  The two left to r7 are the rows-only pair
-#     embedding_kmeans (its bit-reproducible twin embedding_kmeans_exact
-#     plus both fitted-IVF compositions carry r5/r6 hash rows over the
-#     same fit code) and approx_percentile_stats (rows-only by design —
-#     the weakest evidence class — displaced by
-#     dedup_semantic_multiassign's FIRST hash row; both keep their r3
-#     rows under the union invariant).
-# Result: every registered query has a post-regeneration driver row in
-# r3 ∪ r4 ∪ r5 ∪ this window, every oracle-backed one a hash row, and
-# every operator whose code changed this round gets fresh driver
-# evidence (tests/test_docs_consistency.py asserts the union invariant).
+# Positions 1-50 of the registry for ROUND 7 (see queries() docstring).
+# Groups:
+# (a) the two r3-era leftovers LEAD, as VERDICT r6 item 4 prescribed:
+#     embedding_kmeans and approx_percentile_stats (both rows-only by
+#     design) were displaced from the r6 window; after this round NO
+#     registered query's newest driver row is older than r4;
+# (b) the 5 r7 additions — first driver rows, zero deferral (net-new
+#     again capped under the window's leftover capacity);
+# (c) re-checks of the oldest remaining evidence: 43 of the 48 queries
+#     whose newest driver row is r4-era.  The 5 left at r4 evidence,
+#     chosen for the strongest collateral:
+#       connected_components_star — oracle IDENTICAL to
+#         connected_components (re-checked in this window) over the same
+#         graph code; equality of the two implementations is its claim;
+#       cube_revenue — the grouping-lattice triplet's third spelling
+#         (rollup_revenue r5-green, grouping_sets_revenue re-checked
+#         here) over one shared aggregate expression;
+#       binary_meta — the in-plan byte-metadata twin of binary_file_meta
+#         (r6-green) with the same md5/length expressions;
+#       bigram_topk — subsumed by bigram_logprob (r6-green), which
+#         exercises the same shingle+count dataflow plus the LM tail;
+#       approx_distinct_users — rows-only by design with ε-property
+#         tests; its window slot buys no hash evidence.
+# Result: every registered query has a driver row in r4 ∪ r5 ∪ r6 ∪ this
+# window, every oracle-backed one a hash row in that union, and every
+# operator added this round gets first-row evidence
+# (tests/test_docs_consistency.py asserts the invariant).
 _DRIVER_WINDOW = [
-    # (a) the r5 backlog — first driver rows
-    "dpp_join_events",
-    "runtime_bloom_join",
-    "zorder4_key_events",
-    "bigram_logprob",
-    "jdbc_roundtrip_nation",
-    "cogroup_customer_orders",
-    "recursive_cte_reachability",
-    "stream_incremental_agg",
-    "split_leakage_check",
-    "split_leakage_after_dedup",
-    "tpch_q1_pricing",
-    "tpch_q3_topk",
-    "bm25_topk",
-    "batch_session_window",
-    "funnel_conversion",
-    "retention_cohorts",
-    "tpch_q18_topk",
-    "lang_mix_temperature",
-    "try_arithmetic",
-    "heavy_hitters_tokens",
-    "dedup_paragraphs",
-    "dedup_incremental",
-    "table_fingerprint",
-    "snapshot_diff",
-    "dedup_incremental_bucketed",
-    "stream_table_fingerprint",
-    # (c) first row AND post-change check (full-FastSS generalization)
-    "fuzzy_match_names",
-    # (b) the r6 additions — first driver rows, zero deferral
-    "dedup_semantic",
-    "dedup_semantic_multiassign",
-    "dedup_incremental_tworound",
-    "embedding_knn_ivf_multiprobe",
-    "heavy_hitters_8gram",
-    "snapshot_diff_bucketed",
-    # (d) oldest-evidence re-checks (only driver row is r3-era)
-    "string_agg_nations",
-    "sliding_window_count",
-    "scalar_functions",
-    "doc_length_stats",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "udtf_chunk_documents",
-    "doc_fingerprint",
-    "binary_file_meta",
-    "image_decode",
-    "audio_decode",
-    "word_count",
-    "unpivot_lineitem",
-    "ntile_ranks",
-    "window_moving_avg",
-    "lang_id_chargram",
+    # (a) the r3-era leftovers lead
+    "embedding_kmeans",
+    "approx_percentile_stats",
+    # (b) the r7 additions — first driver rows
+    "dedup_images_phash",
+    "fuzzy_match_names_k2",
+    "dedup_semantic_incremental",
+    "embedding_knn_ivfpq",
+    "curation_pipeline_full",
+    # (c) oldest-evidence re-checks (newest driver row is r4-era)
+    "group_count",
+    "numbercount_10m",
+    "group_sum_avg",
+    "grouping_sets_revenue",
+    "percentile_stats",
+    "global_sort_rank",
+    "topk_orders",
+    "window_rank",
+    "tumbling_window_count",
+    "reduce_side_join",
+    "range_join_sessionize",
+    "asof_purchase_prior_click",
+    "grouped_agg_udaf",
+    "connected_components",
+    "triangle_count",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_cc",
+    "embedding_knn",
+    "embedding_knn_ivf",
+    "stream_session_timeout",
+    "stats_moments",
+    "conditional_agg",
+    "timeseries_gapfill",
+    "revenue_share_window",
+    "vector_stats",
+    "window_range_interval",
+    "pii_redact",
+    "contamination_check",
+    "inverted_index",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "quality_topk_per_lang",
+    "pack_training_chunks",
+    "text_repetition",
+    "deterministic_split",
+    "embedding_lsh_ann",
+    "frame_sample",
+    "scan_project",
+    "distinct_dedup",
+    "image_features",
 ]
 
 
 # Queries registered AFTER the current window was pinned at its 50-slot
 # capacity (the driver hash-checks only positions 1-50 per round); each
 # would be covered by the LOCAL parity gate until its rotation slot.
-# EMPTY as of r6: the round capped net-new registrations (5) to the
-# leftover slots, per VERDICT r5 item 1 — any r7 registration must
-# either fit the next window's leftover capacity or land here visibly.
+# EMPTY as of r7 (second consecutive round): all 5 net-new registrations
+# took window slots — any r8 registration must either fit the next
+# window's leftover capacity or land here visibly, never silently.
 _PENDING_NEXT_WINDOW: list[str] = []
 
 
@@ -2656,6 +2687,31 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM c GROUP BY shard, chunk
         """,
+        # r7: perceptual-hash image dedup — the oracle re-derives every
+        # asset's 56-bit dHash relationally from the md5 grid arithmetic
+        # (multimodal._phash_grid) and replays the band join + Hamming
+        # verify, so a decoder that misparsed/mis-pooled/mis-packed
+        # hash-mismatches
+        "dedup_images_phash": M.DEDUP_IMAGES_PHASH_ORACLE_SQL,
+        # r7: FastSS k=2 — sampled catalog + both plant classes, depth-2
+        # deletion neighborhoods via nested list_transform lambdas, same
+        # levenshtein-in-[1,2] verification
+        "fuzzy_match_names_k2": D.FUZZY_MATCH_NAMES_K2_ORACLE_SQL,
+        # r7: the vector tier's two-ingest maintenance loop — the k-means
+        # chain + final-centroid recompute + assign-only enrollment +
+        # SRP banding screens + the fold (state2 = corpus ∪ survivors)
+        # replayed as pure SQL, the tworound contract
+        "dedup_semantic_incremental": S.DEDUP_SEMANTIC_INCREMENTAL_ORACLE_SQL,
+        # r7: IVFPQ — coarse chain and prefix-renamed sub-codebook chain
+        # side by side, exact-decimal ADC sums, (adc, vec_id) top-C cut,
+        # exact rerank
+        "embedding_knn_ivfpq": S.KNN_IVFPQ_ORACLE_SQL,
+        # r7: the six-stage funnel; the banding block is the SAME
+        # _MINHASH_CTES as dedup_minhash_lsh's oracle so the near-dedup
+        # stage cannot drift from the standalone operator
+        "curation_pipeline_full": P.curation_pipeline_full_oracle_sql(
+            _MINHASH_CTES
+        ),
         "quality_topk_per_lang": """
             WITH c AS (
                 SELECT doc_id, n_chars,

@@ -153,6 +153,22 @@ HEADLINE = [
     # r6: zero-exchange bucketed snapshot diff — run 0 pays the two
     # snapshot-hash table writes, runs 1+ are the amortized keyed diff
     "snapshot_diff_bucketed",
+    # r7: perceptual-hash image dedup — binaryFile scan + real decode in
+    # Arrow batches + banded Hamming join (run 0 writes the PNG fixture)
+    "dedup_images_phash",
+    # r7: FastSS k=2 entity resolution over the sampled catalog — the
+    # ~105-keys/name explode + one equi-join + candidate-only levenshtein
+    "fuzzy_match_names_k2",
+    # r7: two-ingest vector maintenance — run 0 pays the k-means fit +
+    # state-table writes, runs 1+ are the amortized assign/screen/fold
+    "dedup_semantic_incremental",
+    # r7: PQ-compressed IVF ANN — run 0 pays the one-time sub-codebook
+    # fit (256 clusters over the exploded exact-decimal form), runs 1+
+    # the serving path: probe + 8-byte-code ADC + top-C exact rerank
+    "embedding_knn_ivfpq",
+    # r7: the six-stage curation funnel (quality -> exact dedup ->
+    # near-dedup -> decontamination -> mix) as one query
+    "curation_pipeline_full",
 ]
 
 

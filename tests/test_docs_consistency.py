@@ -42,14 +42,13 @@ def test_every_query_named_in_coverage():
 
 
 def test_driver_window_covers_every_query():
-    """Round-6 invariant — POST-REGENERATION evidence only (the corpus
-    was regenerated before round 3, so r1/r2 rows no longer certify the
-    current data): (1) every REGISTERED query has a driver row in
-    r3 ∪ r4 ∪ r5 ∪ this round's 50-query window; (2) every ORACLE-BACKED
-    query has a hash row via r3/r4/r5-hash-green ∪ the window.  The
-    pending list is EMPTY this round (net-new registrations were capped
-    to the window's leftover slots, VERDICT r5 item 1); the mechanism
-    stays so any future overflow is visible, never silent.
+    """Round-7 invariant — the evidence floor ADVANCES to r4 (VERDICT r6
+    item 4: the two r3-era leftovers lead this window, so r3 rows are no
+    longer needed by any query): (1) every REGISTERED query has a driver
+    row in r4 ∪ r5 ∪ r6 ∪ this round's 50-query window; (2) every
+    ORACLE-BACKED query has a hash row in that union.  The pending list
+    is EMPTY again (net-new registrations capped to window slots); the
+    mechanism stays so any future overflow is visible, never silent.
     (The driver checks only the first 50 registered queries per round.)"""
     import json
 
@@ -59,23 +58,23 @@ def test_driver_window_covers_every_query():
     assert window == entrymod._DRIVER_WINDOW
     assert len(set(window)) == 50
     rounds = [
-        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (3, 4, 5)
+        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (4, 5, 6)
     ]
     driver_rows = set().union(*rounds)
     hash_green = set().union(
         *({k for k, v in r.items() if v.get("hash_match")} for r in rounds)
     )
     pending = set(entrymod._PENDING_NEXT_WINDOW)
-    assert pending == set(), "r6 contract: zero registrations left pending"
+    assert pending == set(), "r7 contract: zero registrations left pending"
     assert pending.isdisjoint(window), "pending query already in window"
     for name in queries:
         assert name in driver_rows or name in window or name in pending, (
-            f"{name} has no post-regeneration driver row"
+            f"{name} has no driver row newer than r3"
         )
         if name in oracles:
             assert name in hash_green or name in window or name in pending, (
-                f"{name} is oracle-backed but has no post-regeneration "
-                "hash-green driver row"
+                f"{name} is oracle-backed but has no r4+ hash-green "
+                "driver row"
             )
 
 

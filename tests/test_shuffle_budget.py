@@ -57,6 +57,9 @@ BUDGETS = {
     # distinct (needed since r6's full-FastSS keys: an indel pair can
     # collide once per deletion of the longer that yields the shorter)
     "fuzzy_match_names": 2,
+    # same shape at depth 2 (the sampled catalog broadcasts at tiny SF,
+    # leaving only the pair distinct); the ~105-key explode is map-side
+    "fuzzy_match_names_k2": 2,
     # three scan-reduce partial aggregates, single-row outputs — the
     # whole point: a 100 TB replication check with no shuffle at all
     "table_fingerprint": 0,
