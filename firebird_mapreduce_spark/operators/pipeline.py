@@ -635,9 +635,14 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = kept.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
+    # stage-boundary lazy checkpoints: uniq/nd/clean each feed several
+    # consumers (counts, banding sides, gram explode, the mix), and
+    # without pinning them the STATIC plan replays the whole upstream
+    # chain per consumer — measured 54 exchanges / 3,200 plan lines vs
+    # 7 after; a production funnel materializes these boundaries anyway
     uniq = survivors.select("doc_id").join(
         kept.select("doc_id", "text", "lang"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     banded = banded_signatures(uniq.select("doc_id", "text"))
     nd_dropped = (
         banded.select(F.col("doc_id").alias("a_id"), "band", "sig")
@@ -647,7 +652,9 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
-    nd = uniq.join(nd_dropped, "doc_id", "left_anti")
+    nd = uniq.join(nd_dropped, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     probe_grams = (
         exploded_word_shingles(
             docs.filter(F.col("doc_id") == 0), "doc_id", "text", 8
@@ -661,7 +668,9 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = nd.join(contaminated, "doc_id", "left_anti")
+    clean = nd.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean"))
     target = counts.agg(F.min("n_clean").alias("n_target"))
     cuts = counts.crossJoin(F.broadcast(target)).select(

@@ -258,22 +258,33 @@ def _banded_candidate_pairs(
     )
 
 
-def _rerank_candidate_pairs(cand: DataFrame, vectors: DataFrame) -> DataFrame:
+def _rerank_candidate_pairs(
+    cand: DataFrame, vectors: DataFrame, b_vectors: DataFrame | None = None
+) -> DataFrame:
     """Exact-cosine scores (rounded 6 dp) for candidate (a_id, b_id)
     pairs — the shared rerank tail.  Zero-norm vectors have no cosine:
     exclude them on BOTH engines (left as a NULL-vs-NaN asymmetry,
     Spark's desc sort puts NULL last while DuckDB sorts NaN first — a
     guaranteed hash mismatch the moment a zero vector shares a
-    bucket)."""
-    normed = vectors.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    ).filter(F.col("nrm") > 0)
-    av = normed.select(
+    bucket).  When the pair sides come from DISJOINT id universes
+    (batch-vs-state screens), pass the b-side frame separately: the
+    a-side then resolves against the bucketed state table alone —
+    exchange-free at scale — instead of shuffling a corpus ∪ batch
+    union whose bucketing the union destroyed."""
+
+    def normed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        ).filter(F.col("nrm") > 0)
+
+    na = normed(vectors)
+    nb = na if b_vectors is None else normed(b_vectors)
+    av = na.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_vec"),
         F.col("nrm").alias("a_nrm"),
     )
-    bv = normed.select(
+    bv = nb.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_vec"),
         F.col("nrm").alias("b_nrm"),
@@ -1714,14 +1725,18 @@ def _semantic_screen(
     batch_keys: DataFrame,
     batch_assign: DataFrame,
     state_bands: DataFrame,
-    vectors: DataFrame,
+    state_vecs: DataFrame,
+    batch_vecs: DataFrame,
     threshold: float,
 ) -> DataFrame:
     """One ingest's screen: batch banding keys probe the state's banding
     table on (cluster, tbl, sig) — a batch×state MEMBERSHIP join, never a
     self-join — candidates exact-cosine reranked, each batch vector with
     any state partner at sim >= threshold flagged dup_of the smallest
-    such id.  Output: (vec_id, cluster, dist2, kept, dup_of)."""
+    such id.  The rerank resolves a-side ids against the BUCKETED state
+    vector table and b-side ids against the in-plan batch (disjoint id
+    universes), so no corpus-sized union is ever shuffled.
+    Output: (vec_id, cluster, dist2, kept, dup_of)."""
     cand = (
         batch_keys.select("blk", "tbl", "sig", F.col("vec_id").alias("b_id"))
         .join(
@@ -1732,7 +1747,7 @@ def _semantic_screen(
         .distinct()
     )
     matched = (
-        _rerank_candidate_pairs(cand, vectors)
+        _rerank_candidate_pairs(cand, state_vecs, batch_vecs)
         .filter(F.col("sim") >= F.lit(threshold))
         .groupBy("b_id")
         .agg(F.min("a_id").alias("dup_of"))
@@ -1836,7 +1851,7 @@ def dedup_semantic_incremental(
         NEARDUP_TABLES,
     )
     r1 = _semantic_screen(
-        keys1, a1, v1_bands, v1_vecs.unionByName(b1), threshold
+        keys1, a1, v1_bands, v1_vecs, b1, threshold
     ).localCheckpoint(eager=True)
     kept_ids = r1.filter(F.col("kept")).select("vec_id")
     kept1 = b1.join(kept_ids, "vec_id")
@@ -1875,9 +1890,7 @@ def dedup_semantic_incremental(
         "cluster",
         NEARDUP_TABLES,
     )
-    r2 = _semantic_screen(
-        keys2, a2, v2_bands, v2_vecs.unionByName(b2), threshold
-    )
+    r2 = _semantic_screen(keys2, a2, v2_bands, v2_vecs, b2, threshold)
     return r1.select(F.lit(1).alias("ingest"), "*").unionByName(
         r2.select(F.lit(2).alias("ingest"), "*")
     )
@@ -1893,10 +1906,18 @@ def semantic_index_drift(
     """The REFIT TRIGGER for the assign-only regime: compare the mean
     squared enrollment distance of an incoming batch against the
     fit-time mean stored in the persisted index.  A batch drawn from the
-    fit distribution enrolls at ≈ the fit mean (ingest 1's near-copies
-    do); a drifted batch (here: the negated vectors — a worst-case
-    distribution flip) enrolls measurably farther, and past
-    ``refit_ratio`` the answer is a refit, not more enrollment.
+    fit distribution enrolls at ≈ the fit mean; a drifted batch enrolls
+    farther, and past ``refit_ratio`` the answer is a refit, not more
+    enrollment.  HONEST magnitude on THIS corpus (measured at sf0.1):
+    ingest 1's near-copy half enrolls at 0.9492 vs fit 0.9487 (ratio
+    1.0005 — in-distribution, as it should) and the negated half at
+    0.9596 (ratio 1.011) — the direction is right but the signal is
+    small because the corpus is near-isotropic: centroids carry little
+    directional mass, so even a SIGN FLIP barely raises dist2.  On an
+    embedding distribution with real cluster structure (tight cells —
+    the case where assign-only enrollment is trusted in the first
+    place) an out-of-distribution batch blows the ratio out; the 1.5
+    default is calibrated for that regime, not this fixture.
     Unregistered helper (the declared query is the dedup); asserted
     directionally in test_llm_ops.py and quantified in SCALE.md."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

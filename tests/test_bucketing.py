@@ -310,3 +310,53 @@ def test_snapshot_diff_bucketed_zero_exchange_matches_plain(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_semantic_incremental_fold_state_and_plan(spark):
+    """The vector-tier fold (`dedup_semantic_incremental`):
+
+    (a) the folded state tables hold EXACTLY the corpus rows + the
+        ingest-1 survivor delta (band keys and vectors) — O(batch)
+        appends, never a rewrite;
+    (b) the steady-state plan under the at-scale no-broadcast strategy
+        reads BOTH folded state tables through bucketed scans — the
+        band membership probe and the rerank's a-side vector fetch are
+        corpus-exchange-free (the two-sided rerank exists for exactly
+        this; a corpus ∪ batch union would destroy the bucketing).
+        Remaining exchanges are batch-side aggregates plus the
+        per-ingest k·d-key final-centroid recompute — a daily BATCH
+        job's shuffles, not per-query serving cost."""
+    import firebird_mapreduce_spark.operators.similarity as S
+    from firebird_mapreduce_spark.operators.relational import corpus_tag
+
+    result = S.dedup_semantic_incremental(spark, SF_SMOKE)
+    tag = corpus_tag(SF_SMOKE, "embeddings")
+    k, it = S.N_CENTROIDS, 3
+
+    # (a) row accounting: folded = corpus + survivor delta
+    n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
+    kept1 = result.filter((F.col("ingest") == 1) & F.col("kept"))
+    n_kept = kept1.count()
+    assert n_kept > 0, "no ingest-1 survivors — the fold is vacuous"
+    assert (
+        spark.table(f"semvf_vecs_{tag}").count() == n_corpus + n_kept
+    )
+    n_bands_state = spark.table(f"semvf_bands_{k}x{it}_{tag}").count()
+    n_bands_day0 = spark.table(f"semv_bands_{k}x{it}_{tag}").count()
+    assert n_bands_state == n_bands_day0 + n_kept * S.NEARDUP_TABLES
+
+    # (b) steady-state plan: both folded tables bucketed-scanned
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        df = S.dedup_semantic_incremental(spark, SF_SMOKE)
+        plan = plan_string(df, "formatted")
+        assert plan.count("Bucketed: true") == 2, plan
+        n = count_exchanges(df)
+        assert n == 14, f"exchanges={n} (expected 14)\n{plan}"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

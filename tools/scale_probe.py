@@ -365,6 +365,45 @@ def shapes(spark):
             .count()
         )
 
+    def adc_lookup(n):
+        # r7 embedding_knn_ivfpq serving core (post-fit): n CODE rows =
+        # n//16 vectors × 16 sub-codes, scored by joining the BROADCAST
+        # query distance table (m·ksub = 256 rows — driver-sized at any
+        # corpus scale) and summing per vector.  The per-vector sum
+        # partial-aggregates map-side (a vector's 16 codes are
+        # generated/stored together, so the shuffle carries ~1 row per
+        # vector per partition), and the top-C cut is
+        # TakeOrderedAndProject — the claim under test is that ADC
+        # serving is a LINEAR broadcast-lookup scan, the whole point of
+        # trading 512-byte vectors for 8-byte codes.
+        v = n // 16
+        codes = (
+            spark.range(v)
+            .select(
+                F.col("id").alias("ovec"),
+                F.explode(F.sequence(F.lit(0), F.lit(15))).alias("s"),
+            )
+            .select(
+                "ovec",
+                "s",
+                (
+                    (F.col("ovec") * 2654435761 + F.col("s") * 40503) % 16
+                ).alias("cluster"),
+            )
+        )
+        qd = spark.range(256).select(
+            (F.col("id") % 16).alias("s"),
+            F.expr("id div 16").cast("int").alias("cluster"),
+            (F.pmod(F.xxhash64("id"), F.lit(10000)) / 10000.0).alias("dist"),
+        )
+        return (
+            codes.join(F.broadcast(qd), ["s", "cluster"])
+            .groupBy("ovec")
+            .agg(F.sum("dist").alias("adc"))
+            .orderBy(F.col("adc").asc(), F.col("ovec").asc())
+            .limit(100)
+        )
+
     return {
         "agg_100keys": agg,
         "shuffle_join": shuffle_join,
@@ -380,6 +419,7 @@ def shapes(spark):
         "paragraph_dedup": paragraph_dedup,
         "fastss_keys": fastss_keys,
         "semantic_candidates": semantic_candidates,
+        "adc_lookup": adc_lookup,
         "snapshot_diff_hash": snapshot_diff_hash,
     }
 
