@@ -840,8 +840,16 @@ def _kmeans_exact_fit(
             .groupBy("vec_id", "cluster")
             .agg(F.sum("term").alias("dist2"))
         )
-        best = dist.groupBy("vec_id").agg(
-            F.min(F.struct("dist2", "cluster")).alias("s")
+        # per-round eager checkpoint (the kmeans_fit lineage discipline):
+        # without it round t's plan replays rounds 1..t-1 — tolerable at
+        # k=10, a 2x replay tax by round 3 of the k=256 PQ fit.  The
+        # checkpointed rows are N (vec_id, argmin struct) — tiny — and
+        # results are bit-identical (A/B'd at sf0.1: same 32k
+        # assignments and decimal distances, 125 -> 120 s)
+        best = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cluster")).alias("s"))
+            .localCheckpoint(eager=True)
         )
         assign = best.select("vec_id", F.col("s.cluster").alias("cluster"))
     final = best.select(
