@@ -56,9 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1-50 for ROUND 7: the 2 queries whose only driver evidence is still
     r3-era (``embedding_kmeans``, ``approx_percentile_stats`` — both
     rows-only by design, explicitly displaced from the r6 window and
-    promised the r7 lead, VERDICT r6 item 4), the 5 r7 additions
-    (net-new capped well under the leftover slots, zero deferral), and
-    43 of the 48 queries whose newest driver row is r4-era (the 5 left
+    promised the r7 lead, VERDICT r6 item 4), the 6 r7 additions
+    (net-new capped well under the leftover slots, zero deferral;
+    dedup_images_phash_incremental was promoted late in the round — the
+    r6 multiassign precedent — and the counts here say 6, per ADVICE
+    r6), and
+    42 of the 48 queries whose newest driver row is r4-era (the 6 left
     at r4 evidence are the ones with the strongest collateral — an
     oracle-twin or near-twin already re-checked, or rows-only with
     property tests; named in the window comment).  The union
@@ -332,6 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # benchmark decontamination inserted between exact dedup and
         # language mixing, per-language attrition for all six stages
         "curation_pipeline_full": P.curation_pipeline_full,
+        # r7: the image ingest screen — a new batch of images probes the
+        # corpus's PERSISTED phash state (bucketed hash + band tables),
+        # never re-hashing or self-joining the corpus; the multimodal
+        # twin of dedup_incremental, promoted late-r7 (the r6
+        # multiassign precedent)
+        "dedup_images_phash_incremental": M.dedup_images_phash_incremental,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -344,10 +353,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     embedding_kmeans and approx_percentile_stats (both rows-only by
 #     design) were displaced from the r6 window; after this round NO
 #     registered query's newest driver row is older than r4;
-# (b) the 5 r7 additions — first driver rows, zero deferral (net-new
-#     again capped under the window's leftover capacity);
-# (c) re-checks of the oldest remaining evidence: 43 of the 48 queries
-#     whose newest driver row is r4-era.  The 5 left at r4 evidence,
+# (b) the 6 r7 additions — first driver rows, zero deferral (net-new
+#     again capped under the window's leftover capacity;
+#     dedup_images_phash_incremental promoted late-r7, displacing one
+#     more re-check);
+# (c) re-checks of the oldest remaining evidence: 42 of the 48 queries
+#     whose newest driver row is r4-era.  The 6 left at r4 evidence,
 #     chosen for the strongest collateral:
 #       connected_components_star — oracle IDENTICAL to
 #         connected_components (re-checked in this window) over the same
@@ -360,7 +371,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       bigram_topk — subsumed by bigram_logprob (r6-green), which
 #         exercises the same shingle+count dataflow plus the LM tail;
 #       approx_distinct_users — rows-only by design with ε-property
-#         tests; its window slot buys no hash evidence.
+#         tests; its window slot buys no hash evidence;
+#       stream_session_timeout — its oracle is IDENTICAL to
+#         stream_session_window's and stream_session_custom's (both
+#         r5-green) over the same session semantics; displaced by the
+#         late-promoted dedup_images_phash_incremental.
 # Result: every registered query has a driver row in r4 ∪ r5 ∪ r6 ∪ this
 # window, every oracle-backed one a hash row in that union, and every
 # operator added this round gets first-row evidence
@@ -371,6 +386,7 @@ _DRIVER_WINDOW = [
     "approx_percentile_stats",
     # (b) the r7 additions — first driver rows
     "dedup_images_phash",
+    "dedup_images_phash_incremental",
     "fuzzy_match_names_k2",
     "dedup_semantic_incremental",
     "embedding_knn_ivfpq",
@@ -398,7 +414,6 @@ _DRIVER_WINDOW = [
     "dedup_cluster_cc",
     "embedding_knn",
     "embedding_knn_ivf",
-    "stream_session_timeout",
     "stats_moments",
     "conditional_agg",
     "timeseries_gapfill",
@@ -2712,6 +2727,11 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline_full": P.curation_pipeline_full_oracle_sql(
             _MINHASH_CTES
         ),
+        # r7: the image ingest screen — both fixture families' grids
+        # re-derived relationally, corpus-vs-batch band membership join,
+        # exact Hamming verify, min-partner disposition
+        "dedup_images_phash_incremental":
+            M.DEDUP_IMAGES_PHASH_INCREMENTAL_ORACLE_SQL,
         "quality_topk_per_lang": """
             WITH c AS (
                 SELECT doc_id, n_chars,

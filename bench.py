@@ -156,6 +156,10 @@ HEADLINE = [
     # r7: perceptual-hash image dedup — binaryFile scan + real decode in
     # Arrow batches + banded Hamming join (run 0 writes the PNG fixture)
     "dedup_images_phash",
+    # r7: the image ingest screen — run 0 pays the batch fixture write +
+    # the one-time corpus hash/band state tables, runs 1+ are the
+    # amortized batch-decode + membership probes
+    "dedup_images_phash_incremental",
     # r7: FastSS k=2 entity resolution over the sampled catalog — the
     # ~105-keys/name explode + one equi-join + candidate-only levenshtein
     "fuzzy_match_names_k2",

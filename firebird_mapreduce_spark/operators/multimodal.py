@@ -486,28 +486,37 @@ _PHASH_BANDS = 4  # 4 disjoint 14-bit bands
 _PHASH_THRESHOLD = 3  # pairs at Hamming <= 3 are near-dups
 
 
-def _phash_grid(doc_id: int, pert: int) -> list[list[int]]:
+def _phash_grid(doc_id: int, pert: int, salt: str = "ph") -> list[list[int]]:
     """The 8x8 block-gray grid for one fixture asset — md5-derived per
     cell (the ``_srp_weights`` idiom: reproducible on any engine with
     md5, and DECORRELATED across assets — a first cut used multiplicative
     hashing of ``seed + bx + 8*by``, whose grids are all shifts of one
     sequence, putting ~150 unrelated pairs at Hamming 0):
 
-      g(bx,by)  = md5("ph|doc_id|bx|by")[:4 hex] % 200
+      g(bx,by)  = md5("{salt}|doc_id|bx|by")[:4 hex] % 200
       pert 1    = +1 everywhere   (global brightness shift: every strict
                   comparison is preserved, so the dHash is IDENTICAL —
                   the invariance that makes dHash a *perceptual* hash)
       pert 2    = +37 at (bx,by) = (4,3)  (one block retouched: only the
                   two comparisons that touch the block can flip, so the
                   Hamming distance to the base is <= 2)
+      pert 3    = +19 at (bx,by) = (5,2)  (a second retouch site — the
+                  incremental batch's near-copy class, <= 2 bits from
+                  the base AND from every other base perturbation)
 
-    Values stay in [0, 236] so no perturbation wraps a byte."""
+    ``salt`` decorrelates whole asset families: the incremental batch's
+    genuinely-new images use "phb", giving hashes independent of every
+    "ph" corpus asset.  Values stay in [0, 236] so nothing wraps a
+    byte."""
     import hashlib
 
     grid = [
         [
             int(
-                hashlib.md5(f"ph|{doc_id}|{bx}|{by}".encode()).hexdigest()[:4], 16
+                hashlib.md5(
+                    f"{salt}|{doc_id}|{bx}|{by}".encode()
+                ).hexdigest()[:4],
+                16,
             )
             % 200
             for bx in range(8)
@@ -518,6 +527,8 @@ def _phash_grid(doc_id: int, pert: int) -> list[list[int]]:
         grid = [[g + 1 for g in row] for row in grid]
     elif pert == 2:
         grid[3][4] += 37
+    elif pert == 3:
+        grid[2][5] += 19
     return grid
 
 
@@ -532,31 +543,44 @@ def _phash_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     idempotence + stale-prune discipline as the PNG/WAV fixtures."""
     import hashlib
 
-    from ..functions.png import png_encode
-
     tag = hashlib.md5(f"phash|{sf_dir}".encode()).hexdigest()[:8]
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".fixtures",
         f"phash_{tag}",
     )
-    doc_ids = [
+    doc_ids = _phash_doc_ids(spark, sf_dir)
+    assets = [(d * 10, d, 0, "ph") for d in doc_ids]
+    assets += [(d * 10 + 1, d, 1, "ph") for d in doc_ids if d % 4 == 0]
+    assets += [(d * 10 + 2, d, 2, "ph") for d in doc_ids if d % 8 == 0]
+    _write_phash_assets(out_dir, assets)
+    return out_dir
+
+
+def _phash_doc_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    return [
         int(r["doc_id"])
         for r in load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PHASH_BASE)
         .select("doc_id")
         .collect()  # tiny fixture id set, not a data path
     ]
-    assets = [(d * 10, d, 0) for d in doc_ids]
-    assets += [(d * 10 + 1, d, 1) for d in doc_ids if d % 4 == 0]
-    assets += [(d * 10 + 2, d, 2) for d in doc_ids if d % 8 == 0]
+
+
+def _write_phash_assets(
+    out_dir: str, assets: list[tuple[int, int, int, str]]
+) -> None:
+    """Write one 32x32 block-constant PNG per (asset_id, doc_id, pert,
+    salt) row, with the shared idempotence + stale-prune discipline."""
+    from ..functions.png import png_encode
+
     os.makedirs(out_dir, exist_ok=True)
-    expected = {f"asset_{aid:07d}.png" for aid, _, _ in assets}
+    expected = {f"asset_{aid:07d}.png" for aid, _, _, _ in assets}
     for name in os.listdir(out_dir):
         if name.endswith(".png") and name not in expected:
             os.remove(os.path.join(out_dir, name))
-    for aid, doc_id, pert in assets:
-        grid = _phash_grid(doc_id, pert)
+    for aid, doc_id, pert, salt in assets:
+        grid = _phash_grid(doc_id, pert, salt)
         rgb = bytearray()
         for y in range(_PHASH_SIDE):
             for x in range(_PHASH_SIDE):
@@ -570,7 +594,6 @@ def _phash_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                     continue
         with open(path, "wb") as fh:
             fh.write(payload)
-    return out_dir
 
 
 def phash_hashes(assets: DataFrame, content_col: str = "content") -> DataFrame:
@@ -623,38 +646,34 @@ def phash_hashes(assets: DataFrame, content_col: str = "content") -> DataFrame:
 def phash_pairs(hashes: DataFrame, threshold: int = _PHASH_THRESHOLD) -> DataFrame:
     """All asset pairs at Hamming distance <= ``threshold`` WITHOUT an
     all-pairs join: the 56-bit hash splits into ``_PHASH_BANDS`` disjoint
-    14-bit bands and candidates must collide on at least one whole band —
-    with threshold 3 < 4 bands the pigeonhole guarantees a true pair has
-    some untouched band, so recall is 100% by construction (the
-    ``dedup_simhash`` blocking argument at 56 bits).  Candidates are then
-    exactly verified with ``bit_count(xor)`` — all JVM codegen."""
-    width = _PHASH_BITS // _PHASH_BANDS
-    banded = hashes.select(
-        "asset_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("phash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bval"),
-                    )
-                    for b in range(_PHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("asset_id", "phash", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
-    a = banded.select(
-        F.col("asset_id").alias("a_id"), F.col("phash").alias("a_hash"), "band", "bval"
-    )
-    b = banded.select(
-        F.col("asset_id").alias("b_id"), F.col("phash").alias("b_hash"), "band", "bval"
+    14-bit bands (``_phash_band_keys`` — the ONE banding rule, shared
+    with the incremental probe) and candidates must collide on at least
+    one whole band — with threshold 3 < 4 bands the pigeonhole
+    guarantees a true pair has some untouched band, so recall is 100% by
+    construction (the ``dedup_simhash`` blocking argument at 56 bits).
+    Distinct candidates are then exactly verified with
+    ``bit_count(xor)`` — all JVM codegen."""
+    keyed = _phash_band_keys(hashes)
+    cand = (
+        keyed.withColumnRenamed("asset_id", "a_id")
+        .join(keyed.withColumnRenamed("asset_id", "b_id"), ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
     )
     return (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        cand.join(
+            hashes.select(
+                F.col("asset_id").alias("a_id"), F.col("phash").alias("a_hash")
+            ),
+            "a_id",
+        )
+        .join(
+            hashes.select(
+                F.col("asset_id").alias("b_id"), F.col("phash").alias("b_hash")
+            ),
+            "b_id",
+        )
         .select(
             "a_id",
             "b_id",
@@ -663,7 +682,6 @@ def phash_pairs(hashes: DataFrame, threshold: int = _PHASH_THRESHOLD) -> DataFra
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= threshold)
-        .distinct()
     )
 
 
@@ -703,6 +721,157 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
     )
     return phash_pairs(phash_hashes(assets))
+
+
+def _phash_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The incremental INGEST fixture: one new image per corpus document
+    (id = doc_id*10 + 5) — every 3rd a near-copy of its base (the pert-3
+    one-block retouch, <= 2 bits from every base-family hash), the rest
+    genuinely new images (the "phb" md5 salt decorrelates them from the
+    whole corpus).  Separate directory from the corpus fixture so the
+    batch scan never re-reads corpus files."""
+    import hashlib
+
+    tag = hashlib.md5(f"phashb|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"phashb_{tag}",
+    )
+    doc_ids = _phash_doc_ids(spark, sf_dir)
+    assets = [
+        (d * 10 + 5, d, 3, "ph") if d % 3 == 0 else (d * 10 + 5, d, 0, "phb")
+        for d in doc_ids
+    ]
+    _write_phash_assets(out_dir, assets)
+    return out_dir
+
+
+def _phash_band_keys(hashes: DataFrame) -> DataFrame:
+    """(band, bval, asset_id): the exploded banding keys both the
+    self-join pair miner and the batch-vs-state membership probe join
+    on — one extraction so the bucketing rule cannot drift (the
+    ``banded_signatures`` discipline, hash-domain edition)."""
+    width = _PHASH_BITS // _PHASH_BANDS
+    return hashes.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("asset_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+
+
+def dedup_images_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE ingest dedup — ``dedup_incremental``'s daily-
+    crawl shape on the multimodal tier: a NEW batch of images screens
+    against the EXISTING corpus's persisted perceptual-hash state, never
+    re-hashing or self-joining the corpus.
+
+      state    the corpus fixture is decoded ONCE and persisted as two
+               bucketed tables (``ensure_bucketed_table``, pay-once per
+               corpus): the (asset_id, phash) hash table bucketed by id
+               — the rerank's a-side — and the exploded (band, bval,
+               asset_id) banding table bucketed by its join key;
+      batch    the ingest directory's images are decoded per call (a
+               batch's hashes are independent rows — map-only), banded,
+               and PROBED against the state band table on (band, bval)
+               — a batch×state membership join;
+      verify   candidates fetch the state hash bucketed by id and the
+               exact ``bit_count(xor) <= 3`` decides; each flagged
+               image reports its smallest state partner.
+
+    Output: (asset_id, kept, dup_of) for every batch image.  Every 3rd
+    batch image is a planted one-block retouch of its corpus base
+    (flagged, dup_of = the base); the rest are genuinely new (the md5
+    salt decorrelates them — kept).  The oracle replays both fixture
+    families' grid arithmetic, the banding, and the screen relationally
+    — same contract as ``dedup_images_phash``.
+
+    At 100 TB this is the daily thumbnail crawl: hash state lives as
+    bucketed warehouse tables maintained by O(batch) appends (the
+    ``_ensure_folded_state`` machinery applies verbatim when ingests
+    chain), each day's screen costs O(|batch| + matched buckets), and
+    the corpus is never rescanned."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    tag = corpus_tag(sf_dir, "documents")
+
+    def corpus_hashes() -> DataFrame:
+        fixture = _phash_fixture_dir(spark, sf_dir)
+        files = read_binary_dir(spark, fixture, glob="*.png")
+        return phash_hashes(
+            files.select(
+                F.regexp_extract(F.col("path"), r"asset_(\d+)\.png$", 1)
+                .cast("bigint")
+                .alias("asset_id"),
+                "content",
+            )
+        )
+
+    state_hashes = ensure_bucketed_table(
+        spark, "phash_hashes_", tag, 8, ["asset_id"], corpus_hashes
+    )
+    state_bands = ensure_bucketed_table(
+        spark,
+        "phash_bands_",
+        tag,
+        8,
+        ["band", "bval"],
+        lambda: _phash_band_keys(corpus_hashes()),
+    )
+    batch_dir = _phash_batch_fixture_dir(spark, sf_dir)
+    batch = phash_hashes(
+        read_binary_dir(spark, batch_dir, glob="*.png").select(
+            F.regexp_extract(F.col("path"), r"asset_(\d+)\.png$", 1)
+            .cast("bigint")
+            .alias("asset_id"),
+            "content",
+        )
+    ).localCheckpoint(eager=False)  # consumed by the probe AND the report
+    cand = (
+        _phash_band_keys(batch)
+        .withColumnRenamed("asset_id", "b_id")
+        .join(
+            state_bands.withColumnRenamed("asset_id", "a_id"),
+            ["band", "bval"],
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    matched = (
+        cand.join(
+            state_hashes.select(
+                F.col("asset_id").alias("a_id"), F.col("phash").alias("a_hash")
+            ),
+            "a_id",
+        )
+        .join(
+            batch.select(
+                F.col("asset_id").alias("b_id"), F.col("phash").alias("b_hash")
+            ),
+            "b_id",
+        )
+        .filter(
+            F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+            <= _PHASH_THRESHOLD
+        )
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+        .withColumnRenamed("b_id", "asset_id")
+    )
+    return batch.select("asset_id").join(matched, "asset_id", "left").select(
+        "asset_id", F.col("dup_of").isNull().alias("kept"), "dup_of"
+    )
 
 
 # DuckDB twin of dedup_images_phash: re-derive each asset's 56-bit dHash
@@ -746,6 +915,74 @@ SELECT DISTINCT a.id AS a_id, b.id AS b_id,
 FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.id < b.id
 WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_THRESHOLD}
 """
+
+# DuckDB twin of dedup_images_phash_incremental: both fixture families'
+# grids re-derived relationally (the batch's pert-3 retouch and "phb"
+# salt included), corpus-vs-batch band membership join, exact Hamming
+# verify, min-partner disposition per batch image.
+DEDUP_IMAGES_PHASH_INCREMENTAL_ORACLE_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_PHASH_BASE}),
+corpus AS (
+    SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'ph' AS salt FROM ids
+    UNION ALL
+    SELECT doc_id * 10 + 1, doc_id, 1, 'ph' FROM ids WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id * 10 + 2, doc_id, 2, 'ph' FROM ids WHERE doc_id % 8 = 0
+),
+batch AS (
+    SELECT doc_id * 10 + 5 AS id, doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 0 END AS pert,
+           CASE WHEN doc_id % 3 = 0 THEN 'ph' ELSE 'phb' END AS salt
+    FROM ids
+),
+allassets AS (
+    SELECT id, doc_id, pert, salt, 'c' AS side FROM corpus
+    UNION ALL
+    SELECT id, doc_id, pert, salt, 'b' FROM batch
+),
+grid AS (
+    SELECT a.id, a.side, bx.i AS bx, by.i AS by,
+           CAST('0x' || substr(md5(a.salt || '|' || CAST(a.doc_id AS VARCHAR)
+                                  || '|' || CAST(bx.i AS VARCHAR) || '|'
+                                  || CAST(by.i AS VARCHAR)), 1, 4) AS BIGINT) % 200
+           + CASE WHEN a.pert = 1 THEN 1
+                  WHEN a.pert = 2 AND bx.i = 4 AND by.i = 3 THEN 37
+                  WHEN a.pert = 3 AND bx.i = 5 AND by.i = 2 THEN 19
+                  ELSE 0 END AS g
+    FROM allassets a, range(0, {_PHASH_GRID}) bx(i), range(0, {_PHASH_GRID}) by(i)
+),
+hashes AS (
+    SELECT l.id, l.side,
+           CAST(sum(CASE WHEN r.g > l.g
+                         THEN CAST(power(2, l.by * 7 + l.bx) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM grid l JOIN grid r ON r.id = l.id AND r.side = l.side
+                           AND r.by = l.by AND r.bx = l.bx + 1
+    GROUP BY l.id, l.side
+),
+banded AS (
+    SELECT id, side, phash, b.b AS band,
+           (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384 AS bval
+    FROM hashes, range(0, {_PHASH_BANDS}) b(b)
+),
+cand AS (
+    SELECT DISTINCT s.id AS a_id, bt.id AS b_id
+    FROM banded bt JOIN banded s
+      ON s.band = bt.band AND s.bval = bt.bval
+     AND s.side = 'c' AND bt.side = 'b'
+),
+matched AS (
+    SELECT c.b_id AS asset_id, min(c.a_id) AS dup_of
+    FROM cand c
+    JOIN hashes ha ON ha.id = c.a_id AND ha.side = 'c'
+    JOIN hashes hb ON hb.id = c.b_id AND hb.side = 'b'
+    WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_THRESHOLD}
+    GROUP BY c.b_id
+)
+SELECT b.id AS asset_id, m.dup_of IS NULL AS kept, m.dup_of
+FROM batch b LEFT JOIN matched m ON m.asset_id = b.id
+"""
+
 
 
 def sample_frames(

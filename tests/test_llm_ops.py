@@ -1065,3 +1065,53 @@ def test_pq_codes_subspace_pure_and_rerank_exact(spark):
     assert len(got) == 10
     for r in got:
         assert exact[r["vec_id"]] == r["sim"], "rerank sim is not exact"
+
+
+def test_phash_incremental_screen_matches_brute_force(spark):
+    """The image ingest screen must equal the brute-force batch×corpus
+    Hamming check over hashes recomputed in Python from both fixture
+    families' arithmetic — with every planted retouch (doc_id % 3 == 0)
+    flagged AGAINST ITS BASE and every salt-decorrelated new image
+    kept."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    doc_ids = sorted(int(d) for d in docs.doc_id if d < M._PHASH_BASE)
+
+    def dhash(doc_id, pert, salt):
+        grid = M._phash_grid(doc_id, pert, salt)
+        ph = 0
+        for by in range(8):
+            for bx in range(7):
+                if grid[by][bx + 1] > grid[by][bx]:
+                    ph |= 1 << (by * 7 + bx)
+        return ph
+
+    corpus = {d * 10: dhash(d, 0, "ph") for d in doc_ids}
+    corpus |= {d * 10 + 1: dhash(d, 1, "ph") for d in doc_ids if d % 4 == 0}
+    corpus |= {d * 10 + 2: dhash(d, 2, "ph") for d in doc_ids if d % 8 == 0}
+    batch = {
+        d * 10 + 5: dhash(d, 3, "ph") if d % 3 == 0 else dhash(d, 0, "phb")
+        for d in doc_ids
+    }
+    expected = {}
+    for bid, bh in batch.items():
+        partners = [
+            aid
+            for aid, ah in corpus.items()
+            if bin(ah ^ bh).count("1") <= M._PHASH_THRESHOLD
+        ]
+        expected[bid] = min(partners) if partners else None
+    got = {
+        r["asset_id"]: r["dup_of"]
+        for r in M.dedup_images_phash_incremental(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    plants = {d * 10 + 5 for d in doc_ids if d % 3 == 0}
+    assert plants and all(got[b] == (b - 5) for b in plants), (
+        "a planted retouch missed its corpus base"
+    )
+    news = set(batch) - plants
+    assert news and all(got[b] is None for b in news), (
+        "a salt-decorrelated new image was falsely flagged"
+    )
