@@ -596,7 +596,6 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stage frames reuse each other (kept → uniq → nd → clean), so the
     corpus is scanned twice (funnel path + per-language base counts) —
     the ``curation_pipeline`` recompute-vs-materialize trade."""
-    from ..functions.hashing import exploded_word_shingles
     from .dedup import banded_signatures
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")

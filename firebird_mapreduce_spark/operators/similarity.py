@@ -1434,6 +1434,48 @@ def ensure_pq_codes_table(
     )
 
 
+def encode_pq_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iterations: int = PQ_ITERATIONS,
+) -> DataFrame:
+    """Assign-only PQ ENCODING of a new vector batch against the
+    PERSISTED sub-codebooks — the code table's maintenance path, the
+    exact analogue of ``dedup_semantic_incremental``'s enrollment: the
+    final sub-centroids are recomputed from the stored fit (never the
+    fit lineage), the batch's sub-vectors score exact-decimal against
+    them, argmin per (vector, subspace).  Returns (vec_id, s, cluster,
+    dist2) codes, O(|batch|·m·ksub·d_sub) against broadcast-sized
+    centroids — NO refit; appending them into the bucketed code table
+    is the ``_ensure_folded_state`` machinery verbatim.  Encoding is
+    LOCAL per subspace, so a one-dimension perturbation can change at
+    most the one owning subspace's code — pinned in test_llm_ops.py
+    (the quantization-robustness property that makes incremental
+    encoding trustworthy between refits)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq_assign = ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
+    cent = _exact_centroids(
+        _quantized_components(_pq_subvectors(emb, m)),
+        pq_assign.select("vec_id", "cluster"),
+    )
+    coded = _assign_to_centroids(
+        _quantized_components(_pq_subvectors(batch, m)), cent
+    )
+    # two-stage select: the sub_id must be renamed BEFORE deriving the
+    # original id and subspace from it (the lateral-alias pitfall)
+    return coded.select(
+        F.col("vec_id").alias("sub_id"), "cluster", "dist2"
+    ).select(
+        F.expr(f"sub_id div {m}").alias("vec_id"),
+        (F.col("sub_id") % m).alias("s"),
+        "cluster",
+        F.round(F.col("dist2").cast("double"), 6).alias("dist2"),
+    )
+
+
 def embedding_knn_ivfpq(
     spark: SparkSession,
     sf_dir: str,

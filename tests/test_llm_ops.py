@@ -1115,3 +1115,46 @@ def test_phash_incremental_screen_matches_brute_force(spark):
     assert news and all(got[b] is None for b in news), (
         "a salt-decorrelated new image was falsely flagged"
     )
+
+
+def test_encode_pq_batch_locality_and_purity(spark):
+    """Incremental PQ encoding invariants: (a) codes stay subspace-pure
+    and cover every (vector, subspace); (b) encoding is LOCAL per
+    subspace — a batch vector that perturbs ONE dimension of a corpus
+    vector (+0.05 at vec_id % 64) may change AT MOST the one subspace
+    that owns that dimension relative to the source vector's own
+    assign-only re-encode.  Locality is what makes appending
+    incrementally-encoded codes into the index trustworthy between
+    refits."""
+    from firebird_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus, b1, _ = S.incremental_embedding_batches(spark, SF_SMOKE)
+    near = b1.filter((F.col("vec_id") - 200000) % 2 == 0)  # the +0.05 halves
+    batch_codes = {
+        (r["vec_id"], r["s"]): r["cluster"]
+        for r in S.encode_pq_batch(spark, SF_SMOKE, near).collect()
+    }
+    base_codes = {
+        (r["vec_id"], r["s"]): r["cluster"]
+        for r in S.encode_pq_batch(spark, SF_SMOKE, corpus).collect()
+    }
+    n_vecs = emb.count()
+    assert len(base_codes) == n_vecs * S.PQ_M
+    assert all(c % S.PQ_M == s for (_, s), c in batch_codes.items())
+    d_sub = 64 // S.PQ_M
+    for src_id in {v for v, _ in base_codes}:
+        bid = src_id + 200000
+        if (bid, 0) not in batch_codes:
+            continue
+        diffs = [
+            s
+            for s in range(S.PQ_M)
+            if batch_codes[(bid, s)] != base_codes[(src_id, s)]
+        ]
+        owner = (src_id % 64) // d_sub
+        assert len(diffs) <= 1 and all(s == owner for s in diffs), (
+            f"non-local encode: vec {src_id} diffs {diffs}, owner {owner}"
+        )
