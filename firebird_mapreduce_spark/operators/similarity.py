@@ -917,6 +917,40 @@ def ensure_kmeans_exact_table(
     )
 
 
+def ensure_centroid_table(
+    spark: SparkSession,
+    sf_dir: str,
+    source_name: str,
+    emb: DataFrame,
+    assign: DataFrame,
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+) -> DataFrame:
+    """The FINAL centroids (cluster, d, m) persisted alongside the
+    assignment index — the second index artifact.  Every serving query
+    used to recompute them per call via ``_exact_centroids`` over the
+    exploded corpus: value-identical (a deterministic function of the
+    persisted assignment + corpus), but a CORPUS-SIZED aggregate in the
+    serving plan — precisely the scan the index exists to avoid at
+    100 TB.  Persisted once, the table is k·d rows (driver-sized at any
+    corpus scale) and every probe scheduler / ADC table / enrollment
+    join broadcasts it.  Same content-tag idempotence as the assignment
+    table; cached ≡ recomputed is pinned in test_llm_ops.py."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    tag = corpus_tag(sf_dir, "embeddings")
+    return ensure_bucketed_table(
+        spark,
+        f"kmxc_{source_name}_{k}x{iterations}_",
+        tag,
+        8,
+        ["d"],
+        lambda: _exact_centroids(
+            _quantized_components(emb), assign.select("vec_id", "cluster")
+        ),
+    )
+
+
 def embedding_kmeans_exact(
     spark: SparkSession,
     sf_dir: str,
@@ -1327,16 +1361,16 @@ def embedding_knn_ivf_multiprobe(
     centroid table — the scan/recall dial with no index rebuild."""
     emb = load_table(spark, sf_dir, "embeddings")
     # the fit is the persisted index (one build per corpus); the final
-    # centroids are REBUILT over the stored assignment (value-identical
-    # to the fit's own c_{it+1} — the centroid is a function of the
-    # final assignment alone) so the serving plan hangs off the index
-    # table instead of replaying the 3-iteration fit lineage
+    # centroids are ALSO a persisted artifact since r7
+    # (ensure_centroid_table — value-identical to the fit's own c_{it+1},
+    # a function of the final assignment alone), so the serving plan
+    # reads two tiny tables instead of replaying fit lineage OR running
+    # a corpus-sized centroid aggregate per query
     assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
-    comp = _quantized_components(emb)
-    cent = _exact_centroids(comp, assign.select("vec_id", "cluster"))
+    cent = ensure_centroid_table(spark, sf_dir, "raw", emb, assign, k, iterations)
     qdist = (
-        comp.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .join(cent, "d")
+        _quantized_components(emb.filter(F.col("vec_id") == QUERY_VEC_ID))
+        .join(F.broadcast(cent), "d")
         .select(
             "cluster",
             ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
@@ -1445,9 +1479,9 @@ def encode_pq_batch(
     """Assign-only PQ ENCODING of a new vector batch against the
     PERSISTED sub-codebooks — the code table's maintenance path, the
     exact analogue of ``dedup_semantic_incremental``'s enrollment: the
-    final sub-centroids are recomputed from the stored fit (never the
-    fit lineage), the batch's sub-vectors score exact-decimal against
-    them, argmin per (vector, subspace).  Returns (vec_id, s, cluster,
+    final sub-centroids come from their persisted index table, the
+    batch's sub-vectors score exact-decimal against them, argmin per
+    (vector, subspace).  Returns (vec_id, s, cluster,
     dist2) codes, O(|batch|·m·ksub·d_sub) against broadcast-sized
     centroids — NO refit; appending them into the bucketed code table
     is the ``_ensure_folded_state`` machinery verbatim.  Encoding is
@@ -1457,9 +1491,14 @@ def encode_pq_batch(
     encoding trustworthy between refits)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pq_assign = ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
-    cent = _exact_centroids(
-        _quantized_components(_pq_subvectors(emb, m)),
-        pq_assign.select("vec_id", "cluster"),
+    cent = ensure_centroid_table(
+        spark,
+        sf_dir,
+        f"pq{m}x{ksub}",
+        _pq_subvectors(emb, m),
+        pq_assign,
+        m * ksub,
+        pq_iterations,
     )
     coded = _assign_to_centroids(
         _quantized_components(_pq_subvectors(batch, m)), cent
@@ -1510,8 +1549,8 @@ def embedding_knn_ivfpq(
       codes    ONE exact fit over the sub-vector relation trains all m
                sub-codebooks (``_pq_subvectors``'s indicator trick keeps
                clusters subspace-pure), persisted bucketed by sub_id;
-      ADC      query sub-distances to the FINAL sub-centroids (recomputed
-               from the stored assignment — the multiprobe move), summed
+      ADC      query sub-distances to the FINAL sub-centroids (their own
+               persisted index artifact, ensure_centroid_table), summed
                per candidate as exact DECIMAL(28,15) so the top-C cut is
                engine-reproducible, (adc, vec_id)-tie-broken;
       rerank   exact cosine on the C survivors only, top-10.
@@ -1527,11 +1566,10 @@ def embedding_knn_ivfpq(
     emb = load_table(spark, sf_dir, "embeddings")
     # coarse index + probe scheduler (shared with embedding_knn_ivf_multiprobe)
     coarse = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
-    comp = _quantized_components(emb)
-    cent = _exact_centroids(comp, coarse.select("vec_id", "cluster"))
+    cent = ensure_centroid_table(spark, sf_dir, "raw", emb, coarse, k, iterations)
     qdist = (
-        comp.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .join(cent, "d")
+        _quantized_components(emb.filter(F.col("vec_id") == QUERY_VEC_ID))
+        .join(F.broadcast(cent), "d")
         .select(
             "cluster",
             ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
@@ -1554,11 +1592,12 @@ def embedding_knn_ivfpq(
     # PQ codes + final sub-centroids + the query's ADC lookup table
     sub = _pq_subvectors(emb, m)
     pq_assign = ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
-    comp_sub = _quantized_components(sub)
-    pq_cent = _exact_centroids(comp_sub, pq_assign.select("vec_id", "cluster"))
+    pq_cent = ensure_centroid_table(
+        spark, sf_dir, f"pq{m}x{ksub}", sub, pq_assign, m * ksub, pq_iterations
+    )
     qd = (
-        comp_sub.filter(F.col("vec_id") < m)  # query sub ids 0..m-1
-        .join(pq_cent, "d")
+        _quantized_components(sub.filter(F.col("vec_id") < m))  # query subs
+        .join(F.broadcast(pq_cent), "d")
         .select(
             (F.col("vec_id") % m).alias("s"),
             "cluster",
@@ -1827,8 +1866,9 @@ def dedup_semantic_incremental(
 
       enroll    batch vectors are assigned to their nearest FINAL
                 centroid by exact-decimal distance (``_assign_to_
-                centroids`` — the multiprobe scheduler's arithmetic at
-                index time): an O(|batch|·k·d) broadcast join, NO refit;
+                centroids`` against the PERSISTED centroid table —
+                the multiprobe scheduler's arithmetic at index time):
+                an O(|batch|·k·d) broadcast join, NO refit;
       ingest 1  near-copies of corpus vectors (flagged against day-0
                 state) + negated vectors (genuinely new → kept);
       fold      survivors' banding keys and vectors APPEND into this
@@ -1862,13 +1902,10 @@ def dedup_semantic_incremental(
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus, b1, b2 = incremental_embedding_batches(spark, sf_dir)
-    # the persisted raw-corpus index — the SAME table every IVF consumer
-    # reads; final centroids recomputed from the stored assignment (the
-    # multiprobe move), lazily checkpointed: both enrollments reuse them
+    # the persisted raw-corpus index + centroid tables — the SAME
+    # artifacts every IVF consumer reads; both enrollments reuse them
     assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
-    cent = _exact_centroids(
-        _quantized_components(emb), assign.select("vec_id", "cluster")
-    ).localCheckpoint(eager=False)
+    cent = ensure_centroid_table(spark, sf_dir, "raw", emb, assign, k, iterations)
     tag = corpus_tag(sf_dir, "embeddings")
 
     def corpus_band_rows() -> DataFrame:
@@ -1973,9 +2010,7 @@ def semantic_index_drift(
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _, b1, _ = incremental_embedding_batches(spark, sf_dir)
     assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
-    cent = _exact_centroids(
-        _quantized_components(emb), assign.select("vec_id", "cluster")
-    )
+    cent = ensure_centroid_table(spark, sf_dir, "raw", emb, assign, k, iterations)
     a1 = _assign_to_centroids(_quantized_components(b1), cent)
     fit = assign.agg(
         F.count(F.lit(1)).alias("n_fit"),

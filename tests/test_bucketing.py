@@ -322,9 +322,11 @@ def test_semantic_incremental_fold_state_and_plan(spark):
         reads BOTH folded state tables through bucketed scans — the
         band membership probe and the rerank's a-side vector fetch are
         corpus-exchange-free (the two-sided rerank exists for exactly
-        this; a corpus ∪ batch union would destroy the bucketing).
-        Remaining exchanges are batch-side aggregates plus the
-        per-ingest k·d-key final-centroid recompute — a daily BATCH
+        this; a corpus ∪ batch union would destroy the bucketing) — and
+        since the centroid table became a persisted artifact the plan
+        carries NO corpus-sized aggregate at all (4 bucketed scans:
+        bands + vecs state, the assignment index, the centroid table).
+        Remaining exchanges are batch-side aggregates — a daily BATCH
         job's shuffles, not per-query serving cost."""
     import firebird_mapreduce_spark.operators.similarity as S
     from firebird_mapreduce_spark.operators.relational import corpus_tag
@@ -352,9 +354,9 @@ def test_semantic_incremental_fold_state_and_plan(spark):
     try:
         df = S.dedup_semantic_incremental(spark, SF_SMOKE)
         plan = plan_string(df, "formatted")
-        assert plan.count("Bucketed: true") == 2, plan
+        assert plan.count("Bucketed: true") == 4, plan
         n = count_exchanges(df)
-        assert n == 14, f"exchanges={n} (expected 14)\n{plan}"
+        assert n == 12, f"exchanges={n} (expected 12)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)

@@ -797,6 +797,21 @@ def test_kmeans_index_table_equals_fresh_fit(spark):
     fresh = _kmeans_exact_fit(emb)[0]
     rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert rows(cached) == rows(fresh) and cached.count() > 0
+    # the SECOND index artifact (r7): the persisted centroid table must
+    # equal a fresh recompute over the stored assignment, value for
+    # value — serving plans read it instead of running a corpus-sized
+    # aggregate per query
+    from firebird_mapreduce_spark.operators.similarity import (
+        _exact_centroids,
+        _quantized_components,
+        ensure_centroid_table,
+    )
+
+    cent_cached = ensure_centroid_table(spark, SF_SMOKE, "raw", emb, cached)
+    cent_fresh = _exact_centroids(
+        _quantized_components(emb), cached.select("vec_id", "cluster")
+    )
+    assert rows(cent_cached) == rows(cent_fresh) and cent_cached.count() > 0
 
 
 def test_dedup_semantic_multi_assignment_recovers_cluster_splits(spark):
