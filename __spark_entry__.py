@@ -53,20 +53,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER IS LOAD-BEARING: the round driver's correctness gate checks the
     first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
-    1-50 for ROUND 7: the 2 queries whose only driver evidence is still
-    r3-era (``embedding_kmeans``, ``approx_percentile_stats`` — both
-    rows-only by design, explicitly displaced from the r6 window and
-    promised the r7 lead, VERDICT r6 item 4), the 6 r7 additions
-    (net-new capped well under the leftover slots, zero deferral;
-    dedup_images_phash_incremental was promoted late in the round — the
-    r6 multiassign precedent — and the counts here say 6, per ADVICE
-    r6), and
-    42 of the 48 queries whose newest driver row is r4-era (the 6 left
-    at r4 evidence are the ones with the strongest collateral — an
-    oracle-twin or near-twin already re-checked, or rows-only with
-    property tests; named in the window comment).  The union
-    r4 ∪ r5 ∪ r6 ∪ this window gives EVERY registered query a driver row
-    no older than r4, and every oracle-backed query a hash row in that
+    1-50 for ROUND 8: the 6 queries whose newest driver evidence is
+    r4-era LEAD (VERDICT r7 item 5 — after this round the evidence floor
+    advances to r5), then the 3 queries whose results or name changed
+    this round (``heavy_hitters_mixed`` renamed, ``fuzzy_match_names``
+    re-fixtured on the sampled catalog, ``embedding_knn_ivfpq`` refit on
+    the deterministic hash-sample), then the r8 additions (first driver
+    rows, zero deferral), then re-checks of the oldest remaining (r5-era)
+    evidence.  The 13 r5-era queries left un-re-checked are the ones with
+    the strongest collateral — an oracle-twin or near-twin already
+    re-checked; named in the window comment.  The union
+    r5 ∪ r6 ∪ r7 ∪ this window gives EVERY registered query a driver row
+    no older than r5, and every oracle-backed query a hash row in that
     union (tests/test_docs_consistency.py asserts the invariant).  The
     full registry stays under the local gate regardless
     (tests/test_oracle_parity.py + tools/check_correctness.py).
@@ -302,7 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: heavy hitters whose key cardinality (~23k 8-grams) forces
         # the Misra-Gries compression path in every partition — the
         # driver-facing case for the algorithm, not just the easy one
-        "heavy_hitters_8gram": FQ.heavy_hitters_8gram,
+        "heavy_hitters_mixed": FQ.heavy_hitters_mixed,
         # r6: snapshot diff over bucketed (key, hash) snapshot tables —
         # the zero-exchange daily-diff layout its docstring prescribed,
         # now demonstrated (plan pinned in test_bucketing.py)
@@ -347,100 +345,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry for ROUND 7 (see queries() docstring).
+# Positions 1-50 of the registry for ROUND 8 (see queries() docstring).
 # Groups:
-# (a) the two r3-era leftovers LEAD, as VERDICT r6 item 4 prescribed:
-#     embedding_kmeans and approx_percentile_stats (both rows-only by
-#     design) were displaced from the r6 window; after this round NO
-#     registered query's newest driver row is older than r4;
-# (b) the 6 r7 additions — first driver rows, zero deferral (net-new
-#     again capped under the window's leftover capacity;
-#     dedup_images_phash_incremental promoted late-r7, displacing one
-#     more re-check);
-# (c) re-checks of the oldest remaining evidence: 42 of the 48 queries
-#     whose newest driver row is r4-era.  The 6 left at r4 evidence,
-#     chosen for the strongest collateral:
-#       connected_components_star — oracle IDENTICAL to
-#         connected_components (re-checked in this window) over the same
-#         graph code; equality of the two implementations is its claim;
-#       cube_revenue — the grouping-lattice triplet's third spelling
-#         (rollup_revenue r5-green, grouping_sets_revenue re-checked
-#         here) over one shared aggregate expression;
-#       binary_meta — the in-plan byte-metadata twin of binary_file_meta
-#         (r6-green) with the same md5/length expressions;
-#       bigram_topk — subsumed by bigram_logprob (r6-green), which
-#         exercises the same shingle+count dataflow plus the LM tail;
-#       approx_distinct_users — rows-only by design with ε-property
-#         tests; its window slot buys no hash evidence;
-#       stream_session_timeout — its oracle is IDENTICAL to
-#         stream_session_window's and stream_session_custom's (both
-#         r5-green) over the same session semantics; displaced by the
-#         late-promoted dedup_images_phash_incremental.
-# Result: every registered query has a driver row in r4 ∪ r5 ∪ r6 ∪ this
+# (a) the 6 r4-era leftovers LEAD, as VERDICT r7 item 5 prescribed —
+#     after this round NO registered query's newest driver row is older
+#     than r5 (the evidence floor advances one round again);
+# (b) queries whose RESULTS or NAME changed this round, so their older
+#     rows are stale: heavy_hitters_mixed (renamed from
+#     heavy_hitters_8gram — the heavy set was only ever tokens),
+#     fuzzy_match_names (the k=1 catalog got the sampled-catalog cure
+#     its k=2 sibling got in r7), embedding_knn_ivfpq (sub-codebooks now
+#     trained on the deterministic hash-sample);
+# (c) the r8 additions — first driver rows, zero deferral;
+# (d) re-checks of the oldest remaining evidence (r5-era).  The 13 left
+#     at r5 evidence, chosen for the strongest collateral:
+#       tpch_q5_sql — the SQL-API twin of tpch_revenue_by_nation
+#         (re-checked here) with an identical oracle;
+#       zorder_key_events — the z-order family's 2-column spelling;
+#         zorder3 re-checked here, zorder4 r6-green, same key machinery;
+#       left_outer_join / semi_anti_join — join-family collateral:
+#         full_outer_join and broadcast_join re-checked here over the
+#         same join code paths;
+#       stream_group_count — streaming-agg family: stream_running_count
+#         re-checked here, stream_incremental_agg r6-green;
+#       stream_session_custom — the session triplet shares ONE oracle:
+#         stream_session_window re-checked here, stream_session_timeout
+#         in group (a);
+#       stream_tumbling_window — tumbling family: batch
+#         tumbling_window_count r7-green, sliding_window_count r6-green;
+#       curation_pipeline — subsumed by curation_pipeline_full
+#         (r7-green) and the new multimodal funnel (group c);
+#       dedup_simhash64 — dedup_simhash r7-green over the same banding
+#         machinery (64 is the wider-hash variant);
+#       lang_mix_downsample — lang_mix_temperature r6-green over the
+#         same mix computation;
+#       rollup_revenue — grouping-lattice triplet: grouping_sets r7,
+#         cube re-checked in group (a), one shared aggregate;
+#       mapreduce_group_count — the same mapreduce.py path as
+#         grouped_agg_udaf and group_count (both r7-green);
+#       variant_extract_events — twin of json_extract_events
+#         (re-checked here) over the same extraction expressions.
+# Result: every registered query has a driver row in r5 ∪ r6 ∪ r7 ∪ this
 # window, every oracle-backed one a hash row in that union, and every
 # operator added this round gets first-row evidence
 # (tests/test_docs_consistency.py asserts the invariant).
 _DRIVER_WINDOW = [
-    # (a) the r3-era leftovers lead
-    "embedding_kmeans",
-    "approx_percentile_stats",
-    # (b) the r7 additions — first driver rows
-    "dedup_images_phash",
-    "dedup_images_phash_incremental",
-    "fuzzy_match_names_k2",
-    "dedup_semantic_incremental",
+    # (a) the r4-era leftovers lead
+    "approx_distinct_users",
+    "bigram_topk",
+    "binary_meta",
+    "connected_components_star",
+    "cube_revenue",
+    "stream_session_timeout",
+    # (b) changed this round — old rows stale
+    "heavy_hitters_mixed",
+    "fuzzy_match_names",
     "embedding_knn_ivfpq",
-    "curation_pipeline_full",
-    # (c) oldest-evidence re-checks (newest driver row is r4-era)
-    "group_count",
-    "numbercount_10m",
-    "group_sum_avg",
-    "grouping_sets_revenue",
-    "percentile_stats",
-    "global_sort_rank",
-    "topk_orders",
-    "window_rank",
-    "tumbling_window_count",
-    "reduce_side_join",
-    "range_join_sessionize",
-    "asof_purchase_prior_click",
-    "grouped_agg_udaf",
-    "connected_components",
-    "triangle_count",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_cc",
-    "embedding_knn",
-    "embedding_knn_ivf",
-    "stats_moments",
-    "conditional_agg",
-    "timeseries_gapfill",
-    "revenue_share_window",
-    "vector_stats",
-    "window_range_interval",
-    "pii_redact",
-    "contamination_check",
-    "inverted_index",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "quality_topk_per_lang",
-    "pack_training_chunks",
-    "text_repetition",
-    "deterministic_split",
-    "embedding_lsh_ann",
-    "frame_sample",
-    "scan_project",
-    "distinct_dedup",
-    "image_features",
+    # (c) the r8 additions — first driver rows
+    # (registered incrementally through the round; each displaces one
+    # group-(d) re-check per the leave-out list above)
+    # (d) oldest-evidence re-checks (newest driver row is r5-era)
+    "above_avg_balance",
+    "argmax_order_per_cust",
+    "broadcast_join",
+    "bucketed_join_orders",
+    "bucketed_theta_join",
+    "dedup_exact_bucketed",
+    "embedding_kmeans_exact",
+    "embedding_knn_ivf_fitted",
+    "embedding_lsh_ann_multi",
+    "embedding_neardup_topk",
+    "filter_predicate",
+    "flatmap_tokenize",
+    "full_outer_join",
+    "group_min",
+    "json_extract_events",
+    "lang_mix_downsample",
+    "lateral_topk_per_nation",
+    "mapreduce_group_count",
+    "merge_upsert_orders",
+    "pagerank_nations",
+    "pivot_events",
+    "profile_events",
+    "quality_filter_c4",
+    "rollup_revenue",
+    "salted_group_count",
+    "set_ops_customers",
+    "skew_join_events",
+    "skewed_rank_events",
+    "sssp_fixpoint",
+    "sssp_syn18k",
+    "stream_custom_source",
+    "stream_dedup",
+    "stream_running_count",
+    "stream_session_window",
+    "stream_static_join",
+    "stream_stream_join",
+    "tpch_revenue_by_nation",
+    "unigram_logprob",
+    "variant_extract_events",
+    "window_lag_lead",
+    "zorder3_key_events",
 ]
 
 
 # Queries registered AFTER the current window was pinned at its 50-slot
 # capacity (the driver hash-checks only positions 1-50 per round); each
 # would be covered by the LOCAL parity gate until its rotation slot.
-# EMPTY as of r7 (second consecutive round): all 5 net-new registrations
+# EMPTY as of r7 (second consecutive round): all 6 net-new registrations
 # took window slots — any r8 registration must either fit the next
 # window's leftover capacity or land here visibly, never silently.
 _PENDING_NEXT_WINDOW: list[str] = []
@@ -1832,7 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         # mixed 8-gram ∪ token stream (integer-exact ceil(N/100)); the
         # MG summaries compress thousands of times per partition but
         # candidacy stays a superset, so the outputs must coincide
-        "heavy_hitters_8gram": """
+        "heavy_hitters_mixed": """
             WITH tk AS (
                 SELECT string_split(lower(text), ' ') AS tk FROM documents
             ),
@@ -1935,18 +1947,21 @@ def oracle_sql() -> dict[str, str]:
                 "props"))})
             SELECT table_name, n_rows, fingerprint FROM events_canon
         """,
-        # full FastSS deletion-neighborhood blocking replayed identically:
-        # planted single-deletion variants (every 97th customer, char at
-        # (k % len)+1 removed), keys = identity + each single deletion,
-        # join on the key, dedupe pairs, verify distance == 1
+        # full FastSS deletion-neighborhood blocking replayed identically
+        # over the SAMPLED catalog (every 7th customer — the r7 k=2 cure
+        # applied to k=1 in r8): planted single-deletion variants
+        # (k % 91 == 0, char at (k % len)+1 removed), keys = identity +
+        # each single deletion, join on the key, dedupe pairs, verify
+        # distance == 1
         "fuzzy_match_names": """
             WITH names AS (
                 SELECT c_custkey AS k, c_name AS name FROM customer
+                WHERE c_custkey % 7 = 0
                 UNION ALL
                 SELECT c_custkey + 1000000,
                        substr(c_name, 1, c_custkey % length(c_name))
                        || substr(c_name, (c_custkey % length(c_name)) + 2)
-                FROM customer WHERE c_custkey % 97 = 0
+                FROM customer WHERE c_custkey % 91 = 0
             ),
             keyed AS (
                 SELECT k, name,

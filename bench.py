@@ -149,7 +149,7 @@ HEADLINE = [
     # r6: multi-probe fitted IVF (nprobe=3 exact-decimal probe pick)
     "embedding_knn_ivf_multiprobe",
     # r6: forced-compression heavy hitters (23k keys vs 100 counters)
-    "heavy_hitters_8gram",
+    "heavy_hitters_mixed",
     # r6: zero-exchange bucketed snapshot diff — run 0 pays the two
     # snapshot-hash table writes, runs 1+ are the amortized keyed diff
     "snapshot_diff_bucketed",

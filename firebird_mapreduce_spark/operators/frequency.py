@@ -126,7 +126,7 @@ def heavy_hitters_exact(
 
 
 def gram_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mixed-order n-gram key stream of ``heavy_hitters_8gram``:
+    """The mixed-order n-gram key stream of ``heavy_hitters_mixed``:
     every word 8-gram UNION ALL every single token over the lowercased
     corpus — one column ``gram``.  The 8-gram side is the cardinality
     (≈22.6k distinct at sf0.01, max frequency 3: real passage-level
@@ -144,10 +144,13 @@ def gram_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.unionByName(toks)
 
 
-def heavy_hitters_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def heavy_hitters_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over a key space that FORCES the Misra-Gries
-    compression path: grams carrying >= 1% of the mixed token ∪ 8-gram
-    stream, exactly.
+    compression path: grams carrying >= 1% of the MIXED token ∪ 8-gram
+    stream, exactly.  (Named for the mixed stream, not its output: on
+    this corpus the heavy set is always tokens — the 8-grams are the
+    ~23k-key cold tail whose sole job is to overflow the counters; the
+    r6-era name ``heavy_hitters_8gram`` implied the opposite.)
 
     ``heavy_hitters_tokens``' 31-word vocabulary fits inside its 34
     counters, so its registered run never compresses (admitted in its

@@ -1049,6 +1049,13 @@ def embedding_knn_ivf_fitted(
 SEMANTIC_THRESHOLD = 0.9
 
 
+def _name_tag(value: float) -> str:
+    """A float rendered safe for a table-name segment (0.9 → '0p9',
+    -1.5 → 'm1p5') — used to key persisted state tables by every
+    parameter that determines their contents."""
+    return str(value).replace(".", "p").replace("-", "m")
+
+
 def semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus ``dedup_semantic`` mines: embeddings ∪ deterministic
     planted near-copies — ``vec_id + 100000`` with +0.05 added to the
@@ -1595,8 +1602,12 @@ def embedding_knn_ivfpq(
     pq_cent = ensure_centroid_table(
         spark, sf_dir, f"pq{m}x{ksub}", sub, pq_assign, m * ksub, pq_iterations
     )
+    # the query's sub-vectors derived FROM the constant (filter the query
+    # row, then slice), not vec_id < m — which silently assumed
+    # QUERY_VEC_ID == 0 (sub ids are orig·m + s)
+    query_subs = _pq_subvectors(emb.filter(F.col("vec_id") == QUERY_VEC_ID), m)
     qd = (
-        _quantized_components(sub.filter(F.col("vec_id") < m))  # query subs
+        _quantized_components(query_subs)
         .join(F.broadcast(pq_cent), "d")
         .select(
             (F.col("vec_id") % m).alias("s"),
@@ -1943,10 +1954,19 @@ def dedup_semantic_incremental(
     kept_ids = r1.filter(F.col("kept")).select("vec_id")
     kept1 = b1.join(kept_ids, "vec_id")
 
-    # the fold: survivors' band keys + vectors appended once, crash-guarded
+    # the fold: survivors' band keys + vectors appended once, crash-guarded.
+    # BOTH prefixes carry every parameter that determines the folded
+    # contents — k and iterations (the banding's cluster assignment) AND
+    # threshold (which batch vectors survive to be folded) — so invoking
+    # with different parameters forces a rebuild instead of silently
+    # reusing a delta folded under the old parameters (and the two state
+    # tables can never go mutually inconsistent, one rebuilt for new
+    # parameters while the other reuses the old fold); the same
+    # all-parameters keying discipline as ensure_centroid_table's name.
+    param_tag = f"{k}x{iterations}x{_name_tag(threshold)}"
     v2_bands = _ensure_folded_state(
         spark,
-        f"semvf_bands_{k}x{iterations}_",
+        f"semvf_bands_{param_tag}_",
         tag,
         8,
         ["blk", "tbl", "sig"],
@@ -1961,7 +1981,7 @@ def dedup_semantic_incremental(
     )
     v2_vecs = _ensure_folded_state(
         spark,
-        "semvf_vecs_",
+        f"semvf_vecs_{param_tag}_",
         tag,
         8,
         ["vec_id"],
@@ -2012,7 +2032,15 @@ def semantic_index_drift(
     assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
     cent = ensure_centroid_table(spark, sf_dir, "raw", emb, assign, k, iterations)
     a1 = _assign_to_centroids(_quantized_components(b1), cent)
-    fit = assign.agg(
+    # the fit-side baseline is RE-SCORED against the persisted FINAL
+    # centroids (one corpus _assign_to_centroids pass), not read from the
+    # fit table's dist2 — the fit table measured distances to the
+    # PREVIOUS round's centroids c_it, while the batch enrolls against
+    # c_{it+1}; mixing the two generations gave an in-distribution batch
+    # a drift_ratio != 1 by construction (a systematic bias in the
+    # trigger).  Both means now reference the same centroid generation.
+    corpus_score = _assign_to_centroids(_quantized_components(emb), cent)
+    fit = corpus_score.agg(
         F.count(F.lit(1)).alias("n_fit"),
         F.avg(F.col("dist2").cast("double")).alias("fit_mean_dist2"),
     )

@@ -334,6 +334,9 @@ def test_semantic_incremental_fold_state_and_plan(spark):
     result = S.dedup_semantic_incremental(spark, SF_SMOKE)
     tag = corpus_tag(SF_SMOKE, "embeddings")
     k, it = S.N_CENTROIDS, 3
+    # r8: the folded prefixes are keyed by every parameter that
+    # determines their contents (ADVICE r7 medium item)
+    ptag = f"{k}x{it}x{S._name_tag(S.SEMANTIC_THRESHOLD)}"
 
     # (a) row accounting: folded = corpus + survivor delta
     n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
@@ -341,9 +344,9 @@ def test_semantic_incremental_fold_state_and_plan(spark):
     n_kept = kept1.count()
     assert n_kept > 0, "no ingest-1 survivors — the fold is vacuous"
     assert (
-        spark.table(f"semvf_vecs_{tag}").count() == n_corpus + n_kept
+        spark.table(f"semvf_vecs_{ptag}_{tag}").count() == n_corpus + n_kept
     )
-    n_bands_state = spark.table(f"semvf_bands_{k}x{it}_{tag}").count()
+    n_bands_state = spark.table(f"semvf_bands_{ptag}_{tag}").count()
     n_bands_day0 = spark.table(f"semv_bands_{k}x{it}_{tag}").count()
     assert n_bands_state == n_bands_day0 + n_kept * S.NEARDUP_TABLES
 

@@ -42,11 +42,14 @@ def test_every_query_named_in_coverage():
 
 
 def test_driver_window_covers_every_query():
-    """Round-7 invariant — the evidence floor ADVANCES to r4 (VERDICT r6
-    item 4: the two r3-era leftovers lead this window, so r3 rows are no
+    """Round-8 invariant — the evidence floor ADVANCES to r5 (VERDICT r7
+    item 5: the six r4-era leftovers lead this window, so r4 rows are no
     longer needed by any query): (1) every REGISTERED query has a driver
-    row in r4 ∪ r5 ∪ r6 ∪ this round's 50-query window; (2) every
-    ORACLE-BACKED query has a hash row in that union.  The pending list
+    row in r5 ∪ r6 ∪ r7 ∪ this round's 50-query window; (2) every
+    ORACLE-BACKED query has a hash row in that union.  Queries whose
+    RESULTS or NAME changed this round (heavy_hitters_mixed,
+    fuzzy_match_names, embedding_knn_ivfpq) must sit IN the window —
+    their older rows certify a different computation.  The pending list
     is EMPTY again (net-new registrations capped to window slots); the
     mechanism stays so any future overflow is visible, never silent.
     (The driver checks only the first 50 registered queries per round.)"""
@@ -58,22 +61,28 @@ def test_driver_window_covers_every_query():
     assert window == entrymod._DRIVER_WINDOW
     assert len(set(window)) == 50
     rounds = [
-        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (4, 5, 6)
+        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (5, 6, 7)
     ]
     driver_rows = set().union(*rounds)
     hash_green = set().union(
         *({k for k, v in r.items() if v.get("hash_match")} for r in rounds)
     )
     pending = set(entrymod._PENDING_NEXT_WINDOW)
-    assert pending == set(), "r7 contract: zero registrations left pending"
+    assert pending == set(), "r8 contract: zero registrations left pending"
     assert pending.isdisjoint(window), "pending query already in window"
+    for changed in (
+        "heavy_hitters_mixed",
+        "fuzzy_match_names",
+        "embedding_knn_ivfpq",
+    ):
+        assert changed in window, f"{changed} changed in r8 but not in window"
     for name in queries:
         assert name in driver_rows or name in window or name in pending, (
-            f"{name} has no driver row newer than r3"
+            f"{name} has no driver row newer than r4"
         )
         if name in oracles:
             assert name in hash_green or name in window or name in pending, (
-                f"{name} is oracle-backed but has no r4+ hash-green "
+                f"{name} is oracle-backed but has no r5+ hash-green "
                 "driver row"
             )
 

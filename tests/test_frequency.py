@@ -89,7 +89,7 @@ def test_heavy_hitters_tokens_smoke_non_vacuous(spark):
     assert "dup" not in keys  # ... the planted rare token does not
 
 
-def test_heavy_hitters_8gram_compression_fires_and_stays_exact(spark):
+def test_heavy_hitters_mixed_compression_fires_and_stays_exact(spark):
     """The registered forced-compression case (VERDICT r5 item 7): over
     the mixed 8-gram ∪ token stream the pass-1 Misra-Gries summaries
     must COMPRESS — candidate count a small fraction of the distinct
@@ -102,7 +102,7 @@ def test_heavy_hitters_8gram_compression_fires_and_stays_exact(spark):
 
     from firebird_mapreduce_spark.operators.frequency import (
         gram_token_stream,
-        heavy_hitters_8gram,
+        heavy_hitters_mixed,
     )
 
     stream = gram_token_stream(spark, SF_SMOKE).select(
@@ -119,7 +119,7 @@ def test_heavy_hitters_8gram_compression_fires_and_stays_exact(spark):
         "compression never fired"
     )
 
-    out = heavy_hitters_8gram(spark, SF_SMOKE).collect()
+    out = heavy_hitters_mixed(spark, SF_SMOKE).collect()
     threshold = -(-stream.count() // 100)  # ceil(N/100), integer-exact
     exact = {
         (r["gram"], r["cnt"])

@@ -855,10 +855,15 @@ def test_fuzzy_match_names_equals_brute_force(spark):
     cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
         ["c_custkey", "c_name"]
     ].sort_values("c_custkey")
-    rows = [(int(k), n) for k, n in zip(cust.c_custkey, cust.c_name)]
-    # replicate the planted single-deletion variants
+    rows = [
+        (int(k), n)
+        for k, n in zip(cust.c_custkey, cust.c_name)
+        if int(k) % 7 == 0  # the r8 sampled catalog
+    ]
+    # replicate the planted single-deletion variants (91 = 7·13 keeps
+    # the plant inside the sample)
     for k, n in list(rows):
-        if k % 97 == 0:
+        if k % 91 == 0:
             p = k % len(n)  # 0-based index of the removed char
             rows.append((k + 1000000, n[:p] + n[p + 1 :]))
     rows.sort()

@@ -47,7 +47,7 @@ BUDGETS = {
     "heavy_hitters_tokens": 1,
     # same two-pass shape over the mixed 8-gram ∪ token stream — the
     # forced-compression case keeps the identical returned plan
-    "heavy_hitters_8gram": 1,
+    "heavy_hitters_mixed": 1,
     # first-occurrence window + reassembly groupBy; the report join
     # broadcasts at tiny SF (at scale it reuses the doc_id partitioning)
     "dedup_paragraphs": 2,

@@ -28,7 +28,7 @@ def main():
     out = {
         "sf_dir": SF_DIR,
         "bytes_per_vector_raw": 64 * 8,
-        "bytes_per_vector_pq": S.PQ_M * 0.5,  # 4 codes x 4 bits
+        "bytes_per_vector_pq": S.PQ_M * 0.5,  # 16 codes x 4 bits = 8 bytes
         "exact_top10": exact,
         "sweeps": [],
     }
