@@ -339,6 +339,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin of dedup_incremental, promoted late-r7 (the r6
         # multiassign precedent)
         "dedup_images_phash_incremental": M.dedup_images_phash_incremental,
+        # r8: the PQ tier's maintenance loop — ingest 1 PQ-encoded
+        # ASSIGN-ONLY against the persisted sampled-fit sub-codebooks and
+        # coarse-enrolled, codes + cells FOLDED into bucketed state under
+        # the crash guard, and a deterministic sample of ingest 2 runs
+        # the IVF+PQ probe against the folded state: odd queries find
+        # their ingest-1 parents precisely because the fold happened
+        # (VERDICT r7 item 1 — the incremental family's last member)
+        "embedding_knn_ivfpq_incremental": S.embedding_knn_ivfpq_incremental,
+        # r8: the dedup ladder's last multimodal tier — audio near-dup
+        # via a 56-bit band-energy fingerprint over REAL decoded PCM
+        # (RIFF walk + frame parse), sharing the image tier's banding +
+        # exact-Hamming machinery (phash_pairs); gain shifts land at
+        # distance 0, one-window edits at <= 2 (VERDICT r7 item 4)
+        "dedup_audio_fingerprint": M.dedup_audio_fingerprint,
+        # r8: drift -> refit -> swap — the index lifecycle closed: the
+        # mean-shifted batch blows out enrollment distance against the
+        # v1 corpus index (ratio ~18, trigger fires), v2 refits over
+        # corpus ∪ batch alongside the live index and cuts over via ONE
+        # atomic versioned-table commit, and the batch re-enrolls
+        # in-distribution (ratio ~1); both index versions stay readable
+        # (time travel + idempotence pinned in test_llm_ops.py)
+        "semantic_index_refit": S.semantic_index_refit,
+        # r8: the multimodal funnel — curation_pipeline_full's six text
+        # stages plus an image near-dup screen (real PNG decode +
+        # perceptual hash, the dedup_images_phash machinery shared
+        # verbatim) between text near-dedup and decontamination, with
+        # per-language attrition for all seven stages (VERDICT r7 item 6)
+        "curation_pipeline_multimodal": P.curation_pipeline_multimodal,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -404,6 +432,10 @@ _DRIVER_WINDOW = [
     # (c) the r8 additions — first driver rows
     # (registered incrementally through the round; each displaces one
     # group-(d) re-check per the leave-out list above)
+    "embedding_knn_ivfpq_incremental",
+    "dedup_audio_fingerprint",
+    "semantic_index_refit",
+    "curation_pipeline_multimodal",
     # (d) oldest-evidence re-checks (newest driver row is r5-era)
     "above_avg_balance",
     "argmax_order_per_cust",
@@ -420,15 +452,12 @@ _DRIVER_WINDOW = [
     "full_outer_join",
     "group_min",
     "json_extract_events",
-    "lang_mix_downsample",
     "lateral_topk_per_nation",
-    "mapreduce_group_count",
     "merge_upsert_orders",
     "pagerank_nations",
     "pivot_events",
     "profile_events",
     "quality_filter_c4",
-    "rollup_revenue",
     "salted_group_count",
     "set_ops_customers",
     "skew_join_events",
@@ -443,7 +472,6 @@ _DRIVER_WINDOW = [
     "stream_stream_join",
     "tpch_revenue_by_nation",
     "unigram_logprob",
-    "variant_extract_events",
     "window_lag_lead",
     "zorder3_key_events",
 ]
@@ -2747,6 +2775,27 @@ def oracle_sql() -> dict[str, str]:
         # exact Hamming verify, min-partner disposition
         "dedup_images_phash_incremental":
             M.DEDUP_IMAGES_PHASH_INCREMENTAL_ORACLE_SQL,
+        # r8: the PQ maintenance loop — coarse chain + sampled PQ chain
+        # (the shared IVFPQ CTE helpers), b1's assign-only coarse + PQ
+        # encodings, the fold (state = corpus ∪ b1), the sampled
+        # ingest-2 ADC probe with (adc, id) top-1
+        "embedding_knn_ivfpq_incremental":
+            S.KNN_IVFPQ_INCREMENTAL_ORACLE_SQL,
+        # r8: audio fingerprints re-derived relationally from the
+        # window-amplitude arithmetic (energy CTE -> adjacent
+        # comparisons -> power-of-two sum), same band join + Hamming
+        # verify as the image-tier oracle
+        "dedup_audio_fingerprint": M.DEDUP_AUDIO_FINGERPRINT_ORACLE_SQL,
+        # r8: drift -> refit — corpus chain and corpus∪batch chain side
+        # by side (the two-chain trick), four same-generation enrollment
+        # means, ratios + the refit flag
+        "semantic_index_refit": S.SEMANTIC_INDEX_REFIT_ORACLE_SQL,
+        # r8: the multimodal funnel — the full-funnel oracle with the
+        # image stage's grids re-derived relationally (salt "phf",
+        # base doc = doc_id - doc_id%4) inside the same CTE chain
+        "curation_pipeline_multimodal": P.curation_pipeline_full_oracle_sql(
+            _MINHASH_CTES, image_stage=True
+        ),
         "quality_topk_per_lang": """
             WITH c AS (
                 SELECT doc_id, n_chars,

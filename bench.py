@@ -173,6 +173,16 @@ HEADLINE = [
     # r7: the six-stage curation funnel (quality -> exact dedup ->
     # near-dedup -> decontamination -> mix) as one query
     "curation_pipeline_full",
+    # r8: the PQ maintenance loop — run 0 pays the fold writes, runs 1+
+    # are the steady batch-probe cost against folded state
+    "embedding_knn_ivfpq_incremental",
+    # r8: the audio tier — map-only WAV decode + fingerprint, band join
+    "dedup_audio_fingerprint",
+    # r8: drift -> refit -> swap; run 0 pays the v2 fit + both commits,
+    # runs 1+ are the versioned-read + four enrollment scores
+    "semantic_index_refit",
+    # r8: the seven-stage multimodal funnel (image screen included)
+    "curation_pipeline_multimodal",
 ]
 
 
@@ -238,10 +248,11 @@ def main() -> None:
 
 
 def summary_line(total, timings, runs, detail, sf_val) -> str:
-    """The compact stdout JSON line.  Falls back to 2-dp per-query values
-    if the 3-dp spelling would overflow the driver's 2000-char capture
-    (64 per-query entries at worst-case widths sit ~1.9 KB; the guard
-    keeps a future 70-query headline from silently re-truncating)."""
+    """The compact stdout JSON line.  Falls back to 2-dp then 1-dp
+    per-query values if the 3-dp spelling would overflow the driver's
+    2000-char capture (68 worst-case-width entries need the 1-dp rung;
+    full 3-dp values plus per-run arrays always live in the detail
+    JSON, so the stdout line only ever loses display precision)."""
     import json as _json
 
     def render(vals):
@@ -259,8 +270,13 @@ def summary_line(total, timings, runs, detail, sf_val) -> str:
         )
 
     line = render(timings)
+    for dp in (2, 1):
+        if len(line) > 1950:
+            line = render({k: round(v, dp) for k, v in timings.items()})
     if len(line) > 1950:
-        line = render({k: round(v, 2) for k, v in timings.items()})
+        # worst-case rung: whole seconds (a query at 100+ s has bigger
+        # problems than display precision; 3-dp values stay in detail)
+        line = render({k: int(round(v)) for k, v in timings.items()})
     return line
 
 

@@ -596,6 +596,44 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stage frames reuse each other (kept → uniq → nd → clean), so the
     corpus is scanned twice (funnel path + per-language base counts) —
     the ``curation_pipeline`` recompute-vs-materialize trade."""
+    return _curation_funnel(spark, sf_dir, image_stage=False)
+
+
+def curation_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL curation funnel (VERDICT r7 item 6 —
+    ``curation_pipeline_full`` was text-only; a production pipeline
+    screens images in the same pass): the same six text stages plus an
+    IMAGE NEAR-DUP stage between text near-dedup and decontamination —
+    each document's image asset (one real PNG per doc_id <
+    ``_PHASH_BASE``, ``_funnel_image_fixture_dir``) is decoded and
+    perceptually hashed with EXACTLY the machinery of
+    ``dedup_images_phash`` (``phash_hashes`` + ``_phash_band_keys`` +
+    the Hamming-<=3 verify — shared functions, so the stage cannot
+    drift from the standalone operator), and any surviving doc whose
+    image is a near-dup of a SMALLER surviving doc's image is dropped.
+    The fixture plants 4-doc groups sharing one image family
+    (brightness shift ≡ identical hash, one-block retouches <= 2 bits),
+    so the stage non-vacuously keeps ~1 doc per surviving group; docs
+    without images pass through.
+
+    Output: (lang, n_corpus, n_quality, n_unique, n_neardup,
+    n_imgdedup, n_clean, n_final, min_final, max_final).  The oracle
+    replays the image stage relationally (the ``_phash_grid``
+    arithmetic over the funnel salt) inside the same nested-CTE chain.
+
+    At 100 TB the stage adds one map-only decode pass over the doc→
+    image assets and one banded self-join over survivors' 4 band keys —
+    the ``dedup_images_phash`` plan riding inside the funnel."""
+    return _curation_funnel(spark, sf_dir, image_stage=True)
+
+
+def _curation_funnel(
+    spark: SparkSession, sf_dir: str, image_stage: bool
+) -> DataFrame:
+    """The shared funnel body — ``curation_pipeline_full`` with
+    ``image_stage`` optionally inserting the image near-dup screen
+    between text near-dedup and decontamination (one body so the two
+    declared funnels cannot drift on the text stages)."""
     from .dedup import banded_signatures
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -654,6 +692,67 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = uniq.join(nd_dropped, "doc_id", "left_anti").localCheckpoint(
         eager=False
     )
+    if image_stage:
+        from ..sources.readers import read_binary_dir
+        from .multimodal import (
+            _PHASH_THRESHOLD,
+            _funnel_image_fixture_dir,
+            _phash_band_keys,
+            phash_hashes,
+        )
+
+        fixture = _funnel_image_fixture_dir(spark, sf_dir)
+        files = read_binary_dir(spark, fixture, glob="*.png")
+        img_hashes = phash_hashes(
+            files.select(
+                F.regexp_extract(F.col("path"), r"asset_(\d+)\.png$", 1)
+                .cast("bigint")
+                .alias("asset_id"),
+                "content",
+            )
+        ).localCheckpoint(eager=False)  # banding keys AND the verify fetch
+        # banding restricted to SURVIVING docs on both sides — the
+        # dedup_images_phash pair rule over the nd frame
+        surv_keys = _phash_band_keys(img_hashes).join(
+            nd.select(F.col("doc_id").alias("asset_id")), "asset_id"
+        )
+        img_cand = (
+            surv_keys.withColumnRenamed("asset_id", "a_id")
+            .join(
+                surv_keys.withColumnRenamed("asset_id", "b_id"),
+                ["band", "bval"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        img_dropped = (
+            img_cand.join(
+                img_hashes.select(
+                    F.col("asset_id").alias("a_id"),
+                    F.col("phash").alias("a_hash"),
+                ),
+                "a_id",
+            )
+            .join(
+                img_hashes.select(
+                    F.col("asset_id").alias("b_id"),
+                    F.col("phash").alias("b_hash"),
+                ),
+                "b_id",
+            )
+            .filter(
+                F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+                <= _PHASH_THRESHOLD
+            )
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+        img = nd.join(img_dropped, "doc_id", "left_anti").localCheckpoint(
+            eager=False
+        )
+    else:
+        img = nd
     probe_grams = (
         exploded_word_shingles(
             docs.filter(F.col("doc_id") == 0), "doc_id", "text", 8
@@ -662,12 +761,12 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        exploded_word_shingles(nd, "doc_id", "text", 8)
+        exploded_word_shingles(img, "doc_id", "text", 8)
         .join(F.broadcast(probe_grams), "shingle")
         .select("doc_id")
         .distinct()
     )
-    clean = nd.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+    clean = img.join(contaminated, "doc_id", "left_anti").localCheckpoint(
         eager=False
     )
     counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean"))
@@ -697,30 +796,89 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("fin"), F.col("doc_id"))).alias("min_final"),
         F.max(F.when(F.col("fin"), F.col("doc_id"))).alias("max_final"),
     )
-    return (
-        base.join(u_cnt, "lang", "left")
-        .join(nd_cnt, "lang", "left")
-        .join(funnel, "lang", "left")
-        .select(
-            "lang",
-            "n_corpus",
-            "n_quality",
-            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
-            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
-            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
-            F.coalesce("n_final", F.lit(0)).alias("n_final"),
-            "min_final",
-            "max_final",
+    out = base.join(u_cnt, "lang", "left").join(nd_cnt, "lang", "left")
+    cols = [
+        "lang",
+        "n_corpus",
+        "n_quality",
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
+    ]
+    if image_stage:
+        img_cnt = img.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_imgdedup")
         )
+        out = out.join(img_cnt, "lang", "left")
+        cols.append(F.coalesce("n_imgdedup", F.lit(0)).alias("n_imgdedup"))
+    return out.join(funnel, "lang", "left").select(
+        *cols,
+        F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+        F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        "min_final",
+        "max_final",
     )
 
 
-def curation_pipeline_full_oracle_sql(minhash_ctes: str) -> str:
-    """DuckDB twin of ``curation_pipeline_full`` — caller supplies the
-    shared MinHash banding CTE block (``_MINHASH_CTES`` in the driver
-    registry, formatted over the unique survivors) so the banding rule
-    cannot drift from ``dedup_minhash_lsh``'s oracle."""
+def curation_pipeline_full_oracle_sql(
+    minhash_ctes: str, image_stage: bool = False
+) -> str:
+    """DuckDB twin of ``curation_pipeline_full`` (and, with
+    ``image_stage``, of ``curation_pipeline_multimodal``) — caller
+    supplies the shared MinHash banding CTE block (``_MINHASH_CTES`` in
+    the driver registry, formatted over the unique survivors) so the
+    banding rule cannot drift from ``dedup_minhash_lsh``'s oracle; the
+    image stage re-derives every surviving doc's perceptual hash
+    relationally from the funnel fixture's ``_phash_grid`` arithmetic
+    (salt "phf", base doc = doc_id - doc_id%4, pert = doc_id%4)."""
+    from .multimodal import _PHASH_BANDS, _PHASH_BASE, _PHASH_THRESHOLD
+
     banding = minhash_ctes.format(docs="SELECT doc_id, text FROM uniqd")
+    if image_stage:
+        img_ctes = f"""figrid AS (
+            SELECT n.doc_id, bx.i AS bx, by.i AS by,
+                   CAST('0x' || substr(md5('phf|'
+                       || CAST(n.doc_id - n.doc_id % 4 AS VARCHAR) || '|'
+                       || CAST(bx.i AS VARCHAR) || '|'
+                       || CAST(by.i AS VARCHAR)), 1, 4) AS BIGINT) % 200
+                   + CASE WHEN n.doc_id % 4 = 1 THEN 1
+                          WHEN n.doc_id % 4 = 2 AND bx.i = 4 AND by.i = 3
+                              THEN 37
+                          WHEN n.doc_id % 4 = 3 AND bx.i = 5 AND by.i = 2
+                              THEN 19
+                          ELSE 0 END AS g
+            FROM nd n, range(0, 8) bx(i), range(0, 8) by(i)
+            WHERE n.doc_id < {_PHASH_BASE}),
+        fihash AS (
+            SELECT l.doc_id,
+                   CAST(sum(CASE WHEN r.g > l.g
+                                 THEN CAST(power(2, l.by * 7 + l.bx)
+                                      AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM figrid l JOIN figrid r
+              ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
+            GROUP BY l.doc_id),
+        fibanded AS (
+            SELECT doc_id, phash, b.b AS band,
+                   (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384
+                       AS bval
+            FROM fihash, range(0, {_PHASH_BANDS}) b(b)),
+        fidrop AS (
+            SELECT DISTINCT b.doc_id
+            FROM fibanded a JOIN fibanded b
+              ON a.band = b.band AND a.bval = b.bval
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_THRESHOLD}),
+        img AS (SELECT * FROM nd
+                WHERE doc_id NOT IN (SELECT doc_id FROM fidrop)),"""
+        img_cnt_cte = (
+            "imgcnt AS (SELECT lang, count(*) AS n_imgdedup "
+            "FROM img GROUP BY lang),"
+        )
+        img_join = "LEFT JOIN imgcnt ic USING (lang)"
+        img_col = "coalesce(ic.n_imgdedup, 0) AS n_imgdedup,"
+    else:
+        img_ctes = "img AS (SELECT * FROM nd),"
+        img_cnt_cte = img_join = img_col = ""
     return f"""
         WITH probe AS (SELECT text FROM documents WHERE doc_id = 0),
         planted AS (
@@ -758,6 +916,7 @@ def curation_pipeline_full_oracle_sql(minhash_ctes: str) -> str:
               ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
         nd AS (SELECT * FROM uniqd
                WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+        {img_ctes}
         pg AS (
             SELECT DISTINCT g AS shingle FROM (
                 SELECT unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
@@ -770,9 +929,9 @@ def curation_pipeline_full_oracle_sql(minhash_ctes: str) -> str:
                        unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
                            i -> array_to_string(t[i:i+7], ' '))) AS g
                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
-                      FROM nd)) x
+                      FROM img)) x
             JOIN pg ON x.g = pg.shingle),
-        clean AS (SELECT * FROM nd
+        clean AS (SELECT * FROM img
                   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
         counts AS (SELECT lang, count(*) AS n_clean FROM clean GROUP BY lang),
         cuts AS (
@@ -794,6 +953,7 @@ def curation_pipeline_full_oracle_sql(minhash_ctes: str) -> str:
             FROM q GROUP BY lang),
         ucnt AS (SELECT lang, count(*) AS n_unique FROM uniqd GROUP BY lang),
         ndcnt AS (SELECT lang, count(*) AS n_neardup FROM nd GROUP BY lang),
+        {img_cnt_cte}
         funnel AS (
             SELECT lang, count(*) AS n_clean,
                    CAST(sum(CASE WHEN fin THEN 1 ELSE 0 END) AS BIGINT)
@@ -804,12 +964,14 @@ def curation_pipeline_full_oracle_sql(minhash_ctes: str) -> str:
         SELECT b.lang, b.n_corpus, b.n_quality,
                coalesce(u.n_unique, 0) AS n_unique,
                coalesce(nc.n_neardup, 0) AS n_neardup,
+               {img_col}
                coalesce(f.n_clean, 0) AS n_clean,
                coalesce(f.n_final, 0) AS n_final,
                f.min_final, f.max_final
         FROM base b
         LEFT JOIN ucnt u USING (lang)
         LEFT JOIN ndcnt nc USING (lang)
+        {img_join}
         LEFT JOIN funnel f USING (lang)
     """
 

@@ -312,6 +312,49 @@ def test_snapshot_diff_bucketed_zero_exchange_matches_plain(spark):
             spark.conf.set(key, prev)
 
 
+def test_ivfpq_incremental_fold_state_and_plan(spark):
+    """The PQ maintenance fold (`embedding_knn_ivfpq_incremental`):
+
+    (a) the folded code state holds EXACTLY (corpus + batch)·m code rows
+        and the cell state (corpus + batch) rows — O(batch) appends;
+    (b) the steady probe plan under the at-scale no-broadcast strategy
+        reads the two folded state tables AND the coarse centroid table
+        through bucketed scans (the sub-centroid table is k·d rows and
+        broadcast in the real plan; under no-broadcast the planner
+        declines its bucketing) — remaining exchanges are batch-side
+        aggregates (query enrollment, the ADC lookup table, the ADC sum
+        and top-1), a daily batch job's shuffles, not corpus scans."""
+    import firebird_mapreduce_spark.operators.similarity as S
+    from firebird_mapreduce_spark.operators.relational import corpus_tag
+
+    result = S.embedding_knn_ivfpq_incremental(spark, SF_SMOKE)
+    assert result.count() > 0
+    tag = corpus_tag(SF_SMOKE, "embeddings")
+    n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
+    m, ksub, pit = S.PQ_M, S.PQ_KSUB, S.PQ_ITERATIONS
+    k, it = S.N_CENTROIDS, 3
+    assert (
+        spark.table(f"pqvinc_codes_{m}x{ksub}x{pit}_{tag}").count()
+        == 2 * n_corpus * m
+    )
+    assert spark.table(f"pqvinc_cells_{k}x{it}_{tag}").count() == 2 * n_corpus
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        df = S.embedding_knn_ivfpq_incremental(spark, SF_SMOKE)
+        plan = plan_string(df, "formatted")
+        assert plan.count("Bucketed: true") == 3, plan
+        n = count_exchanges(df)
+        assert n == 10, f"exchanges={n} (expected 10)\n{plan}"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_semantic_incremental_fold_state_and_plan(spark):
     """The vector-tier fold (`dedup_semantic_incremental`):
 

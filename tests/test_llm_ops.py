@@ -1055,6 +1055,44 @@ def test_semantic_index_drift_detects_distribution_flip(spark):
     assert row["drift_ratio"] > 1.0
 
 
+def test_semantic_index_refit_swap_and_time_travel(spark):
+    """The drift→refit lifecycle contract beyond the oracle: (a) the
+    drifted batch fires the trigger against v1 and is back
+    in-distribution against v2; (b) the swap is a versioned-table
+    cutover — exactly two commits, re-running the query commits nothing
+    new (idempotent), BOTH versions stay readable after the cutover
+    (time travel) and hold different centroids (the refit actually
+    moved the index)."""
+    import os
+
+    from firebird_mapreduce_spark.operators.relational import (
+        corpus_tag,
+        warehouse_path,
+    )
+    from firebird_mapreduce_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    rows = {
+        r["version"]: r
+        for r in S.semantic_index_refit(spark, SF_SMOKE).collect()
+    }
+    assert rows[1]["refit_recommended"] and rows[1]["drift_ratio"] > 10
+    assert not rows[2]["refit_recommended"]
+    assert abs(rows[2]["drift_ratio"] - 1.0) < 0.05
+    tag = corpus_tag(SF_SMOKE, "embeddings")
+    vt = VersionedParquetTable(
+        os.path.join(warehouse_path(spark), f"semidx_10x3_{tag}"),
+        ["cluster", "d"],
+    )
+    assert len(vt.commits()) == 2
+    S.semantic_index_refit(spark, SF_SMOKE).collect()
+    assert len(vt.commits()) == 2, "re-run must not re-commit"
+    v0 = {(r["cluster"], r["d"]): r["m"] for r in vt.read(spark, 0).collect()}
+    v1 = {(r["cluster"], r["d"]): r["m"] for r in vt.read(spark, 1).collect()}
+    assert v0 and v1 and v0 != v1, "refit did not change the centroids"
+
+
 def test_pq_codes_subspace_pure_and_rerank_exact(spark):
     """PQ invariants: (1) the single shared fit never mixes subspaces —
     every sub-vector's code cluster satisfies cluster % m == subspace
@@ -1085,6 +1123,50 @@ def test_pq_codes_subspace_pure_and_rerank_exact(spark):
     assert len(got) == 10
     for r in got:
         assert exact[r["vec_id"]] == r["sim"], "rerank sim is not exact"
+
+
+def test_audio_fingerprint_matches_brute_force(spark):
+    """The audio tier must equal the brute-force all-pairs Hamming check
+    over fingerprints recomputed in Python from the fixture's amplitude
+    arithmetic — with the GAIN copies at distance 0 (energy-contour
+    scale invariance) and the one-window edits at <= 2."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    doc_ids = sorted(int(d) for d in docs.doc_id if d < M._AFP_BASE)
+
+    def fp(doc_id, pert):
+        amps = M._afp_amplitudes(doc_id, pert)
+        out = 0
+        for w in range(len(amps) - 1):
+            if amps[w + 1] > amps[w]:
+                out |= 1 << w
+        return out
+
+    clips = {d * 10: fp(d, 0) for d in doc_ids}
+    clips |= {d * 10 + 1: fp(d, 1) for d in doc_ids if d % 4 == 0}
+    clips |= {d * 10 + 2: fp(d, 2) for d in doc_ids if d % 8 == 0}
+    ids = sorted(clips)
+    expected = {
+        (a, b): bin(clips[a] ^ clips[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(clips[a] ^ clips[b]).count("1") <= M._PHASH_THRESHOLD
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in M.dedup_audio_fingerprint(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    gains = {p: h for p, h in got.items() if p[1] % 10 == 1}
+    assert gains and all(h == 0 for h in gains.values()), (
+        "a gain-shifted copy moved the fingerprint"
+    )
+    edits = {p: h for p, h in got.items() if p[1] % 10 == 2}
+    assert edits and all(h <= 2 for h in edits.values())
+    # the amplitude arithmetic in _afp_amplitudes and the decoded-PCM
+    # fingerprint agree exactly (square wave + even window => mean|s| is
+    # the amplitude), so the python replica above IS the decode contract
 
 
 def test_phash_incremental_screen_matches_brute_force(spark):
@@ -1135,6 +1217,50 @@ def test_phash_incremental_screen_matches_brute_force(spark):
     assert news and all(got[b] is None for b in news), (
         "a salt-decorrelated new image was falsely flagged"
     )
+
+
+def test_ivfpq_incremental_probe_finds_folded_batch(spark):
+    """The PQ maintenance loop's fold proof (the tworound shape): every
+    ODD ingest-2 probe query is a near-copy of an ingest-1 NEGATED
+    vector, so its ADC nearest neighbor must be that b1 parent (id
+    q - 200000, in the 2xxxxx range) — findable ONLY because ingest 1's
+    codes and coarse cells were folded into the bucketed state; every
+    EVEN query is a near-copy of its corpus source and resolves there.
+    A stale-state index (corpus-only codes) would send the odd queries
+    to some corpus id instead."""
+    got = {
+        r["q_id"]: r["nn_id"]
+        for r in S.embedding_knn_ivfpq_incremental(spark, SF_SMOKE).collect()
+    }
+    assert got, "no probe queries"
+    odd = {q: n for q, n in got.items() if q % 2 == 1}
+    even = {q: n for q, n in got.items() if q % 2 == 0}
+    assert odd and all(n == q - 200000 for q, n in odd.items()), odd
+    assert even and all(n == q - 400000 for q, n in even.items()), even
+
+
+def test_pq_assign_arrays_equals_exploded_assign(spark):
+    """The array-form assign-only encoder (the cheap full-corpus path —
+    no N·m·dims·k exploded join) must be VALUE-IDENTICAL to the exploded
+    ``_assign_to_centroids`` spelling on the same centroids: same argmin
+    cluster AND the same exact-decimal dist2 (the fixed-width chained
+    adds equal the grouped decimal sum)."""
+    from firebird_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent = S.ensure_pq_centroid_table(spark, SF_SMOKE, emb)
+    sub = S._pq_subvectors(emb.filter(F.col("vec_id") < 40), S.PQ_M)
+    arrays = {
+        r["vec_id"]: (r["cluster"], str(r["dist2"]))
+        for r in S._pq_assign_arrays(sub, cent).collect()
+    }
+    exploded = {
+        r["vec_id"]: (r["cluster"], str(r["dist2"]))
+        for r in S._assign_to_centroids(
+            S._quantized_components(sub), cent
+        ).collect()
+    }
+    assert arrays == exploded and len(arrays) == 40 * S.PQ_M
 
 
 def test_encode_pq_batch_locality_and_purity(spark):

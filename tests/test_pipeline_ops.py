@@ -246,3 +246,34 @@ def test_curation_pipeline_full_stages_monotone_and_biting(spark):
     assert sum(r.n_neardup - r.n_clean for r in rows.values()) > 0, (
         "decontamination stage vacuous: planted snippets not caught"
     )
+
+
+def test_curation_pipeline_multimodal_image_stage_bites(spark):
+    """The multimodal funnel: monotone through the extra stage, the
+    IMAGE near-dup stage genuinely bites (the fixture's 4-doc image
+    groups lose their >min members — real decode, shared
+    dedup_images_phash machinery), and the text stages agree EXACTLY
+    with curation_pipeline_full (one shared body, asserted not
+    assumed)."""
+    mm = {
+        r.lang: r
+        for r in P.curation_pipeline_multimodal(spark, SF_SMOKE).collect()
+    }
+    full = {
+        r.lang: r for r in P.curation_pipeline_full(spark, SF_SMOKE).collect()
+    }
+    assert set(mm) == set(full)
+    for lang, r in mm.items():
+        assert r.n_corpus >= r.n_quality >= r.n_unique
+        assert r.n_unique >= r.n_neardup >= r.n_imgdedup
+        assert r.n_imgdedup >= r.n_clean >= r.n_final
+        # stages upstream of the image screen are byte-identical
+        f = full[lang]
+        assert (r.n_corpus, r.n_quality, r.n_unique, r.n_neardup) == (
+            f.n_corpus,
+            f.n_quality,
+            f.n_unique,
+            f.n_neardup,
+        )
+    dropped = sum(r.n_neardup - r.n_imgdedup for r in mm.values())
+    assert dropped > 0, "image near-dup stage vacuous"
