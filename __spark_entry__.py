@@ -367,6 +367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verbatim) between text near-dedup and decontamination, with
         # per-language attrition for all seven stages (VERDICT r7 item 6)
         "curation_pipeline_multimodal": P.curation_pipeline_multimodal,
+        # r8 (late): the audio tier's daily-crawl screen — corpus
+        # fingerprints persist as the SAME two bucketed state tables as
+        # the image tier, new clips probe by band membership via the
+        # SHARED _hash_incremental_screen; completes the incremental
+        # family across every modality
+        "dedup_audio_fingerprint_incremental":
+            M.dedup_audio_fingerprint_incremental,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -385,7 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     its k=2 sibling got in r7), embedding_knn_ivfpq (sub-codebooks now
 #     trained on the deterministic hash-sample);
 # (c) the r8 additions — first driver rows, zero deferral;
-# (d) re-checks of the oldest remaining evidence (r5-era).  The 13 left
+# (d) re-checks of the oldest remaining evidence (r5-era).  The 14 left
 #     at r5 evidence, chosen for the strongest collateral:
 #       tpch_q5_sql — the SQL-API twin of tpch_revenue_by_nation
 #         (re-checked here) with an identical oracle;
@@ -411,6 +418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #         cube re-checked in group (a), one shared aggregate;
 #       mapreduce_group_count — the same mapreduce.py path as
 #         grouped_agg_udaf and group_count (both r7-green);
+#       group_min — grouped-agg family collateral: group_count and
+#         group_sum_avg both r7-green over the same relational.py
+#         aggregate paths (displaced late-r8 by the audio ingest
+#         screen, the r7 multiassign/phash-incremental precedent);
 #       variant_extract_events — twin of json_extract_events
 #         (re-checked here) over the same extraction expressions.
 # Result: every registered query has a driver row in r5 ∪ r6 ∪ r7 ∪ this
@@ -436,6 +447,7 @@ _DRIVER_WINDOW = [
     "dedup_audio_fingerprint",
     "semantic_index_refit",
     "curation_pipeline_multimodal",
+    "dedup_audio_fingerprint_incremental",
     # (d) oldest-evidence re-checks (newest driver row is r5-era)
     "above_avg_balance",
     "argmax_order_per_cust",
@@ -450,7 +462,6 @@ _DRIVER_WINDOW = [
     "filter_predicate",
     "flatmap_tokenize",
     "full_outer_join",
-    "group_min",
     "json_extract_events",
     "lateral_topk_per_nation",
     "merge_upsert_orders",
@@ -2796,6 +2807,11 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline_multimodal": P.curation_pipeline_full_oracle_sql(
             _MINHASH_CTES, image_stage=True
         ),
+        # r8 (late): the audio ingest screen — both clip families'
+        # energies re-derived relationally, corpus-vs-batch band
+        # membership join, exact Hamming verify, min-partner disposition
+        "dedup_audio_fingerprint_incremental":
+            M.DEDUP_AUDIO_FP_INCREMENTAL_ORACLE_SQL,
         "quality_topk_per_lang": """
             WITH c AS (
                 SELECT doc_id, n_chars,

@@ -183,6 +183,9 @@ HEADLINE = [
     "semantic_index_refit",
     # r8: the seven-stage multimodal funnel (image screen included)
     "curation_pipeline_multimodal",
+    # r8: the audio ingest screen — run 0 pays the state writes, runs
+    # 1+ are the batch-vs-state membership probe
+    "dedup_audio_fingerprint_incremental",
 ]
 
 

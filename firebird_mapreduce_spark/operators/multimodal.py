@@ -838,6 +838,19 @@ def dedup_images_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             "content",
         )
     ).localCheckpoint(eager=False)  # consumed by the probe AND the report
+    return _hash_incremental_screen(state_hashes, state_bands, batch)
+
+
+def _hash_incremental_screen(
+    state_hashes: DataFrame, state_bands: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """The batch×state membership screen shared by the IMAGE and AUDIO
+    incremental tiers (their state schemas are identical — one blocking
+    rule across modalities): the batch's band keys probe the state band
+    table on (band, bval), candidates verify exactly
+    (``bit_count(xor) <= 3``) against the bucketed state hash table, and
+    each flagged batch asset reports its smallest state partner.
+    Output: (asset_id, kept, dup_of) for every batch asset."""
     cand = (
         _phash_band_keys(batch)
         .withColumnRenamed("asset_id", "b_id")
@@ -1039,8 +1052,13 @@ def _afp_amplitudes(doc_id: int, pert: int, salt: str = "au") -> list[int]:
                 <= 2 — and at ~1/3 of the amplitude range the edit
                 usually flips at least one, so the class is visibly
                 non-vacuous)
+      pert 3  = +700 at window 29  (a second edit site — the
+                incremental batch's near-copy class, <= 2 bits from the
+                base AND from its gain copy)
 
-    Amplitudes stay <= 3998 after the gain shift, well inside int16."""
+    Amplitudes stay <= 3998 after the gain shift, well inside int16.
+    ``salt`` decorrelates whole clip families: the incremental batch's
+    genuinely-new clips use "aub"."""
     import hashlib
 
     amps = [
@@ -1052,6 +1070,8 @@ def _afp_amplitudes(doc_id: int, pert: int, salt: str = "au") -> list[int]:
         amps = [a * 2 for a in amps]
     elif pert == 2:
         amps[13] += 700
+    elif pert == 3:
+        amps[29] += 700
     return amps
 
 
@@ -1066,8 +1086,6 @@ def _afp_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     Same idempotence + stale-prune discipline as the PNG/WAV fixtures."""
     import hashlib
 
-    from ..functions.wav import wav_encode
-
     tag = hashlib.md5(f"afp|{sf_dir}".encode()).hexdigest()[:8]
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -1081,16 +1099,27 @@ def _afp_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id")
         .collect()  # tiny fixture id set, not a data path
     ]
-    assets = [(d * 10, d, 0) for d in doc_ids]
-    assets += [(d * 10 + 1, d, 1) for d in doc_ids if d % 4 == 0]
-    assets += [(d * 10 + 2, d, 2) for d in doc_ids if d % 8 == 0]
+    assets = [(d * 10, d, 0, "au") for d in doc_ids]
+    assets += [(d * 10 + 1, d, 1, "au") for d in doc_ids if d % 4 == 0]
+    assets += [(d * 10 + 2, d, 2, "au") for d in doc_ids if d % 8 == 0]
+    _write_afp_assets(out_dir, assets)
+    return out_dir
+
+
+def _write_afp_assets(
+    out_dir: str, assets: list[tuple[int, int, int, str]]
+) -> None:
+    """Write one square-wave WAV per (asset_id, doc_id, pert, salt) row,
+    with the shared idempotence + stale-prune discipline."""
+    from ..functions.wav import wav_encode
+
     os.makedirs(out_dir, exist_ok=True)
-    expected = {f"asset_{aid:07d}.wav" for aid, _, _ in assets}
+    expected = {f"asset_{aid:07d}.wav" for aid, _, _, _ in assets}
     for name in os.listdir(out_dir):
         if name.endswith(".wav") and name not in expected:
             os.remove(os.path.join(out_dir, name))
-    for aid, doc_id, pert in assets:
-        amps = _afp_amplitudes(doc_id, pert)
+    for aid, doc_id, pert, salt in assets:
+        amps = _afp_amplitudes(doc_id, pert, salt)
         samples = [
             a if i % 2 == 0 else -a for a in amps for i in range(_AFP_WIN)
         ]
@@ -1102,7 +1131,6 @@ def _afp_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                     continue
         with open(path, "wb") as fh:
             fh.write(payload)
-    return out_dir
 
 
 def audio_fingerprints(assets: DataFrame, content_col: str = "content") -> DataFrame:
@@ -1183,6 +1211,169 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
     )
     return phash_pairs(audio_fingerprints(assets))
+
+
+def _afp_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The audio incremental INGEST fixture: one new clip per corpus
+    document (id = doc_id*10 + 5) — every 3rd a one-window re-record of
+    its base (pert 3: +700 at window 29, <= 2 bits from every
+    base-family fingerprint), the rest genuinely new clips (the "aub"
+    md5 salt decorrelates them from the whole corpus).  Separate
+    directory so the batch scan never re-reads corpus files — the
+    ``_phash_batch_fixture_dir`` discipline on the audio tier."""
+    import hashlib
+
+    tag = hashlib.md5(f"afpb|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"afpb_{tag}",
+    )
+    doc_ids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AFP_BASE)
+        .select("doc_id")
+        .collect()
+    ]
+    assets = [
+        (d * 10 + 5, d, 3, "au") if d % 3 == 0 else (d * 10 + 5, d, 0, "aub")
+        for d in doc_ids
+    ]
+    _write_afp_assets(out_dir, assets)
+    return out_dir
+
+
+def dedup_audio_fingerprint_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental AUDIO ingest dedup — the daily-crawl screen on the
+    audio tier, completing the incremental family across every modality
+    (text, vectors, PQ codes, images, now audio): the corpus's
+    fingerprints persist ONCE as the same two bucketed state tables as
+    the image tier ((asset_id, phash) by id + (band, bval, asset_id) by
+    join key — IDENTICAL schemas, one state layout for both
+    modalities), and each new batch of clips decodes only its own
+    files, bands, and probes the state by band membership — the
+    batch×state screen is ``_hash_incremental_screen``, shared function
+    not shared pattern.
+
+    Output: (asset_id, kept, dup_of) for every batch clip.  Every 3rd
+    batch clip is a planted one-window re-record of its corpus base
+    (flagged, dup_of = the base); the rest are salt-decorrelated new
+    clips (kept).  The oracle replays both fixture families' amplitude
+    arithmetic, the banding, and the screen relationally.
+
+    At 100 TB this is the podcast/speech crawl: fingerprint state grows
+    by O(batch) bucket appends (``_ensure_folded_state`` when ingests
+    chain), each day's screen costs O(|batch| + matched buckets), and
+    the corpus is never re-decoded."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    tag = corpus_tag(sf_dir, "documents")
+
+    def corpus_fps() -> DataFrame:
+        fixture = _afp_fixture_dir(spark, sf_dir)
+        files = read_binary_dir(spark, fixture, glob="*.wav")
+        return audio_fingerprints(
+            files.select(
+                F.regexp_extract(F.col("path"), r"asset_(\d+)\.wav$", 1)
+                .cast("bigint")
+                .alias("asset_id"),
+                "content",
+            )
+        )
+
+    state_hashes = ensure_bucketed_table(
+        spark, "afp_hashes_", tag, 8, ["asset_id"], corpus_fps
+    )
+    state_bands = ensure_bucketed_table(
+        spark,
+        "afp_bands_",
+        tag,
+        8,
+        ["band", "bval"],
+        lambda: _phash_band_keys(corpus_fps()),
+    )
+    batch_dir = _afp_batch_fixture_dir(spark, sf_dir)
+    batch = audio_fingerprints(
+        read_binary_dir(spark, batch_dir, glob="*.wav").select(
+            F.regexp_extract(F.col("path"), r"asset_(\d+)\.wav$", 1)
+            .cast("bigint")
+            .alias("asset_id"),
+            "content",
+        )
+    ).localCheckpoint(eager=False)
+    return _hash_incremental_screen(state_hashes, state_bands, batch)
+
+
+# DuckDB twin of dedup_audio_fingerprint_incremental: both clip
+# families' energies re-derived relationally (the batch's pert-3 second
+# edit site and "aub" salt included), corpus-vs-batch band membership
+# join, exact Hamming verify, min-partner disposition per batch clip.
+DEDUP_AUDIO_FP_INCREMENTAL_ORACLE_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_AFP_BASE}),
+corpus AS (
+    SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'au' AS salt FROM ids
+    UNION ALL
+    SELECT doc_id * 10 + 1, doc_id, 1, 'au' FROM ids WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id * 10 + 2, doc_id, 2, 'au' FROM ids WHERE doc_id % 8 = 0
+),
+batch AS (
+    SELECT doc_id * 10 + 5 AS id, doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 0 END AS pert,
+           CASE WHEN doc_id % 3 = 0 THEN 'au' ELSE 'aub' END AS salt
+    FROM ids
+),
+allclips AS (
+    SELECT id, doc_id, pert, salt, 'c' AS side FROM corpus
+    UNION ALL
+    SELECT id, doc_id, pert, salt, 'b' FROM batch
+),
+en AS (
+    SELECT a.id, a.side, w.i AS w,
+           (CAST('0x' || substr(md5(a.salt || '|'
+                                  || CAST(a.doc_id AS VARCHAR) || '|'
+                                  || CAST(w.i AS VARCHAR)), 1, 4) AS BIGINT)
+            % 2000)
+           * (CASE WHEN a.pert = 1 THEN 2 ELSE 1 END)
+           + (CASE WHEN a.pert = 2 AND w.i = 13 THEN 700
+                   WHEN a.pert = 3 AND w.i = 29 THEN 700
+                   ELSE 0 END) AS e
+    FROM allclips a, range(0, {_AFP_WINDOWS}) w(i)
+),
+hashes AS (
+    SELECT l.id, l.side,
+           CAST(sum(CASE WHEN r.e > l.e
+                         THEN CAST(power(2, l.w) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM en l JOIN en r ON r.id = l.id AND r.side = l.side
+                       AND r.w = l.w + 1
+    GROUP BY l.id, l.side
+),
+banded AS (
+    SELECT id, side, phash, b.b AS band,
+           (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384 AS bval
+    FROM hashes, range(0, {_PHASH_BANDS}) b(b)
+),
+cand AS (
+    SELECT DISTINCT s.id AS a_id, bt.id AS b_id
+    FROM banded bt JOIN banded s
+      ON s.band = bt.band AND s.bval = bt.bval
+     AND s.side = 'c' AND bt.side = 'b'
+),
+matched AS (
+    SELECT c.b_id AS asset_id, min(c.a_id) AS dup_of
+    FROM cand c
+    JOIN hashes ha ON ha.id = c.a_id AND ha.side = 'c'
+    JOIN hashes hb ON hb.id = c.b_id AND hb.side = 'b'
+    WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_THRESHOLD}
+    GROUP BY c.b_id
+)
+SELECT b.id AS asset_id, m.dup_of IS NULL AS kept, m.dup_of
+FROM batch b LEFT JOIN matched m ON m.asset_id = b.id
+"""
 
 
 # DuckDB twin of dedup_audio_fingerprint: re-derive each clip's 56-bit

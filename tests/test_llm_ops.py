@@ -1169,6 +1169,53 @@ def test_audio_fingerprint_matches_brute_force(spark):
     # the amplitude), so the python replica above IS the decode contract
 
 
+def test_afp_incremental_screen_matches_brute_force(spark):
+    """The audio ingest screen must equal the brute-force batch×corpus
+    Hamming check over fingerprints recomputed in Python from both
+    fixture families' amplitude arithmetic — every planted one-window
+    re-record (doc_id % 3 == 0) flagged AGAINST ITS BASE, every
+    salt-decorrelated new clip kept."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    doc_ids = sorted(int(d) for d in docs.doc_id if d < M._AFP_BASE)
+
+    def fp(doc_id, pert, salt):
+        amps = M._afp_amplitudes(doc_id, pert, salt)
+        out = 0
+        for w in range(len(amps) - 1):
+            if amps[w + 1] > amps[w]:
+                out |= 1 << w
+        return out
+
+    corpus = {d * 10: fp(d, 0, "au") for d in doc_ids}
+    corpus |= {d * 10 + 1: fp(d, 1, "au") for d in doc_ids if d % 4 == 0}
+    corpus |= {d * 10 + 2: fp(d, 2, "au") for d in doc_ids if d % 8 == 0}
+    batch = {
+        d * 10 + 5: fp(d, 3, "au") if d % 3 == 0 else fp(d, 0, "aub")
+        for d in doc_ids
+    }
+    expected = {}
+    for bid, bh in batch.items():
+        partners = [
+            aid
+            for aid, ah in corpus.items()
+            if bin(ah ^ bh).count("1") <= M._PHASH_THRESHOLD
+        ]
+        expected[bid] = min(partners) if partners else None
+    got = {
+        r["asset_id"]: r["dup_of"]
+        for r in M.dedup_audio_fingerprint_incremental(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expected
+    plants = {d * 10 + 5 for d in doc_ids if d % 3 == 0}
+    assert plants and all(got[b] == (b - 5) for b in plants)
+    news = set(batch) - plants
+    assert news and all(got[b] is None for b in news)
+
+
 def test_phash_incremental_screen_matches_brute_force(spark):
     """The image ingest screen must equal the brute-force batch×corpus
     Hamming check over hashes recomputed in Python from both fixture
