@@ -340,6 +340,17 @@ def warehouse_path(spark: SparkSession) -> str:
     ).path
 
 
+# (applicationId, table) pairs this process has already built-or-found:
+# skip the per-call catalog sweep (listTables + a tableExists RPC per
+# orphaned warehouse dir — measured ~1.8 s/query on the r8 PQ serving
+# path, which makes 7 ensure calls).  The fast path still confirms the
+# table EXISTS (one cheap RPC), so an in-process drop — the folded-state
+# crash-guard rebuild — falls through to the full path.  Session-scoped
+# by applicationId: a new session re-verifies once, and the stale-corpus
+# drop logic still runs on each table's FIRST encounter per session.
+_LAYOUT_READY: set[tuple[str, str]] = set()
+
+
 def ensure_layout_table(
     spark: SparkSession,
     prefix: str,
@@ -358,6 +369,11 @@ def ensure_layout_table(
     import shutil
 
     tbl = f"{prefix}{tag}"
+    key = (spark.sparkContext.applicationId, tbl)
+    if key in _LAYOUT_READY:
+        if spark.catalog.tableExists(tbl):
+            return spark.table(tbl)
+        _LAYOUT_READY.discard(key)  # dropped in-process — rebuild below
     for t in spark.catalog.listTables():
         if t.name.startswith(prefix) and t.name != tbl:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
@@ -368,6 +384,7 @@ def ensure_layout_table(
                 shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     if not spark.catalog.tableExists(tbl):
         configure_writer(build().write.mode("overwrite")).saveAsTable(tbl)
+    _LAYOUT_READY.add(key)
     return spark.table(tbl)
 
 
