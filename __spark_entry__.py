@@ -59,9 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round (``heavy_hitters_mixed`` renamed, ``fuzzy_match_names``
     re-fixtured on the sampled catalog, ``embedding_knn_ivfpq`` refit on
     the deterministic hash-sample), then the r8 additions (first driver
-    rows, zero deferral), then re-checks of the oldest remaining (r5-era)
-    evidence.  The 13 r5-era queries left un-re-checked are the ones with
-    the strongest collateral — an oracle-twin or near-twin already
+    rows, zero deferral — 5 of them, the late audio ingest screen
+    included), then re-checks of the oldest remaining (r5-era)
+    evidence.  The 14 r5-era queries left un-re-checked are the ones
+    with the strongest collateral — an oracle-twin or near-twin already
     re-checked; named in the window comment.  The union
     r5 ∪ r6 ∪ r7 ∪ this window gives EVERY registered query a driver row
     no older than r5, and every oracle-backed query a hash row in that
