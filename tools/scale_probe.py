@@ -404,6 +404,70 @@ def shapes(spark):
             .limit(100)
         )
 
+    def pq_encode(n):
+        # r8 assign-only PQ batch encoding core (_pq_assign_arrays):
+        # n PAIR rows = n//256 sub-vectors × the BROADCAST 256-centroid
+        # array table, each pair scored by a fixed-width exact-decimal
+        # term sum (the oracle-grade arithmetic), reduced by a
+        # partial-agg struct argmin.  The claim under test: incremental
+        # encoding is a LINEAR broadcast-scan in batch size — the
+        # property that lets daily ingests encode without touching the
+        # corpus (and that made the sampled-fit + assign-only index
+        # build 5.6x cheaper than the full-corpus fit).
+        dims = 5
+        v = n // 256
+        sub = spark.range(v).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        F.pmod(F.xxhash64(F.col("id") + F.lit(i)), F.lit(1000))
+                        / 1000.0
+                    )
+                    for i in range(dims)
+                ]
+            ).alias("qv"),
+        )
+        cent = spark.range(256).select(
+            F.col("id").alias("cluster"),
+            F.array(
+                *[
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("id") * 7 + F.lit(i)),
+                            F.lit(1000),
+                        )
+                        / 1000.0
+                    )
+                    for i in range(dims)
+                ]
+            ).alias("cvec"),
+        )
+        pairs = sub.crossJoin(F.broadcast(cent))
+        terms = F.zip_with(
+            F.col("qv"),
+            F.col("cvec"),
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(28,15)"),
+        )
+        dist2 = F.element_at(terms, 1)
+        for i in range(2, dims + 1):
+            dist2 = dist2 + F.element_at(terms, i)
+        scored = pairs.select(
+            "vec_id", "cluster", dist2.cast("decimal(38,15)").alias("d2")
+        )
+        # the noop sink consumes every output column, so the decimal
+        # term sums cannot be pruned away (a count()-only sink let
+        # Catalyst eliminate the whole scoring expression)
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster")).alias("s"))
+            .select(
+                "vec_id",
+                F.col("s.cluster").alias("cluster"),
+                F.col("s.d2").alias("d2"),
+            )
+        )
+
     return {
         "agg_100keys": agg,
         "shuffle_join": shuffle_join,
@@ -420,6 +484,7 @@ def shapes(spark):
         "fastss_keys": fastss_keys,
         "semantic_candidates": semantic_candidates,
         "adc_lookup": adc_lookup,
+        "pq_encode": pq_encode,
         "snapshot_diff_hash": snapshot_diff_hash,
     }
 
