@@ -252,13 +252,7 @@ def _png_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         ".fixtures",
         f"png_{tag}",
     )
-    doc_ids = [
-        int(r["doc_id"])
-        for r in load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _PNG_ASSETS)
-        .select("doc_id")
-        .collect()  # tiny fixture id set, not a data path
-    ]
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _PNG_ASSETS)
     os.makedirs(out_dir, exist_ok=True)
     expected = {f"asset_{d:05d}.png" for d in doc_ids}
     for name in os.listdir(out_dir):
@@ -404,13 +398,7 @@ def _wav_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         ".fixtures",
         f"wav_{tag}",
     )
-    doc_ids = [
-        int(r["doc_id"])
-        for r in load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _WAV_ASSETS)
-        .select("doc_id")
-        .collect()
-    ]
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _WAV_ASSETS)
     os.makedirs(out_dir, exist_ok=True)
     expected = {f"asset_{d:05d}.wav" for d in doc_ids}
     for name in os.listdir(out_dir):
@@ -557,14 +545,23 @@ def _phash_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
-def _phash_doc_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+def _fixture_doc_ids(spark: SparkSession, sf_dir: str, below: int) -> list[int]:
+    """The document ids a fixture derives its assets from — ONE collect
+    loop shared by every fixture builder (PNG, WAV, phash, audio
+    fingerprint), so a future change to the id rule cannot silently
+    desynchronize a fixture from its oracle's ids CTE.  A tiny driver
+    fetch by construction, never a data path."""
     return [
         int(r["doc_id"])
         for r in load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _PHASH_BASE)
+        .filter(F.col("doc_id") < below)
         .select("doc_id")
-        .collect()  # tiny fixture id set, not a data path
+        .collect()
     ]
+
+
+def _phash_doc_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    return _fixture_doc_ids(spark, sf_dir, _PHASH_BASE)
 
 
 def _write_phash_assets(
@@ -1092,13 +1089,7 @@ def _afp_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         ".fixtures",
         f"afp_{tag}",
     )
-    doc_ids = [
-        int(r["doc_id"])
-        for r in load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _AFP_BASE)
-        .select("doc_id")
-        .collect()  # tiny fixture id set, not a data path
-    ]
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _AFP_BASE)
     assets = [(d * 10, d, 0, "au") for d in doc_ids]
     assets += [(d * 10 + 1, d, 1, "au") for d in doc_ids if d % 4 == 0]
     assets += [(d * 10 + 2, d, 2, "au") for d in doc_ids if d % 8 == 0]
@@ -1229,13 +1220,7 @@ def _afp_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         ".fixtures",
         f"afpb_{tag}",
     )
-    doc_ids = [
-        int(r["doc_id"])
-        for r in load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _AFP_BASE)
-        .select("doc_id")
-        .collect()
-    ]
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _AFP_BASE)
     assets = [
         (d * 10 + 5, d, 3, "au") if d % 3 == 0 else (d * 10 + 5, d, 0, "aub")
         for d in doc_ids

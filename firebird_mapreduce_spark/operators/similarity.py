@@ -1443,10 +1443,14 @@ _PQ_INDICATOR = 100.0  # subspace-indicator magnitude (see _pq_subvectors)
 # sub-codebook granularity degrades gracefully to the number of distinct
 # ``vec_id % ksub`` residues the sample covers (16/16 on this corpus).
 PQ_FIT_SAMPLE_PREFIXES = ("0", "1")
-# DuckDB twin of the sample predicate.
-PQ_FIT_SAMPLE_SQL = (
-    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+# DuckDB twin of the sample predicate — a {col} template so oracles that
+# apply it to a renamed id column stay structurally tied to the one
+# predicate (string .replace() surgery would silently drift if the
+# predicate text ever changed)
+PQ_FIT_SAMPLE_SQL_T = "substr(md5(CAST({col} AS VARCHAR)), 1, 1) IN " + str(
+    PQ_FIT_SAMPLE_PREFIXES
 )
+PQ_FIT_SAMPLE_SQL = PQ_FIT_SAMPLE_SQL_T.format(col="vec_id")
 
 
 def _pq_fit_sample(emb: DataFrame) -> DataFrame:
@@ -1549,6 +1553,25 @@ def _pq_assign_arrays(sub: DataFrame, cent: DataFrame, dims: int = 5) -> DataFra
     )
 
 
+# Layout prefixes RETIRED by the r8 sampled-fit redesign (the old
+# full-corpus-fit code table and its centroid artifact).  The standard
+# stale-layout sweep only matches the CURRENT prefix, so without this
+# list a warehouse that ran r7 keeps the corpus-sized dead tables
+# forever.  Swept once per session by ensure_pq_centroid_table.
+_RETIRED_PQ_PREFIXES = ("kmx_pq_", "kmxc_pq16x16_")
+_RETIRED_SWEPT: set[str] = set()
+
+
+def _drop_retired_pq_tables(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app in _RETIRED_SWEPT:
+        return
+    for t in spark.catalog.listTables():
+        if any(t.name.startswith(p) for p in _RETIRED_PQ_PREFIXES):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    _RETIRED_SWEPT.add(app)
+
+
 def ensure_pq_centroid_table(
     spark: SparkSession,
     sf_dir: str,
@@ -1566,6 +1589,7 @@ def ensure_pq_centroid_table(
     centroid recompute reads sample-sized inputs only."""
     from .relational import corpus_tag, ensure_bucketed_table
 
+    _drop_retired_pq_tables(spark)
     tag = corpus_tag(sf_dir, "embeddings")
     sample_sub = _pq_subvectors(_pq_fit_sample(emb), m)
     fit = ensure_bucketed_table(
@@ -1792,7 +1816,7 @@ def _pq_fit_cte_chain(
     FROM embeddings, range(0, {m}) s(s)
 ), pqsub AS (
     SELECT vec_id, embedding FROM pqallsub
-    WHERE {PQ_FIT_SAMPLE_SQL.replace("vec_id", "orig_id")}
+    WHERE {PQ_FIT_SAMPLE_SQL_T.format(col="orig_id")}
 ), """
     return _kmeans_exact_cte_chain(
         m * ksub,
@@ -2589,7 +2613,13 @@ def semantic_index_refit(
     if os.path.isdir(root):
         for d in os.listdir(root):
             if d.startswith(prefix) and d != f"{prefix}{tag}":
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                path = os.path.join(root, d)
+                # total sweep: rmtree silently no-ops on regular files
+                # under ignore_errors, so handle both entry kinds
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.remove(path)
     vtab = VersionedParquetTable(
         os.path.join(root, f"{prefix}{tag}"), key_cols=["cluster", "d"]
     )

@@ -42,9 +42,12 @@ def main():
         .alias("asset_id"),
         "content",
     )
+    # decode+fingerprint ONCE (checkpointed): the collected dict, the
+    # band-key join and the operator below all reuse it instead of
+    # re-running the mapInPandas decode pass per consumer
+    fps = M.audio_fingerprints(assets).localCheckpoint(eager=True)
     hashes = {
-        r["asset_id"]: r["phash"]
-        for r in M.audio_fingerprints(assets).collect()  # measurement only
+        r["asset_id"]: r["phash"] for r in fps.collect()  # measurement only
     }
     ids = sorted(hashes)
     n = len(ids)
@@ -60,7 +63,7 @@ def main():
         .select("a_id", "b_id")
         .collect()
     }
-    keyed = M._phash_band_keys(M.audio_fingerprints(assets))
+    keyed = M._phash_band_keys(fps)
     a = keyed.select(F.col("asset_id").alias("a_id"), "band", "bval")
     b = keyed.select(F.col("asset_id").alias("b_id"), "band", "bval")
     candidates = (
