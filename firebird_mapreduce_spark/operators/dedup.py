@@ -822,6 +822,7 @@ def _ensure_folded_state(
     key_cols: list[str],
     build_base,
     build_delta,
+    compact: bool = False,
 ) -> DataFrame:
     """Bucketed state table maintained by CREATE-then-APPEND: the base
     snapshot is written once, then the ingest delta is APPENDED as
@@ -832,9 +833,21 @@ def _ensure_folded_state(
     marker file guards the two-write sequence: a crash between base and
     delta leaves the marker missing, and the next call drops the half
     state and rebuilds instead of silently screening against a corpus
-    snapshot that forgot the previous ingest."""
+    snapshot that forgot the previous ingest.
+
+    ``compact`` runs ``layout.compact_bucketed_table`` once after the
+    fold completes: each append leaves O(batch) extra files per bucket,
+    so after K ingests the state is K-way fragmented and every screen
+    pays K file opens per bucket — compaction restores one file per
+    bucket while PRESERVING the bucketing metadata (and therefore the
+    zero-corpus-shuffle screen plans pinned in test_bucketing.py).  A
+    crash mid-compaction lands in the same rebuild path as a crash
+    mid-fold: the table is briefly absent and the marker/tableExists
+    guard rebuilds — the marker semantics survive compaction because
+    the marker is never touched by it."""
     import os
 
+    from .layout import compact_bucketed_table
     from .relational import ensure_layout_table, warehouse_path
 
     tbl = f"{prefix}{tag}"
@@ -859,6 +872,8 @@ def _ensure_folded_state(
             .saveAsTable(tbl)
         )
         open(marker, "w").close()
+        if compact:
+            compact_bucketed_table(spark, tbl, n_buckets, key_cols)
     return spark.table(tbl)
 
 
@@ -962,6 +977,11 @@ def dedup_incremental_tworound(
     # the fold: survivors' state rows appended once (deltas deduped
     # within the batch; they cannot overlap day-0 state — a doc whose
     # hash or band was already present would not have been kept)
+    # compact=True: the daily-crawl state tables are the longest-lived
+    # in the system — fold, then restore one file per bucket so ingest
+    # K+1's screen never pays K file opens per bucket (the small-files
+    # decay compact_bucketed_table documents); row equality and the
+    # zero-corpus-shuffle plan survive, pinned in test_bucketing.py
     v2_hashes = _ensure_folded_state(
         spark,
         f"inc2_hash_{k}x{bands}_",
@@ -970,6 +990,7 @@ def dedup_incremental_tworound(
         ["h"],
         lambda: docs.select(F.md5("text").alias("h")).distinct(),
         lambda: kept1.select(F.md5("text").alias("h")).distinct(),
+        compact=True,
     )
     v2_bands = _ensure_folded_state(
         spark,
@@ -983,6 +1004,7 @@ def dedup_incremental_tworound(
         lambda: banded_signatures(kept1, k, bands)
         .select("band", "sig")
         .distinct(),
+        compact=True,
     )
     r2 = _screen_batch(batch2, v2_hashes, v2_bands, k, bands)
     return r1.select(F.lit(1).alias("ingest"), "*").unionByName(
@@ -1000,7 +1022,8 @@ def fuzzy_matching_names_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from its base (length gap 2 forces >= 2), so the k=2 recall claim is
     non-vacuous for the indel class.
 
-    WHY sampled (unlike the k=1 catalog): TPC-H's dense sequential ids
+    WHY sampled (a discipline the k=1 catalog adopted in r8 too):
+    TPC-H's dense sequential ids
     give every name ~540 true distance-<=2 neighbors — 4.1M output pairs
     at sf0.1, 276 s of answer-writing that says nothing about the
     algorithm (the r6 verdict flagged exactly this failure mode on the

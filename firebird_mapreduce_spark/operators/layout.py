@@ -279,6 +279,73 @@ def compact_files(
         os.unlink(lock)
 
 
+def bucketed_table_file_count(spark: SparkSession, tbl: str) -> int:
+    """Parquet file count of a managed bucketed table — the fragmentation
+    metric ``compact_bucketed_table`` exists to bound (and the number the
+    compaction test asserts on)."""
+    import os
+
+    from .relational import warehouse_path
+
+    root = os.path.join(warehouse_path(spark), tbl.lower())
+    n = 0
+    for _dir, _sub, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_bucketed_table(
+    spark: SparkSession, tbl: str, n_buckets: int, key_cols: list[str]
+) -> int:
+    """Compact a managed BUCKETED table to one file per bucket,
+    preserving the bucketing metadata its consumers' zero-exchange plans
+    depend on — ``compact_files``'s discipline for the
+    ``saveAsTable``-managed case.
+
+    The folded incremental state tables (``_ensure_folded_state``) grow
+    by O(batch) bucket files per ingest: after K ingests every bucket is
+    K-way fragmented, and each day's screen pays K file opens per bucket
+    touched — the small-files decay curve, on the tables that live
+    longest.  The cure is a ZERO-SHUFFLE rewrite: with the bucketed
+    scan FORCED for the pass (``autoBucketedScan`` reads a bucketed
+    table as plain file splits when no operator needs the distribution,
+    interleaving buckets across tasks — that would yield tasks×buckets
+    output files), each scan partition is exactly one bucket's K files,
+    the ``repartition(n_buckets, key_cols)`` is satisfied by the scan's
+    own HashPartitioning and elided (it is the safety net if bucket
+    metadata were ever absent — bucket id and hash partition id share
+    the Murmur3-pmod assignment), and the bucketed writer emits ONE
+    file per non-empty bucket (asserted in test_bucketing.py).
+    Compacting K-fragmented state is therefore one map-side read+write
+    of the state — no exchange at any size.
+
+    Swap semantics: the rewrite lands in ``<tbl>__compact`` ALONGSIDE
+    the live table (readers of ``tbl`` are unaffected while it runs),
+    then DROP + RENAME cut over.  A crash between the two leaves the
+    table absent — the folded-state machinery's marker/tableExists guard
+    treats that exactly like its base-write crash window and rebuilds;
+    the stranded ``__compact`` table is dropped on the next pass's
+    entry.  Returns the post-compaction file count."""
+    tmp = f"{tbl}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto)
+    spark.conf.set(auto, "false")
+    try:
+        (
+            spark.table(tbl)
+            .repartition(n_buckets, *key_cols)
+            .write.bucketBy(n_buckets, *key_cols)
+            .sortBy(*key_cols)
+            .saveAsTable(tmp)
+        )
+    finally:
+        spark.conf.set(auto, prev)
+    spark.sql(f"DROP TABLE {tbl}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+    return bucketed_table_file_count(spark, tbl)
+
+
 def write_zordered(
     df: DataFrame,
     a_col: str,

@@ -1257,17 +1257,29 @@ def dedup_audio_fingerprint_incremental(
 
     tag = corpus_tag(sf_dir, "documents")
 
+    # both state tables derive from ONE corpus decode+fingerprint pass:
+    # the builders below only run on a cold warehouse, and the first one
+    # to run checkpoints the pass so the second reuses it (the
+    # measure_afp.py discipline) instead of re-decoding every corpus WAV
+    fps_cache: list[DataFrame] = []
+
     def corpus_fps() -> DataFrame:
-        fixture = _afp_fixture_dir(spark, sf_dir)
-        files = read_binary_dir(spark, fixture, glob="*.wav")
-        return audio_fingerprints(
-            files.select(
-                F.regexp_extract(F.col("path"), r"asset_(\d+)\.wav$", 1)
-                .cast("bigint")
-                .alias("asset_id"),
-                "content",
+        if not fps_cache:
+            fixture = _afp_fixture_dir(spark, sf_dir)
+            files = read_binary_dir(spark, fixture, glob="*.wav")
+            fps_cache.append(
+                audio_fingerprints(
+                    files.select(
+                        F.regexp_extract(
+                            F.col("path"), r"asset_(\d+)\.wav$", 1
+                        )
+                        .cast("bigint")
+                        .alias("asset_id"),
+                        "content",
+                    )
+                ).localCheckpoint(eager=True)
             )
-        )
+        return fps_cache[0]
 
     state_hashes = ensure_bucketed_table(
         spark, "afp_hashes_", tag, 8, ["asset_id"], corpus_fps

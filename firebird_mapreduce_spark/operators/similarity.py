@@ -1447,8 +1447,10 @@ PQ_FIT_SAMPLE_PREFIXES = ("0", "1")
 # apply it to a renamed id column stay structurally tied to the one
 # predicate (string .replace() surgery would silently drift if the
 # predicate text ever changed)
-PQ_FIT_SAMPLE_SQL_T = "substr(md5(CAST({col} AS VARCHAR)), 1, 1) IN " + str(
-    PQ_FIT_SAMPLE_PREFIXES
+PQ_FIT_SAMPLE_SQL_T = (
+    "substr(md5(CAST({col} AS VARCHAR)), 1, 1) IN ("
+    + ", ".join(f"'{p}'" for p in PQ_FIT_SAMPLE_PREFIXES)
+    + ")"
 )
 PQ_FIT_SAMPLE_SQL = PQ_FIT_SAMPLE_SQL_T.format(col="vec_id")
 
@@ -1563,12 +1565,25 @@ _RETIRED_SWEPT: set[str] = set()
 
 
 def _drop_retired_pq_tables(spark: SparkSession) -> None:
+    import os
+    import shutil
+
+    from .relational import warehouse_path
+
     app = spark.sparkContext.applicationId
     if app in _RETIRED_SWEPT:
         return
     for t in spark.catalog.listTables():
         if any(t.name.startswith(p) for p in _RETIRED_PQ_PREFIXES):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    # a fresh session's in-memory catalog does not list a PREVIOUS
+    # session's saveAsTable output, so also sweep the warehouse
+    # directories themselves (the ensure_layout_table orphan discipline)
+    root = warehouse_path(spark)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if any(d.startswith(p) for p in _RETIRED_PQ_PREFIXES):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     _RETIRED_SWEPT.add(app)
 
 
@@ -1800,30 +1815,41 @@ def embedding_knn_ivfpq(
 
 
 def _pq_fit_cte_chain(
-    m: int = PQ_M, ksub: int = PQ_KSUB, pq_iterations: int = PQ_ITERATIONS
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iterations: int = PQ_ITERATIONS,
+    source: str = "embeddings",
+    cte_prefix: str = "pq",
+    lead: str = "",
 ) -> str:
     """Continuation-form CTE block shared by the IVFPQ oracles: the full
-    sub-vector relation (``pqallsub``), its deterministic fit sample
-    (``pqsub`` — the ``_pq_fit_sample`` twin), and the prefix-renamed
-    exact-k-means chain over the sample (ends at ``pqa{pq_iterations}``)."""
+    sub-vector relation (``{cte_prefix}allsub``), its deterministic fit
+    sample (``{cte_prefix}sub`` — the ``_pq_fit_sample`` twin), and the
+    prefix-renamed exact-k-means chain over the sample (ends at
+    ``{cte_prefix}a{pq_iterations}``).  ``source`` names the
+    (vec_id, embedding) relation the sub-vectors derive from and
+    ``lead`` injects the CTEs defining it — the ``_kmeans_exact_cte_
+    chain`` convention, so TWO sub-codebook fits can coexist in one
+    statement (the ``pq_index_refit`` oracle)."""
+    p = cte_prefix
     d_sub = 64 // m
-    pqsub = f"""pqallsub AS (
+    pqsub = f"""{lead}{p}allsub AS (
     SELECT vec_id * {m} + s.s AS vec_id,
            vec_id AS orig_id,
            list_transform(range(0, {d_sub}),
                j -> CAST(embedding[s.s * {d_sub} + j + 1] AS DOUBLE))
            || [CAST(s.s * {_PQ_INDICATOR} AS DOUBLE)] AS embedding
-    FROM embeddings, range(0, {m}) s(s)
-), pqsub AS (
-    SELECT vec_id, embedding FROM pqallsub
+    FROM {source}, range(0, {m}) s(s)
+), {p}sub AS (
+    SELECT vec_id, embedding FROM {p}allsub
     WHERE {PQ_FIT_SAMPLE_SQL_T.format(col="orig_id")}
 ), """
     return _kmeans_exact_cte_chain(
         m * ksub,
         pq_iterations,
-        source="pqsub",
+        source=f"{p}sub",
         prefix=pqsub,
-        cte_prefix="pq",
+        cte_prefix=p,
         with_kw=False,
     )
 
@@ -2545,6 +2571,47 @@ DRIFTED_BATCH_SQL = """
 """
 
 
+def _versioned_index_table(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    key_cols: list[str] | None = None,
+):
+    """The refit queries' shared VERSIONED INDEX handle: sweep
+    same-prefix version directories left by an OLDER corpus (the
+    ``ensure_layout_table`` stale-layout discipline — a refit index is
+    corpus-sized, so an orphan is real disk), then open the
+    content-tagged ``VersionedParquetTable`` whose commit log is the
+    consumer-facing version pointer."""
+    import contextlib
+    import os
+    import shutil
+
+    from ..sources.versioned import VersionedParquetTable
+    from .relational import corpus_tag, warehouse_path
+
+    tag = corpus_tag(sf_dir, "embeddings")
+    root = warehouse_path(spark)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith(prefix) and d != f"{prefix}{tag}":
+                path = os.path.join(root, d)
+                # total sweep: rmtree silently no-ops on regular files
+                # under ignore_errors, so handle both entry kinds
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    # best-effort like the rmtree branch: a concurrent
+                    # run on the same warehouse can win the race between
+                    # listdir and this remove
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(path)
+    return VersionedParquetTable(
+        os.path.join(root, f"{prefix}{tag}"),
+        key_cols=key_cols or ["cluster", "d"],
+    )
+
+
 def semantic_index_refit(
     spark: SparkSession,
     sf_dir: str,
@@ -2591,12 +2658,6 @@ def semantic_index_refit(
     refits is ``dedup_semantic_incremental``/
     ``embedding_knn_ivfpq_incremental``; this query is the escape hatch
     when ``semantic_index_drift`` says assign-only has decayed."""
-    import os
-    import shutil
-
-    from ..sources.versioned import VersionedParquetTable
-    from .relational import corpus_tag, warehouse_path
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.select(
         "vec_id",
@@ -2605,24 +2666,7 @@ def semantic_index_refit(
         ),
     )
     batch = drifted_embedding_batch(spark, sf_dir)
-    tag = corpus_tag(sf_dir, "embeddings")
-    prefix = f"semidx_{k}x{iterations}_"
-    root = warehouse_path(spark)
-    # stale-corpus cleanup: same-prefix version directories from an older
-    # corpus are dead weight (the ensure_layout_table discipline)
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            if d.startswith(prefix) and d != f"{prefix}{tag}":
-                path = os.path.join(root, d)
-                # total sweep: rmtree silently no-ops on regular files
-                # under ignore_errors, so handle both entry kinds
-                if os.path.isdir(path):
-                    shutil.rmtree(path, ignore_errors=True)
-                else:
-                    os.remove(path)
-    vtab = VersionedParquetTable(
-        os.path.join(root, f"{prefix}{tag}"), key_cols=["cluster", "d"]
-    )
+    vtab = _versioned_index_table(spark, sf_dir, f"semidx_{k}x{iterations}_")
     latest = vtab.latest_version()  # commit-log versions are 0-based
     if latest is None:
         # v1 = the shared corpus index artifacts, committed (log v0)
@@ -2679,6 +2723,148 @@ def semantic_index_refit(
     return report(1, corpus).unionByName(
         report(2, corpus.unionByName(batch))
     )
+
+
+def pq_index_refit(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iterations: int = PQ_ITERATIONS,
+    refit_ratio: float = 1.5,
+) -> DataFrame:
+    """The PQ CODEBOOK lifecycle closed (VERDICT r8 item 1 —
+    ``semantic_index_refit``'s drift→refit→swap loop on the PQ tier,
+    the one maintenance loop still open after r8):
+
+      v1       the sampled-fit sub-codebook centroids every IVFPQ
+               consumer reads (``ensure_pq_centroid_table``) committed
+               as VERSION 1 of a ``VersionedParquetTable``;
+      drift    the mean-shifted batch (``drifted_embedding_batch``)
+               PQ-encodes ASSIGN-ONLY against v1 (``encode_pq_batch``'s
+               arithmetic — ``_pq_assign_arrays`` over the batch's
+               sub-vectors) and its mean encode dist2 blows out vs the
+               corpus's own mean encode dist2, which is read FREE from
+               the persisted code table (``ensure_pq_codes_table``'s
+               dist2 column — the incremental encodes the trigger
+               watches in production);
+      refit    v2 sub-codebooks over corpus ∪ batch under the SAME
+               sampled-fit discipline (``_pq_fit_sample`` of the union
+               → one subspace-pure exact fit — codebook training stays
+               bounded even when the refit input doubles), committed as
+               VERSION 2 — write-alongside + atomic log append, v1
+               stays readable (time travel; swap atomicity +
+               idempotence pinned in test_llm_ops.py);
+      after    the batch re-encodes against v2 back in-distribution
+               (both drift modes now have sub-centroids), ratio ≈ 1.
+
+    Output: one row per codebook version — (version, n_fit, n_batch,
+    fit_mean_dist2, batch_mean_dist2, drift_ratio, refit_recommended);
+    counts are SUB-VECTOR rows (|vectors|·m — the granularity the code
+    table stores and the encoder scores).  Version-1's fit mean reads
+    the persisted code table (no corpus re-encode); version-2's
+    re-encodes corpus ∪ batch assign-only against v2 — the real cost of
+    a refit, recorded vs the incremental-encode path in SCALE.md.  The
+    DuckDB oracle replays BOTH sampled sub-codebook fits as
+    side-by-side CTE chains (the ``_pq_fit_cte_chain`` source/prefix
+    parameterization) plus the four encode means — refit SEMANTICS
+    hash-verified; swap MECHANICS are the versioned table's tested
+    contract.
+
+    At 100 TB: codebook training is sample-bounded on BOTH sides of the
+    cutover, the full re-encode is the one corpus-scale pass (map-only
+    against broadcast centroids — embarrassingly parallel), and the
+    commit-log append means ADC servers never see a half-swapped
+    codebook; between refits the tier runs assign-only
+    (``embedding_knn_ivfpq_incremental``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    batch = drifted_embedding_batch(spark, sf_dir)
+    vtab = _versioned_index_table(
+        spark, sf_dir, f"pqidx_{m}x{ksub}x{pq_iterations}_"
+    )
+    latest = vtab.latest_version()  # commit-log versions are 0-based
+    if latest is None:
+        # v1 = the shared sampled-fit sub-codebooks, committed (log v0)
+        cent1 = ensure_pq_centroid_table(
+            spark, sf_dir, emb, m, ksub, pq_iterations
+        )
+        vtab.commit(cent1)
+        latest = 0
+    if latest == 0:
+        # the refit: v2 sub-codebooks over corpus ∪ batch ALONGSIDE the
+        # live v1 — same sampled-fit discipline, then one atomic commit
+        # is the cutover (resumable: a crash before the commit leaves
+        # v1 live and this branch re-runs)
+        union = corpus.unionByName(batch)
+        sub2 = _pq_subvectors(_pq_fit_sample(union), m)
+        fit2, comp2 = _kmeans_exact_fit(sub2, m * ksub, pq_iterations)
+        cent2 = _exact_centroids(comp2, fit2.select("vec_id", "cluster"))
+        vtab.commit(cent2)
+    dims = 64 // m + 1
+
+    def mean_encode(sub_frame: DataFrame, cent: DataFrame) -> DataFrame:
+        coded = _pq_assign_arrays(sub_frame, cent, dims)
+        return coded.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("dist2").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_dist2"),
+        )
+
+    def report(version: int, fit_side: DataFrame) -> DataFrame:
+        cent = vtab.read(spark, version=version - 1)
+        fit = fit_side.select(
+            F.lit(version).alias("version"),
+            F.col("n").alias("n_fit"),
+            F.col("mean_dist2").alias("fit_mean_dist2"),
+        )
+        bat = mean_encode(_pq_subvectors(batch, m), cent).select(
+            F.col("n").alias("n_batch"),
+            F.col("mean_dist2").alias("batch_mean_dist2"),
+        )
+        return (
+            fit.crossJoin(bat)
+            .withColumn(
+                "drift_ratio",
+                F.round(
+                    F.col("batch_mean_dist2") / F.col("fit_mean_dist2"), 6
+                ),
+            )
+            .withColumn(
+                "refit_recommended", F.col("drift_ratio") > F.lit(refit_ratio)
+            )
+            .select(
+                "version",
+                "n_fit",
+                "n_batch",
+                "fit_mean_dist2",
+                "batch_mean_dist2",
+                "drift_ratio",
+                "refit_recommended",
+            )
+        )
+
+    # v1's fit-side mean reads the PERSISTED code table's dist2 (the
+    # live index's own encodes — no corpus re-encode); v2's re-encodes
+    # corpus ∪ batch against the v2 centroids (the refit's real cost)
+    codes1 = ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
+    fit1 = codes1.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("dist2").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_dist2"
+        ),
+    )
+    fit2_side = mean_encode(
+        _pq_subvectors(corpus.unionByName(batch), m),
+        vtab.read(spark, version=1),
+    )
+    return report(1, fit1).unionByName(report(2, fit2_side))
 
 
 def _semantic_index_refit_oracle_sql(
@@ -2738,6 +2924,89 @@ fit1 AS ({mean("comp", f"c{t}")}),
 bat1 AS ({mean("compb", f"c{t}")}),
 fit2 AS ({mean("rcomp", f"rc{t}")}),
 bat2 AS ({mean("compb", f"rc{t}")})
+SELECT 1 AS version, f.n AS n_fit, b.n AS n_batch,
+       f.mean_dist2 AS fit_mean_dist2, b.mean_dist2 AS batch_mean_dist2,
+       round(b.mean_dist2 / f.mean_dist2, 6) AS drift_ratio,
+       round(b.mean_dist2 / f.mean_dist2, 6) > {refit_ratio}
+           AS refit_recommended
+FROM fit1 f CROSS JOIN bat1 b
+UNION ALL
+SELECT 2, f.n, b.n, f.mean_dist2, b.mean_dist2,
+       round(b.mean_dist2 / f.mean_dist2, 6),
+       round(b.mean_dist2 / f.mean_dist2, 6) > {refit_ratio}
+FROM fit2 f CROSS JOIN bat2 b
+"""
+
+
+def _pq_index_refit_oracle_sql(
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iterations: int = PQ_ITERATIONS,
+    refit_ratio: float = 1.5,
+) -> str:
+    """DuckDB replica of ``pq_index_refit``: the corpus sub-codebook
+    chain and the prefix-renamed corpus∪batch chain side by side (both
+    over their deterministic fit samples — ``_pq_fit_cte_chain``'s
+    source/prefix parameterization), final sub-centroid recomputes for
+    both, and the four assign-only encode means (same-generation
+    discipline), ratios and the refit flag."""
+    pt = pq_iterations + 1
+    d_sub = 64 // m
+    chain1 = _pq_fit_cte_chain(m, ksub, pq_iterations)
+    usrc = f"""usrc AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id, embedding FROM batch
+), """
+    chain2 = _pq_fit_cte_chain(
+        m, ksub, pq_iterations, source="usrc", cte_prefix="rpq", lead=usrc
+    )
+
+    def cent(p: str) -> str:
+        return f"""
+    SELECT a.cluster, comp.d,
+           CAST(sum(CAST(comp.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM {p}comp comp JOIN {p}a{pq_iterations} a USING (vec_id)
+    GROUP BY a.cluster, comp.d"""
+
+    def comps(src: str) -> str:
+        return f"""
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+    FROM {src}"""
+
+    def mean(comp: str, c: str) -> str:
+        return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(dist2) AS DOUBLE) / count(*), 6) AS mean_dist2
+    FROM (
+        SELECT vec_id, dist2 FROM (
+            SELECT cb.vec_id, c.cluster,
+                   sum(CAST((cb.v - c.m) * (cb.v - c.m) AS DECIMAL(28,15)))
+                       AS dist2
+            FROM {comp} cb JOIN {c} c USING (d)
+            GROUP BY cb.vec_id, c.cluster)
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cluster) = 1)"""
+
+    return f"""WITH batch AS ({DRIFTED_BATCH_SQL}){chain1}{chain2},
+pqc{pt} AS ({cent("pq")}),
+rpqc{pt} AS ({cent("rpq")}),
+pqallcomp AS ({comps("pqallsub")}),
+rpqallcomp AS ({comps("rpqallsub")}),
+bsub AS (
+    SELECT vec_id * {m} + s.s AS vec_id,
+           list_transform(range(0, {d_sub}),
+               j -> CAST(embedding[s.s * {d_sub} + j + 1] AS DOUBLE))
+           || [CAST(s.s * {_PQ_INDICATOR} AS DOUBLE)] AS embedding
+    FROM batch, range(0, {m}) s(s)),
+bcomp AS ({comps("bsub")}),
+fit1 AS ({mean("pqallcomp", f"pqc{pt}")}),
+bat1 AS ({mean("bcomp", f"pqc{pt}")}),
+fit2 AS ({mean("rpqallcomp", f"rpqc{pt}")}),
+bat2 AS ({mean("bcomp", f"rpqc{pt}")})
 SELECT 1 AS version, f.n AS n_fit, b.n AS n_batch,
        f.mean_dist2 AS fit_mean_dist2, b.mean_dist2 AS batch_mean_dist2,
        round(b.mean_dist2 / f.mean_dist2, 6) AS drift_ratio,
@@ -2997,4 +3266,5 @@ KNN_IVF_MULTIPROBE_ORACLE_SQL = _knn_ivf_multiprobe_oracle_sql()
 DEDUP_SEMANTIC_INCREMENTAL_ORACLE_SQL = _dedup_semantic_incremental_oracle_sql()
 KNN_IVFPQ_INCREMENTAL_ORACLE_SQL = _knn_ivfpq_incremental_oracle_sql()
 SEMANTIC_INDEX_REFIT_ORACLE_SQL = _semantic_index_refit_oracle_sql()
+PQ_INDEX_REFIT_ORACLE_SQL = _pq_index_refit_oracle_sql()
 KNN_IVFPQ_ORACLE_SQL = _knn_ivfpq_oracle_sql()
