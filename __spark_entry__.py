@@ -375,6 +375,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family across every modality
         "dedup_audio_fingerprint_incremental":
             M.dedup_audio_fingerprint_incremental,
+        # r9: the PQ codebook lifecycle closed — the drift trigger reads
+        # the persisted code table's encode dist2, the mean-shifted
+        # batch blows it out against v1 (ratio ~31), v2 sub-codebooks
+        # refit over corpus ∪ batch under the SAME sampled-fit
+        # discipline and cut over via ONE atomic versioned-table commit,
+        # and the batch re-encodes in-distribution (ratio ~1.08)
+        "pq_index_refit": S.pq_index_refit,
+        # r9: the daily-crawl integration — ONE multimodal batch runs
+        # every tier's incremental screen (exact hash, LSH bands, image
+        # phash, audio fingerprint) against each tier's persisted state
+        # tables in one pass, unified per-doc disposition with pinned
+        # precedence exact > near > image > audio > kept
+        "ingest_screen_multimodal": P.ingest_screen_multimodal,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -2804,15 +2817,30 @@ def oracle_sql() -> dict[str, str]:
         "semantic_index_refit": S.SEMANTIC_INDEX_REFIT_ORACLE_SQL,
         # r8: the multimodal funnel — the full-funnel oracle with the
         # image stage's grids re-derived relationally (salt "phf",
-        # base doc = doc_id - doc_id%4) inside the same CTE chain
+        # base doc = doc_id - doc_id%4) inside the same CTE chain;
+        # r9 adds the audio stage (salt "auf" energies, same base/pert
+        # rule) one stage later — the eight-stage funnel
         "curation_pipeline_multimodal": P.curation_pipeline_full_oracle_sql(
-            _MINHASH_CTES, image_stage=True
+            _MINHASH_CTES, image_stage=True, audio_stage=True
         ),
         # r8 (late): the audio ingest screen — both clip families'
         # energies re-derived relationally, corpus-vs-batch band
         # membership join, exact Hamming verify, min-partner disposition
         "dedup_audio_fingerprint_incremental":
             M.DEDUP_AUDIO_FP_INCREMENTAL_ORACLE_SQL,
+        # r9: the PQ refit — corpus sub-codebook chain and corpus∪batch
+        # chain side by side (both over their deterministic fit
+        # samples), final sub-centroid recomputes, four assign-only
+        # encode means, ratios + the refit flag
+        "pq_index_refit": S.PQ_INDEX_REFIT_ORACLE_SQL,
+        # r9: the unified ingest screen — the dedup_incremental text
+        # oracle over corpus ∪ the multimodal batch, plus both media
+        # tiers' state families AND batch assets re-derived relationally
+        # with the same band-membership + Hamming screens, precedence
+        # CASE at the end
+        "ingest_screen_multimodal": P.ingest_screen_oracle_sql(
+            _MINHASH_CTES
+        ),
         "quality_topk_per_lang": """
             WITH c AS (
                 SELECT doc_id, n_chars,

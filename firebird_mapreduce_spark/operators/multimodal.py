@@ -768,6 +768,52 @@ def _phash_band_keys(hashes: DataFrame) -> DataFrame:
     ).select("asset_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
 
 
+def _phash_state_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The IMAGE tier's persisted corpus state — the (asset_id, phash)
+    hash table bucketed by id and the exploded (band, bval, asset_id)
+    banding table bucketed by its join key — built from ONE corpus
+    decode+hash pass (memoized + checkpointed, the measure_afp.py
+    discipline) and shared by the incremental screen and the unified
+    ingest screen, so the two probe literally the same tables."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    tag = corpus_tag(sf_dir, "documents")
+    hashes_cache: list[DataFrame] = []
+
+    def corpus_hashes() -> DataFrame:
+        if not hashes_cache:
+            fixture = _phash_fixture_dir(spark, sf_dir)
+            files = read_binary_dir(spark, fixture, glob="*.png")
+            hashes_cache.append(
+                phash_hashes(
+                    files.select(
+                        F.regexp_extract(
+                            F.col("path"), r"asset_(\d+)\.png$", 1
+                        )
+                        .cast("bigint")
+                        .alias("asset_id"),
+                        "content",
+                    )
+                ).localCheckpoint(eager=True)
+            )
+        return hashes_cache[0]
+
+    state_hashes = ensure_bucketed_table(
+        spark, "phash_hashes_", tag, 8, ["asset_id"], corpus_hashes
+    )
+    state_bands = ensure_bucketed_table(
+        spark,
+        "phash_bands_",
+        tag,
+        8,
+        ["band", "bval"],
+        lambda: _phash_band_keys(corpus_hashes()),
+    )
+    return state_hashes, state_bands
+
+
 def dedup_images_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IMAGE ingest dedup — ``dedup_incremental``'s daily-
     crawl shape on the multimodal tier: a NEW batch of images screens
@@ -799,33 +845,7 @@ def dedup_images_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     ``_ensure_folded_state`` machinery applies verbatim when ingests
     chain), each day's screen costs O(|batch| + matched buckets), and
     the corpus is never rescanned."""
-    from .relational import corpus_tag, ensure_bucketed_table
-
-    tag = corpus_tag(sf_dir, "documents")
-
-    def corpus_hashes() -> DataFrame:
-        fixture = _phash_fixture_dir(spark, sf_dir)
-        files = read_binary_dir(spark, fixture, glob="*.png")
-        return phash_hashes(
-            files.select(
-                F.regexp_extract(F.col("path"), r"asset_(\d+)\.png$", 1)
-                .cast("bigint")
-                .alias("asset_id"),
-                "content",
-            )
-        )
-
-    state_hashes = ensure_bucketed_table(
-        spark, "phash_hashes_", tag, 8, ["asset_id"], corpus_hashes
-    )
-    state_bands = ensure_bucketed_table(
-        spark,
-        "phash_bands_",
-        tag,
-        8,
-        ["band", "bval"],
-        lambda: _phash_band_keys(corpus_hashes()),
-    )
+    state_hashes, state_bands = _phash_state_tables(spark, sf_dir)
     batch_dir = _phash_batch_fixture_dir(spark, sf_dir)
     batch = phash_hashes(
         read_binary_dir(spark, batch_dir, glob="*.png").select(
@@ -1229,38 +1249,101 @@ def _afp_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
-def dedup_audio_fingerprint_incremental(
+def _funnel_audio_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One WAV per DOCUMENT (doc_id < ``_AFP_BASE``) for the multimodal
+    curation funnel: doc d's clip derives from base_doc = d - d%8 with
+    pert = d%4 under the "auf" salt — every EIGHT-doc group shares one
+    base clip family (pert 1 = the gain shift, fingerprint IDENTICAL to
+    the base; perts 2/3 = one-window re-records <= 2 bits), while
+    different groups stay md5-decorrelated.  The audio groups
+    deliberately SPAN TWO image groups (image families are 4-doc,
+    ``_funnel_image_fixture_dir``): with 4-doc audio groups the image
+    stage would already have reduced every audio cluster to one
+    survivor and the stage would be vacuous — at 8 docs the two image
+    survivors of the span (d ≡ 0 and 4 mod 8, both pert 0 ⇒ identical
+    fingerprints) collide in audio, so the stage verifiably drops rows
+    the image stage could not.  Same amplitude arithmetic
+    (``_afp_amplitudes``) and writer as the dedup fixtures, so the
+    oracle re-derives every fingerprint relationally."""
+    import hashlib
+
+    tag = hashlib.md5(f"auf|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"auf_{tag}",
+    )
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _AFP_BASE)
+    assets = [(d, d - d % 8, d % 4, "auf") for d in doc_ids]
+    _write_afp_assets(out_dir, assets)
+    return out_dir
+
+
+def _ingest_image_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The unified ingest screen's IMAGE delivery: one PNG per base doc
+    (doc_id < ``_PHASH_BASE``, asset_id = doc_id) — docs with d % 8 in
+    (0, 2) carry a pert-3 near-copy of their corpus base family (the
+    "ph" salt, <= 2 bits from the state's base asset), the rest
+    genuinely new images (the "igb" salt decorrelates them from the
+    whole corpus).  The residue classes are chosen against the batch
+    TEXT rule (d%4: 0 exact / 1 near / 2-3 new): d%8 == 2 is a NEW-text
+    doc whose image flags — the image tier's own disposition — while
+    d%8 == 0 is an EXACT-text doc whose image also flags, pinning the
+    disposition precedence."""
+    import hashlib
+
+    tag = hashlib.md5(f"igb|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"igb_{tag}",
+    )
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _PHASH_BASE)
+    assets = [
+        (d, d, 3, "ph") if d % 8 in (0, 2) else (d, d, 0, "igb")
+        for d in doc_ids
+    ]
+    _write_phash_assets(out_dir, assets)
+    return out_dir
+
+
+def _ingest_audio_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The unified ingest screen's AUDIO delivery: one WAV per base doc
+    (asset_id = doc_id) — docs with d % 8 in (1, 3) carry a pert-3
+    one-window re-record of their corpus base clip (the "au" salt,
+    <= 2 bits from the state), the rest genuinely new clips ("agb"
+    salt).  d%8 == 3 is a NEW-text doc (audio is the only tier that
+    flags it); d%8 == 1 is a NEAR-text doc whose audio also flags —
+    the near > audio precedence pin."""
+    import hashlib
+
+    tag = hashlib.md5(f"agb|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"agb_{tag}",
+    )
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _AFP_BASE)
+    assets = [
+        (d, d, 3, "au") if d % 8 in (1, 3) else (d, d, 0, "agb")
+        for d in doc_ids
+    ]
+    _write_afp_assets(out_dir, assets)
+    return out_dir
+
+
+def _afp_state_tables(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Incremental AUDIO ingest dedup — the daily-crawl screen on the
-    audio tier, completing the incremental family across every modality
-    (text, vectors, PQ codes, images, now audio): the corpus's
-    fingerprints persist ONCE as the same two bucketed state tables as
-    the image tier ((asset_id, phash) by id + (band, bval, asset_id) by
-    join key — IDENTICAL schemas, one state layout for both
-    modalities), and each new batch of clips decodes only its own
-    files, bands, and probes the state by band membership — the
-    batch×state screen is ``_hash_incremental_screen``, shared function
-    not shared pattern.
-
-    Output: (asset_id, kept, dup_of) for every batch clip.  Every 3rd
-    batch clip is a planted one-window re-record of its corpus base
-    (flagged, dup_of = the base); the rest are salt-decorrelated new
-    clips (kept).  The oracle replays both fixture families' amplitude
-    arithmetic, the banding, and the screen relationally.
-
-    At 100 TB this is the podcast/speech crawl: fingerprint state grows
-    by O(batch) bucket appends (``_ensure_folded_state`` when ingests
-    chain), each day's screen costs O(|batch| + matched buckets), and
-    the corpus is never re-decoded."""
+) -> tuple[DataFrame, DataFrame]:
+    """The AUDIO tier's persisted corpus state — identical schemas to
+    the image tier's (``_phash_state_tables``): both state tables derive
+    from ONE corpus decode+fingerprint pass (memoized + checkpointed, so
+    a cold warehouse never decodes the corpus WAVs twice — the r8
+    advisory fix), shared by the incremental screen and the unified
+    ingest screen."""
     from .relational import corpus_tag, ensure_bucketed_table
 
     tag = corpus_tag(sf_dir, "documents")
-
-    # both state tables derive from ONE corpus decode+fingerprint pass:
-    # the builders below only run on a cold warehouse, and the first one
-    # to run checkpoints the pass so the second reuses it (the
-    # measure_afp.py discipline) instead of re-decoding every corpus WAV
     fps_cache: list[DataFrame] = []
 
     def corpus_fps() -> DataFrame:
@@ -1292,6 +1375,34 @@ def dedup_audio_fingerprint_incremental(
         ["band", "bval"],
         lambda: _phash_band_keys(corpus_fps()),
     )
+    return state_hashes, state_bands
+
+
+def dedup_audio_fingerprint_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental AUDIO ingest dedup — the daily-crawl screen on the
+    audio tier, completing the incremental family across every modality
+    (text, vectors, PQ codes, images, now audio): the corpus's
+    fingerprints persist ONCE as the same two bucketed state tables as
+    the image tier ((asset_id, phash) by id + (band, bval, asset_id) by
+    join key — IDENTICAL schemas, one state layout for both
+    modalities), and each new batch of clips decodes only its own
+    files, bands, and probes the state by band membership — the
+    batch×state screen is ``_hash_incremental_screen``, shared function
+    not shared pattern.
+
+    Output: (asset_id, kept, dup_of) for every batch clip.  Every 3rd
+    batch clip is a planted one-window re-record of its corpus base
+    (flagged, dup_of = the base); the rest are salt-decorrelated new
+    clips (kept).  The oracle replays both fixture families' amplitude
+    arithmetic, the banding, and the screen relationally.
+
+    At 100 TB this is the podcast/speech crawl: fingerprint state grows
+    by O(batch) bucket appends (``_ensure_folded_state`` when ingests
+    chain), each day's screen costs O(|batch| + matched buckets), and
+    the corpus is never re-decoded."""
+    state_hashes, state_bands = _afp_state_tables(spark, sf_dir)
     batch_dir = _afp_batch_fixture_dir(spark, sf_dir)
     batch = audio_fingerprints(
         read_binary_dir(spark, batch_dir, glob="*.wav").select(

@@ -616,24 +616,92 @@ def curation_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the stage non-vacuously keeps ~1 doc per surviving group; docs
     without images pass through.
 
-    Output: (lang, n_corpus, n_quality, n_unique, n_neardup,
-    n_imgdedup, n_clean, n_final, min_final, max_final).  The oracle
-    replays the image stage relationally (the ``_phash_grid``
-    arithmetic over the funnel salt) inside the same nested-CTE chain.
+    r9 adds the AUDIO near-dup stage after the image one (VERDICT r8
+    item 3 — the audio tier's machinery was already shared-function):
+    each surviving doc's audio clip (one real WAV per doc_id <
+    ``_AFP_BASE``, ``_funnel_audio_fixture_dir`` — 4-doc groups sharing
+    one clip family: gain shift ≡ identical fingerprint, one-window
+    re-records <= 2 bits) is PCM-decoded and energy-fingerprinted with
+    EXACTLY ``dedup_audio_fingerprint``'s machinery
+    (``audio_fingerprints`` + the shared ``_modal_neardup_dropped``
+    banding/Hamming rule — the SAME function the image stage runs, one
+    stage later), and any surviving doc whose clip near-dups a SMALLER
+    surviving doc's clip is dropped.  EIGHT stages: corpus → quality →
+    unique → neardup → imgdedup → auddedup → clean → final.
 
-    At 100 TB the stage adds one map-only decode pass over the doc→
-    image assets and one banded self-join over survivors' 4 band keys —
-    the ``dedup_images_phash`` plan riding inside the funnel."""
-    return _curation_funnel(spark, sf_dir, image_stage=True)
+    Output: (lang, n_corpus, n_quality, n_unique, n_neardup,
+    n_imgdedup, n_auddedup, n_clean, n_final, min_final, max_final).
+    The oracle replays both modality stages relationally (the
+    ``_phash_grid`` / ``_afp_amplitudes`` arithmetic over the funnel
+    salts) inside the same nested-CTE chain.
+
+    At 100 TB each modality stage adds one map-only decode pass over
+    the doc→asset files and one banded self-join over survivors' 4
+    band keys — the standalone dedup plans riding inside the funnel."""
+    return _curation_funnel(spark, sf_dir, image_stage=True, audio_stage=True)
+
+
+def _modal_neardup_dropped(
+    hashes: DataFrame, surviving: DataFrame
+) -> DataFrame:
+    """Doc ids dropped by ONE modality near-dup stage of the funnel:
+    the surviving docs' 56-bit perceptual hashes banded
+    (``_phash_band_keys`` — the blocking rule the image and audio dedup
+    tiers share), band-collision candidates among survivors only, exact
+    Hamming <= ``_PHASH_THRESHOLD`` verify, and any survivor matching a
+    SMALLER surviving doc is dropped.  One function for both modality
+    stages, so neither can drift from the standalone dedup operators
+    whose machinery it reuses."""
+    from .multimodal import _PHASH_THRESHOLD, _phash_band_keys
+
+    surv_keys = _phash_band_keys(hashes).join(
+        surviving.select(F.col("doc_id").alias("asset_id")), "asset_id"
+    )
+    cand = (
+        surv_keys.withColumnRenamed("asset_id", "a_id")
+        .join(
+            surv_keys.withColumnRenamed("asset_id", "b_id"),
+            ["band", "bval"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return (
+        cand.join(
+            hashes.select(
+                F.col("asset_id").alias("a_id"),
+                F.col("phash").alias("a_hash"),
+            ),
+            "a_id",
+        )
+        .join(
+            hashes.select(
+                F.col("asset_id").alias("b_id"),
+                F.col("phash").alias("b_hash"),
+            ),
+            "b_id",
+        )
+        .filter(
+            F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+            <= _PHASH_THRESHOLD
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
 
 
 def _curation_funnel(
-    spark: SparkSession, sf_dir: str, image_stage: bool
+    spark: SparkSession,
+    sf_dir: str,
+    image_stage: bool,
+    audio_stage: bool = False,
 ) -> DataFrame:
     """The shared funnel body — ``curation_pipeline_full`` with
-    ``image_stage`` optionally inserting the image near-dup screen
-    between text near-dedup and decontamination (one body so the two
-    declared funnels cannot drift on the text stages)."""
+    ``image_stage`` / ``audio_stage`` optionally inserting the image and
+    audio near-dup screens between text near-dedup and decontamination
+    (one body so the declared funnels cannot drift on the text
+    stages)."""
     from .dedup import banded_signatures
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -694,12 +762,7 @@ def _curation_funnel(
     )
     if image_stage:
         from ..sources.readers import read_binary_dir
-        from .multimodal import (
-            _PHASH_THRESHOLD,
-            _funnel_image_fixture_dir,
-            _phash_band_keys,
-            phash_hashes,
-        )
+        from .multimodal import _funnel_image_fixture_dir, phash_hashes
 
         fixture = _funnel_image_fixture_dir(spark, sf_dir)
         files = read_binary_dir(spark, fixture, glob="*.png")
@@ -713,46 +776,32 @@ def _curation_funnel(
         ).localCheckpoint(eager=False)  # banding keys AND the verify fetch
         # banding restricted to SURVIVING docs on both sides — the
         # dedup_images_phash pair rule over the nd frame
-        surv_keys = _phash_band_keys(img_hashes).join(
-            nd.select(F.col("doc_id").alias("asset_id")), "asset_id"
-        )
-        img_cand = (
-            surv_keys.withColumnRenamed("asset_id", "a_id")
-            .join(
-                surv_keys.withColumnRenamed("asset_id", "b_id"),
-                ["band", "bval"],
-            )
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-            .distinct()
-        )
-        img_dropped = (
-            img_cand.join(
-                img_hashes.select(
-                    F.col("asset_id").alias("a_id"),
-                    F.col("phash").alias("a_hash"),
-                ),
-                "a_id",
-            )
-            .join(
-                img_hashes.select(
-                    F.col("asset_id").alias("b_id"),
-                    F.col("phash").alias("b_hash"),
-                ),
-                "b_id",
-            )
-            .filter(
-                F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
-                <= _PHASH_THRESHOLD
-            )
-            .select(F.col("b_id").alias("doc_id"))
-            .distinct()
-        )
-        img = nd.join(img_dropped, "doc_id", "left_anti").localCheckpoint(
-            eager=False
-        )
+        img = nd.join(
+            _modal_neardup_dropped(img_hashes, nd), "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
     else:
         img = nd
+    if audio_stage:
+        from ..sources.readers import read_binary_dir
+        from .multimodal import _funnel_audio_fixture_dir, audio_fingerprints
+
+        afixture = _funnel_audio_fixture_dir(spark, sf_dir)
+        afiles = read_binary_dir(spark, afixture, glob="*.wav")
+        aud_fps = audio_fingerprints(
+            afiles.select(
+                F.regexp_extract(F.col("path"), r"asset_(\d+)\.wav$", 1)
+                .cast("bigint")
+                .alias("asset_id"),
+                "content",
+            )
+        ).localCheckpoint(eager=False)
+        # the same drop rule over the image stage's survivors — REAL WAV
+        # decode + the shared banding/Hamming machinery, one stage later
+        aud = img.join(
+            _modal_neardup_dropped(aud_fps, img), "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+    else:
+        aud = img
     probe_grams = (
         exploded_word_shingles(
             docs.filter(F.col("doc_id") == 0), "doc_id", "text", 8
@@ -761,12 +810,12 @@ def _curation_funnel(
         .distinct()
     )
     contaminated = (
-        exploded_word_shingles(img, "doc_id", "text", 8)
+        exploded_word_shingles(aud, "doc_id", "text", 8)
         .join(F.broadcast(probe_grams), "shingle")
         .select("doc_id")
         .distinct()
     )
-    clean = img.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+    clean = aud.join(contaminated, "doc_id", "left_anti").localCheckpoint(
         eager=False
     )
     counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean"))
@@ -810,6 +859,12 @@ def _curation_funnel(
         )
         out = out.join(img_cnt, "lang", "left")
         cols.append(F.coalesce("n_imgdedup", F.lit(0)).alias("n_imgdedup"))
+    if audio_stage:
+        aud_cnt = aud.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_auddedup")
+        )
+        out = out.join(aud_cnt, "lang", "left")
+        cols.append(F.coalesce("n_auddedup", F.lit(0)).alias("n_auddedup"))
     return out.join(funnel, "lang", "left").select(
         *cols,
         F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
@@ -820,17 +875,25 @@ def _curation_funnel(
 
 
 def curation_pipeline_full_oracle_sql(
-    minhash_ctes: str, image_stage: bool = False
+    minhash_ctes: str, image_stage: bool = False, audio_stage: bool = False
 ) -> str:
-    """DuckDB twin of ``curation_pipeline_full`` (and, with
-    ``image_stage``, of ``curation_pipeline_multimodal``) — caller
-    supplies the shared MinHash banding CTE block (``_MINHASH_CTES`` in
-    the driver registry, formatted over the unique survivors) so the
-    banding rule cannot drift from ``dedup_minhash_lsh``'s oracle; the
-    image stage re-derives every surviving doc's perceptual hash
-    relationally from the funnel fixture's ``_phash_grid`` arithmetic
-    (salt "phf", base doc = doc_id - doc_id%4, pert = doc_id%4)."""
-    from .multimodal import _PHASH_BANDS, _PHASH_BASE, _PHASH_THRESHOLD
+    """DuckDB twin of ``curation_pipeline_full`` (and, with the stage
+    flags, of ``curation_pipeline_multimodal``) — caller supplies the
+    shared MinHash banding CTE block (``_MINHASH_CTES`` in the driver
+    registry, formatted over the unique survivors) so the banding rule
+    cannot drift from ``dedup_minhash_lsh``'s oracle; the image stage
+    re-derives every surviving doc's perceptual hash relationally from
+    the funnel fixture's ``_phash_grid`` arithmetic (salt "phf", base
+    doc = doc_id - doc_id%4, pert = doc_id%4), and the audio stage its
+    energy fingerprint from the ``_afp_amplitudes`` arithmetic (salt
+    "auf", same base/pert rule)."""
+    from .multimodal import (
+        _AFP_BASE,
+        _AFP_WINDOWS,
+        _PHASH_BANDS,
+        _PHASH_BASE,
+        _PHASH_THRESHOLD,
+    )
 
     banding = minhash_ctes.format(docs="SELECT doc_id, text FROM uniqd")
     if image_stage:
@@ -879,6 +942,48 @@ def curation_pipeline_full_oracle_sql(
     else:
         img_ctes = "img AS (SELECT * FROM nd),"
         img_cnt_cte = img_join = img_col = ""
+    if audio_stage:
+        aud_ctes = f"""fen AS (
+            SELECT n.doc_id, w.i AS w,
+                   (CAST('0x' || substr(md5('auf|'
+                        || CAST(n.doc_id - n.doc_id % 8 AS VARCHAR) || '|'
+                        || CAST(w.i AS VARCHAR)), 1, 4) AS BIGINT) % 2000)
+                   * (CASE WHEN n.doc_id % 4 = 1 THEN 2 ELSE 1 END)
+                   + (CASE WHEN n.doc_id % 4 = 2 AND w.i = 13 THEN 700
+                           WHEN n.doc_id % 4 = 3 AND w.i = 29 THEN 700
+                           ELSE 0 END) AS e
+            FROM img n, range(0, {_AFP_WINDOWS}) w(i)
+            WHERE n.doc_id < {_AFP_BASE}),
+        fahash AS (
+            SELECT l.doc_id,
+                   CAST(sum(CASE WHEN r.e > l.e
+                                 THEN CAST(power(2, l.w) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM fen l JOIN fen r
+              ON r.doc_id = l.doc_id AND r.w = l.w + 1
+            GROUP BY l.doc_id),
+        fabanded AS (
+            SELECT doc_id, phash, b.b AS band,
+                   (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384
+                       AS bval
+            FROM fahash, range(0, {_PHASH_BANDS}) b(b)),
+        fadrop AS (
+            SELECT DISTINCT b.doc_id
+            FROM fabanded a JOIN fabanded b
+              ON a.band = b.band AND a.bval = b.bval
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_THRESHOLD}),
+        aud AS (SELECT * FROM img
+                WHERE doc_id NOT IN (SELECT doc_id FROM fadrop)),"""
+        aud_cnt_cte = (
+            "audcnt AS (SELECT lang, count(*) AS n_auddedup "
+            "FROM aud GROUP BY lang),"
+        )
+        aud_join = "LEFT JOIN audcnt ac USING (lang)"
+        aud_col = "coalesce(ac.n_auddedup, 0) AS n_auddedup,"
+    else:
+        aud_ctes = "aud AS (SELECT * FROM img),"
+        aud_cnt_cte = aud_join = aud_col = ""
     return f"""
         WITH probe AS (SELECT text FROM documents WHERE doc_id = 0),
         planted AS (
@@ -917,6 +1022,7 @@ def curation_pipeline_full_oracle_sql(
         nd AS (SELECT * FROM uniqd
                WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
         {img_ctes}
+        {aud_ctes}
         pg AS (
             SELECT DISTINCT g AS shingle FROM (
                 SELECT unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
@@ -929,9 +1035,9 @@ def curation_pipeline_full_oracle_sql(
                        unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
                            i -> array_to_string(t[i:i+7], ' '))) AS g
                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
-                      FROM img)) x
+                      FROM aud)) x
             JOIN pg ON x.g = pg.shingle),
-        clean AS (SELECT * FROM img
+        clean AS (SELECT * FROM aud
                   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
         counts AS (SELECT lang, count(*) AS n_clean FROM clean GROUP BY lang),
         cuts AS (
@@ -954,6 +1060,7 @@ def curation_pipeline_full_oracle_sql(
         ucnt AS (SELECT lang, count(*) AS n_unique FROM uniqd GROUP BY lang),
         ndcnt AS (SELECT lang, count(*) AS n_neardup FROM nd GROUP BY lang),
         {img_cnt_cte}
+        {aud_cnt_cte}
         funnel AS (
             SELECT lang, count(*) AS n_clean,
                    CAST(sum(CASE WHEN fin THEN 1 ELSE 0 END) AS BIGINT)
@@ -965,6 +1072,7 @@ def curation_pipeline_full_oracle_sql(
                coalesce(u.n_unique, 0) AS n_unique,
                coalesce(nc.n_neardup, 0) AS n_neardup,
                {img_col}
+               {aud_col}
                coalesce(f.n_clean, 0) AS n_clean,
                coalesce(f.n_final, 0) AS n_final,
                f.min_final, f.max_final
@@ -972,6 +1080,7 @@ def curation_pipeline_full_oracle_sql(
         LEFT JOIN ucnt u USING (lang)
         LEFT JOIN ndcnt nc USING (lang)
         {img_join}
+        {aud_join}
         LEFT JOIN funnel f USING (lang)
     """
 
@@ -1066,3 +1175,331 @@ def split_leakage_after_dedup(
     )
     survivors = clusters.select(F.col("cluster_id").alias("doc_id")).distinct()
     return _leakage_over(docs.join(survivors, "doc_id"), n)
+
+
+# The unified ingest batch: one crawl delivery per corpus doc d, re-idded
+# +600000 — text class by d % 4 (0 exact copy / 1 near copy, the
+# AUGMENTED_DOCS_SQL drop-last-3 rule / 2-3 genuinely new: every token
+# prefixed with a per-doc salt, so every shingle differs and no band can
+# collide).  Perturb against the ORIGINAL doc_id inside the subquery,
+# re-id outside (the lateral-alias discipline).
+INGEST_BATCH_SQL = """
+    SELECT doc_id + 600000 AS doc_id, text FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN text
+                    WHEN doc_id % 4 = 1 THEN array_to_string(
+                        (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 3, 1)],
+                        ' ')
+                    ELSE array_to_string(list_transform(
+                        string_split(text, ' '),
+                        t -> 'z' || CAST(doc_id AS VARCHAR) || t), ' ')
+               END AS text
+        FROM documents)
+"""
+
+# corpus ∪ the ingest batch — what the unified screen's banding runs over
+INGEST_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL" + INGEST_BATCH_SQL
+)
+
+
+def ingest_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified ingest batch (see ``INGEST_BATCH_SQL`` — must stay
+    expression-for-expression equivalent): (doc_id + 600000, text) with
+    the text class decided by d % 4."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
+    )
+    new = F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.concat(F.lit("z"), F.col("doc_id").cast("string"), t),
+        ),
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .when(F.col("doc_id") % 4 == 1, near)
+        .otherwise(new)
+        .alias("text"),
+    ).select((F.col("doc_id") + 600000).alias("doc_id"), "text")
+
+
+def ingest_screen_multimodal(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """The DAILY-CRAWL integration query (VERDICT r8 item 4): ONE batch
+    of multimodal documents runs EVERY tier's incremental screen in one
+    pass — exact text hash, MinHash-LSH text near-dup, image perceptual
+    hash, audio energy fingerprint — against each tier's PERSISTED
+    corpus state tables (literally the same bucketed tables the
+    standalone incremental queries maintain: ``corpus_hash_`` /
+    ``corpus_bands_`` from ``dedup_incremental_bucketed``,
+    ``_phash_state_tables``, ``_afp_state_tables``), and reports ONE
+    per-doc disposition with pinned precedence
+    exact > near > image > audio > kept.
+
+    The batch (``ingest_batch_docs`` + the two ingest fixtures): per
+    corpus doc d, text by d%4 (exact copy / near copy / new), an image
+    asset for d < 256 (near-copy of the corpus family for d%8 in (0,2),
+    else new) and an audio clip (near-copy for d%8 in (1,3), else new).
+    The residue classes interlock so every disposition is non-vacuously
+    populated AND the precedence shows in data: d%8 == 0 docs are
+    exact-text AND image-dup (report 'exact' — is_image_dup stays true
+    in the booleans), d%8 == 1 near-text AND audio-dup ('near'),
+    d%8 == 2 image-only ('image'), d%8 == 3 audio-only ('audio'),
+    d%8 in (6,7) nothing ('kept').
+
+    Output: (doc_id, is_exact_dup, is_near_dup, is_image_dup,
+    is_audio_dup, disposition) for every batch doc.  The oracle replays
+    all four screens relationally in one statement.
+
+    At 100 TB this is the production ingest: every screen is a
+    batch×state membership probe against pre-bucketed state (corpus
+    sides exchange-free — the ``dedup_incremental_bucketed`` plan,
+    twice more for the media tiers), media decodes are map-only over
+    the batch's own files, and the final disposition join is
+    batch-sized — total exchanges O(batch) regardless of corpus size
+    (pinned in test_bucketing.py)."""
+    from ..sources.readers import read_binary_dir
+    from .dedup import _screen_batch, banded_signatures
+    from .multimodal import (
+        _afp_state_tables,
+        _hash_incremental_screen,
+        _ingest_audio_batch_fixture_dir,
+        _ingest_image_batch_fixture_dir,
+        _phash_state_tables,
+        audio_fingerprints,
+        phash_hashes,
+    )
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = ingest_batch_docs(spark, sf_dir)
+    tag = corpus_tag(sf_dir, "documents")
+    corpus_hashes = ensure_bucketed_table(
+        spark,
+        "corpus_hash_",
+        tag,
+        8,
+        ["h"],
+        lambda: docs.select(F.md5("text").alias("h")).distinct(),
+    )
+    corpus_bands = ensure_bucketed_table(
+        spark,
+        f"corpus_bands_{k}x{bands}_",
+        tag,
+        8,
+        ["band", "sig"],
+        lambda: banded_signatures(docs, k, bands)
+        .select("band", "sig")
+        .distinct(),
+    )
+    text_rep = _screen_batch(batch, corpus_hashes, corpus_bands, k, bands)
+
+    def media_hits(state, fixture_dir, glob, fingerprint, suffix):
+        files = read_binary_dir(spark, fixture_dir, glob=glob)
+        fps = fingerprint(
+            files.select(
+                F.regexp_extract(
+                    F.col("path"), rf"asset_(\d+)\.{suffix}$", 1
+                )
+                .cast("bigint")
+                .alias("asset_id"),
+                "content",
+            )
+        ).localCheckpoint(eager=False)
+        return _hash_incremental_screen(state[0], state[1], fps).select(
+            (F.col("asset_id") + 600000).alias("doc_id"),
+            (~F.col("kept")).alias("hit"),
+        )
+
+    img_rep = media_hits(
+        _phash_state_tables(spark, sf_dir),
+        _ingest_image_batch_fixture_dir(spark, sf_dir),
+        "*.png",
+        phash_hashes,
+        "png",
+    ).withColumnRenamed("hit", "image_hit")
+    aud_rep = media_hits(
+        _afp_state_tables(spark, sf_dir),
+        _ingest_audio_batch_fixture_dir(spark, sf_dir),
+        "*.wav",
+        audio_fingerprints,
+        "wav",
+    ).withColumnRenamed("hit", "audio_hit")
+
+    joined = text_rep.join(img_rep, "doc_id", "left").join(
+        aud_rep, "doc_id", "left"
+    )
+    is_img = F.coalesce(F.col("image_hit"), F.lit(False))
+    is_aud = F.coalesce(F.col("audio_hit"), F.lit(False))
+    disposition = (
+        F.when(F.col("is_exact_dup"), "exact")
+        .when(F.col("is_near_dup"), "near")
+        .when(is_img, "image")
+        .when(is_aud, "audio")
+        .otherwise("kept")
+    )
+    return joined.select(
+        "doc_id",
+        "is_exact_dup",
+        "is_near_dup",
+        is_img.alias("is_image_dup"),
+        is_aud.alias("is_audio_dup"),
+        disposition.alias("disposition"),
+    )
+
+
+def ingest_screen_oracle_sql(minhash_ctes: str) -> str:
+    """DuckDB twin of ``ingest_screen_multimodal``: the text screens are
+    the ``dedup_incremental`` oracle over ``INGEST_DOCS_SQL``; the media
+    tiers re-derive the corpus state families AND the ingest batch's
+    assets relationally (the grid / energy arithmetic of the standalone
+    dedup oracles), run the same corpus-vs-batch band-membership +
+    Hamming screens, and the final select applies the precedence
+    CASE."""
+    from .multimodal import (
+        _AFP_BASE,
+        _AFP_WINDOWS,
+        _PHASH_BANDS,
+        _PHASH_BASE,
+        _PHASH_GRID,
+        _PHASH_THRESHOLD,
+    )
+
+    banding = minhash_ctes.format(docs=INGEST_DOCS_SQL)
+    return f"""
+        WITH {banding},
+        corpus_banded AS (
+            SELECT DISTINCT b, bsig FROM banded WHERE doc_id < 600000),
+        near AS (
+            SELECT DISTINCT n.doc_id
+            FROM banded n JOIN corpus_banded c
+              ON n.b = c.b AND n.bsig = c.bsig
+            WHERE n.doc_id >= 600000),
+        corpus_h AS (
+            SELECT DISTINCT md5(text) AS h FROM docs WHERE doc_id < 600000),
+        new_docs AS (
+            SELECT doc_id, md5(text) AS h FROM docs WHERE doc_id >= 600000),
+        iids AS (SELECT doc_id FROM documents WHERE doc_id < {_PHASH_BASE}),
+        iassets AS (
+            SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'ph' AS salt,
+                   'c' AS side
+            FROM iids
+            UNION ALL
+            SELECT doc_id * 10 + 1, doc_id, 1, 'ph', 'c' FROM iids
+            WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id * 10 + 2, doc_id, 2, 'ph', 'c' FROM iids
+            WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id, doc_id,
+                   CASE WHEN doc_id % 8 IN (0, 2) THEN 3 ELSE 0 END,
+                   CASE WHEN doc_id % 8 IN (0, 2) THEN 'ph' ELSE 'igb' END,
+                   'b'
+            FROM iids),
+        igrid AS (
+            SELECT a.id, a.side, bx.i AS bx, by.i AS by,
+                   CAST('0x' || substr(md5(a.salt || '|'
+                        || CAST(a.doc_id AS VARCHAR) || '|'
+                        || CAST(bx.i AS VARCHAR) || '|'
+                        || CAST(by.i AS VARCHAR)), 1, 4) AS BIGINT) % 200
+                   + CASE WHEN a.pert = 1 THEN 1
+                          WHEN a.pert = 2 AND bx.i = 4 AND by.i = 3 THEN 37
+                          WHEN a.pert = 3 AND bx.i = 5 AND by.i = 2 THEN 19
+                          ELSE 0 END AS g
+            FROM iassets a, range(0, {_PHASH_GRID}) bx(i),
+                 range(0, {_PHASH_GRID}) by(i)),
+        ihashes AS (
+            SELECT l.id, l.side,
+                   CAST(sum(CASE WHEN r.g > l.g
+                                 THEN CAST(power(2, l.by * 7 + l.bx)
+                                      AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM igrid l JOIN igrid r
+              ON r.id = l.id AND r.side = l.side
+             AND r.by = l.by AND r.bx = l.bx + 1
+            GROUP BY l.id, l.side),
+        ibanded AS (
+            SELECT id, side, phash, b.b AS band,
+                   (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384
+                       AS bval
+            FROM ihashes, range(0, {_PHASH_BANDS}) b(b)),
+        ihit AS (
+            SELECT DISTINCT c.b_id AS base FROM (
+                SELECT DISTINCT s.id AS a_id, bt.id AS b_id
+                FROM ibanded bt JOIN ibanded s
+                  ON s.band = bt.band AND s.bval = bt.bval
+                 AND s.side = 'c' AND bt.side = 'b') c
+            JOIN ihashes ha ON ha.id = c.a_id AND ha.side = 'c'
+            JOIN ihashes hb ON hb.id = c.b_id AND hb.side = 'b'
+            WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_THRESHOLD}),
+        aids AS (SELECT doc_id FROM documents WHERE doc_id < {_AFP_BASE}),
+        aassets AS (
+            SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'au' AS salt,
+                   'c' AS side
+            FROM aids
+            UNION ALL
+            SELECT doc_id * 10 + 1, doc_id, 1, 'au', 'c' FROM aids
+            WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id * 10 + 2, doc_id, 2, 'au', 'c' FROM aids
+            WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id, doc_id,
+                   CASE WHEN doc_id % 8 IN (1, 3) THEN 3 ELSE 0 END,
+                   CASE WHEN doc_id % 8 IN (1, 3) THEN 'au' ELSE 'agb' END,
+                   'b'
+            FROM aids),
+        aen AS (
+            SELECT a.id, a.side, w.i AS w,
+                   (CAST('0x' || substr(md5(a.salt || '|'
+                        || CAST(a.doc_id AS VARCHAR) || '|'
+                        || CAST(w.i AS VARCHAR)), 1, 4) AS BIGINT) % 2000)
+                   * (CASE WHEN a.pert = 1 THEN 2 ELSE 1 END)
+                   + (CASE WHEN a.pert = 2 AND w.i = 13 THEN 700
+                           WHEN a.pert = 3 AND w.i = 29 THEN 700
+                           ELSE 0 END) AS e
+            FROM aassets a, range(0, {_AFP_WINDOWS}) w(i)),
+        ahashes AS (
+            SELECT l.id, l.side,
+                   CAST(sum(CASE WHEN r.e > l.e
+                                 THEN CAST(power(2, l.w) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM aen l JOIN aen r ON r.id = l.id AND r.side = l.side
+                               AND r.w = l.w + 1
+            GROUP BY l.id, l.side),
+        abanded AS (
+            SELECT id, side, phash, b.b AS band,
+                   (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384
+                       AS bval
+            FROM ahashes, range(0, {_PHASH_BANDS}) b(b)),
+        ahit AS (
+            SELECT DISTINCT c.b_id AS base FROM (
+                SELECT DISTINCT s.id AS a_id, bt.id AS b_id
+                FROM abanded bt JOIN abanded s
+                  ON s.band = bt.band AND s.bval = bt.bval
+                 AND s.side = 'c' AND bt.side = 'b') c
+            JOIN ahashes ha ON ha.id = c.a_id AND ha.side = 'c'
+            JOIN ahashes hb ON hb.id = c.b_id AND hb.side = 'b'
+            WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_THRESHOLD})
+        SELECT nd.doc_id,
+               (ch.h IS NOT NULL) AS is_exact_dup,
+               (nr.doc_id IS NOT NULL) AS is_near_dup,
+               (ih.base IS NOT NULL) AS is_image_dup,
+               (ah.base IS NOT NULL) AS is_audio_dup,
+               CASE WHEN ch.h IS NOT NULL THEN 'exact'
+                    WHEN nr.doc_id IS NOT NULL THEN 'near'
+                    WHEN ih.base IS NOT NULL THEN 'image'
+                    WHEN ah.base IS NOT NULL THEN 'audio'
+                    ELSE 'kept' END AS disposition
+        FROM new_docs nd
+        LEFT JOIN corpus_h ch ON nd.h = ch.h
+        LEFT JOIN near nr ON nd.doc_id = nr.doc_id
+        LEFT JOIN ihit ih ON ih.base + 600000 = nd.doc_id
+        LEFT JOIN ahit ah ON ah.base + 600000 = nd.doc_id
+    """
