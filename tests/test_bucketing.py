@@ -246,6 +246,18 @@ def test_tworound_fold_appends_delta_and_stays_corpus_shuffle_free(spark):
         == spark.table(f"corpus_bands_16x4_{tag}").count() + n_kept_bands
     )
 
+    # (a') the fold's compact=True left one file per non-empty bucket
+    # (the CREATE+APPEND wrote two waves; compaction restored the
+    # layout without touching rows — see
+    # test_compact_bucketed_table_one_file_per_bucket for the pre/post)
+    from firebird_mapreduce_spark.operators.layout import (
+        bucketed_table_file_count,
+    )
+
+    for t in (f"inc2_hash_16x4_{tag}", f"inc2_bands_16x4_{tag}"):
+        n_files = bucketed_table_file_count(spark, t)
+        assert n_files <= 8, f"{t} fragmented: {n_files} files"
+
     # (b) plan: folded tables bucketed-scanned, exchanges batch-side only
     key = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(key, None)
@@ -406,6 +418,83 @@ def test_semantic_incremental_fold_state_and_plan(spark):
         # centroid side (its join key d has few distinct values, so the
         # old shuffle join both serialized and cost two exchanges)
         assert n == 10, f"exchanges={n} (expected 10)\n{plan}"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_compact_bucketed_table_one_file_per_bucket(spark):
+    """compact_bucketed_table's contract on a K-fragmented folded state
+    table (r9 — VERDICT r8 item 2): pre-compaction the CREATE+APPEND
+    left multiple file waves per bucket; post-compaction exactly one
+    file per non-empty bucket, rows identical, bucketing metadata
+    intact (zero-exchange group-by), and the fold-complete marker
+    untouched — the crash-guard semantics survive compaction."""
+    import os
+
+    from firebird_mapreduce_spark.operators.dedup import (
+        _ensure_folded_state,
+    )
+    from firebird_mapreduce_spark.operators.layout import (
+        bucketed_table_file_count,
+        compact_bucketed_table,
+    )
+    from firebird_mapreduce_spark.operators.relational import warehouse_path
+
+    docs = spark.range(0, 2000).select(
+        F.md5(F.col("id").cast("string")).alias("h"),
+        (F.col("id") < 1000).alias("is_base"),
+    )
+    spark.sql("DROP TABLE IF EXISTS cmpt_h_t9")
+    marker = os.path.join(warehouse_path(spark), "_cmpt_h_t9_folded")
+    if os.path.exists(marker):
+        os.unlink(marker)
+    _ensure_folded_state(
+        spark,
+        "cmpt_h_",
+        "t9",
+        8,
+        ["h"],
+        lambda: docs.filter("is_base").select("h"),
+        lambda: docs.filter("NOT is_base").select("h"),
+    )
+    pre = bucketed_table_file_count(spark, "cmpt_h_t9")
+    assert pre > 8, f"fixture not fragmented: {pre} files"
+    rows_pre = sorted(r.h for r in spark.table("cmpt_h_t9").collect())
+    post = compact_bucketed_table(spark, "cmpt_h_t9", 8, ["h"])
+    assert post <= 8, f"{post} files after compaction (expected <= 8)"
+    rows_post = sorted(r.h for r in spark.table("cmpt_h_t9").collect())
+    assert rows_pre == rows_post
+    agg = spark.table("cmpt_h_t9").groupBy("h").count()
+    assert count_exchanges(agg) == 0, plan_string(agg, "simple")
+    assert os.path.exists(marker), "compaction must not touch the marker"
+    spark.sql("DROP TABLE IF EXISTS cmpt_h_t9")
+    os.unlink(marker)
+
+
+def test_ingest_screen_exchanges_batch_side_only(spark):
+    """The unified multimodal ingest screen (r9): all SIX corpus state
+    tables (text hash/bands, image hash/bands, audio hash/bands) are
+    consumed through bucketed scans with no corpus-side Exchange under
+    the at-scale no-broadcast strategy; the exchange count is pinned
+    exactly — every one of them is batch-sized (probe sides, candidate
+    distincts, report joins), so total shuffle traffic is O(batch)
+    regardless of corpus size."""
+    from firebird_mapreduce_spark.operators.pipeline import (
+        ingest_screen_multimodal,
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        df = ingest_screen_multimodal(spark, SF_SMOKE)
+        plan = plan_string(df, "formatted")
+        assert plan.count("Bucketed: true") == 6, plan
+        n = count_exchanges(df)
+        assert n == 18, f"exchanges={n} (expected 18)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)

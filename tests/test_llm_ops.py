@@ -1351,3 +1351,104 @@ def test_encode_pq_batch_locality_and_purity(spark):
         assert len(diffs) <= 1 and all(s == owner for s in diffs), (
             f"non-local encode: vec {src_id} diffs {diffs}, owner {owner}"
         )
+
+
+def test_pq_index_refit_swap_and_time_travel(spark):
+    """The PQ codebook lifecycle contract beyond the oracle (the
+    semantic_index_refit pins, PQ edition): (a) the mean-shifted batch
+    fires the trigger against the v1 sub-codebooks and re-encodes
+    in-distribution against v2; (b) the swap is a versioned-table
+    cutover — exactly two commits, idempotent re-run, BOTH versions
+    readable after the cutover and holding different centroids; (c)
+    both versions' codebooks stay subspace-COVERING — every subspace
+    retains at least one centroid (a refit that emptied a whole
+    subspace would silently serve no ADC lookups for those code
+    positions) and every present centroid carries all d_sub+1 dims;
+    individual clusters MAY empty under the sampled fit (the graceful
+    degradation ensure_pq_centroid_table documents)."""
+    import os
+
+    from firebird_mapreduce_spark.operators.relational import (
+        corpus_tag,
+        warehouse_path,
+    )
+    from firebird_mapreduce_spark.sources.versioned import (
+        VersionedParquetTable,
+    )
+
+    rows = {
+        r["version"]: r for r in S.pq_index_refit(spark, SF_SMOKE).collect()
+    }
+    assert rows[1]["refit_recommended"] and rows[1]["drift_ratio"] > 10
+    assert not rows[2]["refit_recommended"]
+    assert abs(rows[2]["drift_ratio"] - 1.0) < 0.15
+    m, ksub = S.PQ_M, S.PQ_KSUB
+    assert rows[1]["n_fit"] > 0 and rows[1]["n_batch"] % m == 0
+    tag = corpus_tag(SF_SMOKE, "embeddings")
+    vt = VersionedParquetTable(
+        os.path.join(warehouse_path(spark), f"pqidx_{m}x{ksub}x3_{tag}"),
+        ["cluster", "d"],
+    )
+    assert len(vt.commits()) == 2
+    S.pq_index_refit(spark, SF_SMOKE).collect()
+    assert len(vt.commits()) == 2, "re-run must not re-commit"
+    v0 = {(r["cluster"], r["d"]): r["m"] for r in vt.read(spark, 0).collect()}
+    v1 = {(r["cluster"], r["d"]): r["m"] for r in vt.read(spark, 1).collect()}
+    assert v0 and v1 and v0 != v1, "refit did not move the codebooks"
+    d_sub = 64 // m
+    for v in (v0, v1):
+        clusters = {c for c, _ in v}
+        assert {c % m for c in clusters} == set(range(m)), (
+            "a subspace lost all its centroids"
+        )
+        assert len(v) == len(clusters) * (d_sub + 1), (
+            "a centroid lost dimensions"
+        )
+
+
+def test_ingest_screen_dispositions_and_precedence(spark):
+    """The unified ingest screen's planted residue classes (base docs
+    d < 256): d%8==0 docs are exact-text AND image-dup and report
+    'exact' (exact > image pinned IN DATA, not just in the CASE order);
+    d%8==1 docs are audio-dups reporting 'near' where the text screen
+    fired (near > audio); d%8==2 / 3 are the media tiers' own
+    dispositions (new text, so only the media screen can fire); d%8 in
+    (6,7) pass every screen.  Every disposition class must be
+    non-vacuously populated."""
+    from firebird_mapreduce_spark.operators.pipeline import (
+        ingest_screen_multimodal,
+    )
+
+    rows = {
+        r["doc_id"] - 600000: r
+        for r in ingest_screen_multimodal(spark, SF_SMOKE).collect()
+    }
+    media = {d: r for d, r in rows.items() if d < 256}
+    assert media, "no media-carrying batch docs at this SF"
+    seen = {r["disposition"] for r in rows.values()}
+    assert seen == {"exact", "near", "image", "audio", "kept"}, seen
+    near_and_audio = 0
+    for d, r in media.items():
+        if d % 8 == 0:
+            assert r["is_exact_dup"] and r["is_image_dup"]
+            assert r["disposition"] == "exact", (d, r)
+        elif d % 8 == 1:
+            assert r["is_audio_dup"] and not r["is_exact_dup"]
+            assert r["disposition"] in ("near", "audio"), (d, r)
+            near_and_audio += int(r["is_near_dup"])
+        elif d % 8 == 2:
+            assert r["is_image_dup"] and not r["is_exact_dup"]
+            assert not r["is_near_dup"], (d, r)
+            assert r["disposition"] == "image", (d, r)
+        elif d % 8 == 3:
+            assert r["is_audio_dup"] and not r["is_image_dup"]
+            assert r["disposition"] == "audio", (d, r)
+        elif d % 8 in (6, 7):
+            assert r["disposition"] == "kept", (d, r)
+    assert near_and_audio > 0, "near > audio precedence never exercised"
+    # non-media batch docs can only be text dispositions
+    assert all(
+        not (r["is_image_dup"] or r["is_audio_dup"])
+        for d, r in rows.items()
+        if d >= 256
+    )

@@ -248,13 +248,14 @@ def test_curation_pipeline_full_stages_monotone_and_biting(spark):
     )
 
 
-def test_curation_pipeline_multimodal_image_stage_bites(spark):
-    """The multimodal funnel: monotone through the extra stage, the
-    IMAGE near-dup stage genuinely bites (the fixture's 4-doc image
-    groups lose their >min members — real decode, shared
-    dedup_images_phash machinery), and the text stages agree EXACTLY
-    with curation_pipeline_full (one shared body, asserted not
-    assumed)."""
+def test_curation_pipeline_multimodal_media_stages_bite(spark):
+    """The eight-stage multimodal funnel: monotone through BOTH media
+    stages, each genuinely biting — the image stage drops >min members
+    of the 4-doc image groups, and the AUDIO stage (r9) drops rows the
+    image stage could NOT (its 8-doc clip groups span two image groups,
+    so the two image survivors of a span collide in audio) — and the
+    text stages agree EXACTLY with curation_pipeline_full (one shared
+    body, asserted not assumed)."""
     mm = {
         r.lang: r
         for r in P.curation_pipeline_multimodal(spark, SF_SMOKE).collect()
@@ -266,7 +267,7 @@ def test_curation_pipeline_multimodal_image_stage_bites(spark):
     for lang, r in mm.items():
         assert r.n_corpus >= r.n_quality >= r.n_unique
         assert r.n_unique >= r.n_neardup >= r.n_imgdedup
-        assert r.n_imgdedup >= r.n_clean >= r.n_final
+        assert r.n_imgdedup >= r.n_auddedup >= r.n_clean >= r.n_final
         # stages upstream of the image screen are byte-identical
         f = full[lang]
         assert (r.n_corpus, r.n_quality, r.n_unique, r.n_neardup) == (
@@ -275,5 +276,7 @@ def test_curation_pipeline_multimodal_image_stage_bites(spark):
             f.n_unique,
             f.n_neardup,
         )
-    dropped = sum(r.n_neardup - r.n_imgdedup for r in mm.values())
-    assert dropped > 0, "image near-dup stage vacuous"
+    img_dropped = sum(r.n_neardup - r.n_imgdedup for r in mm.values())
+    assert img_dropped > 0, "image near-dup stage vacuous"
+    aud_dropped = sum(r.n_imgdedup - r.n_auddedup for r in mm.values())
+    assert aud_dropped > 0, "audio near-dup stage vacuous"
