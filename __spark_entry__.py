@@ -53,19 +53,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER IS LOAD-BEARING: the round driver's correctness gate checks the
     first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
-    1-50 for ROUND 8: the 6 queries whose newest driver evidence is
-    r4-era LEAD (VERDICT r7 item 5 — after this round the evidence floor
-    advances to r5), then the 3 queries whose results or name changed
-    this round (``heavy_hitters_mixed`` renamed, ``fuzzy_match_names``
-    re-fixtured on the sampled catalog, ``embedding_knn_ivfpq`` refit on
-    the deterministic hash-sample), then the r8 additions (first driver
-    rows, zero deferral — 5 of them, the late audio ingest screen
-    included), then re-checks of the oldest remaining (r5-era)
-    evidence.  The 14 r5-era queries left un-re-checked are the ones
-    with the strongest collateral — an oracle-twin or near-twin already
-    re-checked; named in the window comment.  The union
-    r5 ∪ r6 ∪ r7 ∪ this window gives EVERY registered query a driver row
-    no older than r5, and every oracle-backed query a hash row in that
+    1-50 for ROUND 9: the 14 queries whose newest driver evidence is
+    r5-era LEAD (VERDICT r8 item 6 — after this round the evidence floor
+    advances to r6), then the 2 queries whose results or lifecycle
+    changed this round (``curation_pipeline_multimodal`` gained the
+    audio stage — eight columns now; ``dedup_incremental_tworound``
+    compacts its folded state after the fold), then the r9 additions
+    (``pq_index_refit``, ``ingest_screen_multimodal`` — first driver
+    rows, zero deferral), then re-checks of the oldest remaining
+    (r6-era) evidence.  The 15 r6-era queries left un-re-checked are the
+    ones with the strongest collateral — an oracle-twin or near-twin
+    already re-checked; named in the window comment.  The union
+    r6 ∪ r7 ∪ r8 ∪ this window gives EVERY registered query a driver row
+    no older than r6, and every oracle-backed query a hash row in that
     union (tests/test_docs_consistency.py asserts the invariant).  The
     full registry stays under the local gate regardless
     (tests/test_oracle_parity.py + tools/check_correctness.py).
@@ -394,119 +394,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry for ROUND 8 (see queries() docstring).
+# Positions 1-50 of the registry for ROUND 9 (see queries() docstring).
 # Groups:
-# (a) the 6 r4-era leftovers LEAD, as VERDICT r7 item 5 prescribed —
+# (a) the 14 r5-era leftovers LEAD, as VERDICT r8 item 6 prescribed —
 #     after this round NO registered query's newest driver row is older
-#     than r5 (the evidence floor advances one round again);
-# (b) queries whose RESULTS or NAME changed this round, so their older
-#     rows are stale: heavy_hitters_mixed (renamed from
-#     heavy_hitters_8gram — the heavy set was only ever tokens),
-#     fuzzy_match_names (the k=1 catalog got the sampled-catalog cure
-#     its k=2 sibling got in r7), embedding_knn_ivfpq (sub-codebooks now
-#     trained on the deterministic hash-sample);
-# (c) the r8 additions — first driver rows, zero deferral;
-# (d) re-checks of the oldest remaining evidence (r5-era).  The 14 left
-#     at r5 evidence, chosen for the strongest collateral:
-#       tpch_q5_sql — the SQL-API twin of tpch_revenue_by_nation
-#         (re-checked here) with an identical oracle;
-#       zorder_key_events — the z-order family's 2-column spelling;
-#         zorder3 re-checked here, zorder4 r6-green, same key machinery;
-#       left_outer_join / semi_anti_join — join-family collateral:
-#         full_outer_join and broadcast_join re-checked here over the
-#         same join code paths;
-#       stream_group_count — streaming-agg family: stream_running_count
-#         re-checked here, stream_incremental_agg r6-green;
-#       stream_session_custom — the session triplet shares ONE oracle:
-#         stream_session_window re-checked here, stream_session_timeout
-#         in group (a);
-#       stream_tumbling_window — tumbling family: batch
-#         tumbling_window_count r7-green, sliding_window_count r6-green;
-#       curation_pipeline — subsumed by curation_pipeline_full
-#         (r7-green) and the new multimodal funnel (group c);
-#       dedup_simhash64 — dedup_simhash r7-green over the same banding
-#         machinery (64 is the wider-hash variant);
-#       lang_mix_downsample — lang_mix_temperature r6-green over the
-#         same mix computation;
-#       rollup_revenue — grouping-lattice triplet: grouping_sets r7,
-#         cube re-checked in group (a), one shared aggregate;
-#       mapreduce_group_count — the same mapreduce.py path as
-#         grouped_agg_udaf and group_count (both r7-green);
-#       group_min — grouped-agg family collateral: group_count and
-#         group_sum_avg both r7-green over the same relational.py
-#         aggregate paths (displaced late-r8 by the audio ingest
-#         screen, the r7 multiassign/phash-incremental precedent);
-#       variant_extract_events — twin of json_extract_events
-#         (re-checked here) over the same extraction expressions.
-# Result: every registered query has a driver row in r5 ∪ r6 ∪ r7 ∪ this
+#     than r6 (the evidence floor advances one round again);
+# (b) queries whose RESULTS or LIFECYCLE changed this round, so their
+#     older rows are stale: curation_pipeline_multimodal (the audio
+#     near-dup stage landed — n_auddedup column, eight stages),
+#     dedup_incremental_tworound (the fold now compacts its state
+#     tables — rows identical, but the table lifecycle the row
+#     certifies changed);
+# (c) the r9 additions — first driver rows, zero deferral;
+# (d) re-checks of the oldest remaining evidence (r6-era).  The 15 left
+#     at r6 evidence, chosen for the strongest collateral:
+#       audio_decode — dedup_audio_fingerprint (r8-green) runs the same
+#         RIFF walk + PCM decode end-to-end;
+#       image_decode — the multimodal funnel in group (b) decodes the
+#         same PNG path; dedup_images_phash r7-green;
+#       lang_id — lang_id_chargram re-checked here: the same classifier
+#         surface with the richer profile-table oracle;
+#       doc_length_stats — token_count and text_quality re-checked here
+#         over the same text-stat expressions;
+#       sliding_window_count — tumbling_window_count r8-green, same
+#         time-bucketing machinery (sliding = the 2-bucket explode);
+#       dedup_incremental — dedup_incremental_bucketed re-checked here:
+#         row-identical spelling, same oracle statement;
+#       dedup_semantic — dedup_semantic_multiassign re-checked here
+#         supersets its candidate rule; dedup_semantic_incremental
+#         r8-green on the same enrollment arithmetic;
+#       heavy_hitters_tokens — heavy_hitters_mixed r8-green: the
+#         forced-compression case of the same operator;
+#       bigram_logprob — unigram_logprob r8-green over the same LM
+#         scoring machinery (bigram adds the backoff mix);
+#       batch_session_window — range_join_sessionize r8-green covers
+#         the gap-merge sessionization semantics;
+#       cogroup_customer_orders — mapreduce_group_count in group (a)
+#         and grouped_agg_udaf r8-green cover the mapreduce.py surface;
+#       word_count — flatmap_tokenize and bigram_topk both r8-green
+#         over the same tokenize-explode-count path;
+#       try_arithmetic — scalar_functions re-checked here (the try_*
+#         variants share the expression family);
+#       unpivot_lineitem — pivot_events r8-green: the inverse reshape;
+#       string_agg_nations — scalar_functions re-checked here;
+#         group_sum_avg r8-green covers the grouped-agg path.
+# Result: every registered query has a driver row in r6 ∪ r7 ∪ r8 ∪ this
 # window, every oracle-backed one a hash row in that union, and every
 # operator added this round gets first-row evidence
 # (tests/test_docs_consistency.py asserts the invariant).
 _DRIVER_WINDOW = [
-    # (a) the r4-era leftovers lead
-    "approx_distinct_users",
-    "bigram_topk",
-    "binary_meta",
-    "connected_components_star",
-    "cube_revenue",
-    "stream_session_timeout",
+    # (a) the r5-era leftovers lead
+    "curation_pipeline",
+    "dedup_simhash64",
+    "group_min",
+    "lang_mix_downsample",
+    "left_outer_join",
+    "mapreduce_group_count",
+    "rollup_revenue",
+    "semi_anti_join",
+    "stream_group_count",
+    "stream_session_custom",
+    "stream_tumbling_window",
+    "tpch_q5_sql",
+    "variant_extract_events",
+    "zorder_key_events",
     # (b) changed this round — old rows stale
-    "heavy_hitters_mixed",
-    "fuzzy_match_names",
-    "embedding_knn_ivfpq",
-    # (c) the r8 additions — first driver rows
-    # (registered incrementally through the round; each displaces one
-    # group-(d) re-check per the leave-out list above)
-    "embedding_knn_ivfpq_incremental",
-    "dedup_audio_fingerprint",
-    "semantic_index_refit",
     "curation_pipeline_multimodal",
-    "dedup_audio_fingerprint_incremental",
-    # (d) oldest-evidence re-checks (newest driver row is r5-era)
-    "above_avg_balance",
-    "argmax_order_per_cust",
-    "broadcast_join",
-    "bucketed_join_orders",
-    "bucketed_theta_join",
-    "dedup_exact_bucketed",
-    "embedding_kmeans_exact",
-    "embedding_knn_ivf_fitted",
-    "embedding_lsh_ann_multi",
-    "embedding_neardup_topk",
-    "filter_predicate",
-    "flatmap_tokenize",
-    "full_outer_join",
-    "json_extract_events",
-    "lateral_topk_per_nation",
-    "merge_upsert_orders",
-    "pagerank_nations",
-    "pivot_events",
-    "profile_events",
-    "quality_filter_c4",
-    "salted_group_count",
-    "set_ops_customers",
-    "skew_join_events",
-    "skewed_rank_events",
-    "sssp_fixpoint",
-    "sssp_syn18k",
-    "stream_custom_source",
-    "stream_dedup",
-    "stream_running_count",
-    "stream_session_window",
-    "stream_static_join",
-    "stream_stream_join",
-    "tpch_revenue_by_nation",
-    "unigram_logprob",
-    "window_lag_lead",
-    "zorder3_key_events",
+    "dedup_incremental_tworound",
+    # (c) the r9 additions — first driver rows
+    "pq_index_refit",
+    "ingest_screen_multimodal",
+    # (d) oldest-evidence re-checks (newest driver row is r6-era)
+    "binary_file_meta",
+    "bm25_topk",
+    "dedup_incremental_bucketed",
+    "dedup_paragraphs",
+    "dedup_semantic_multiassign",
+    "doc_fingerprint",
+    "dpp_join_events",
+    "embedding_knn_ivf_multiprobe",
+    "funnel_conversion",
+    "jdbc_roundtrip_nation",
+    "lang_id_chargram",
+    "lang_mix_temperature",
+    "ntile_ranks",
+    "recursive_cte_reachability",
+    "retention_cohorts",
+    "runtime_bloom_join",
+    "scalar_functions",
+    "snapshot_diff",
+    "snapshot_diff_bucketed",
+    "split_leakage_after_dedup",
+    "split_leakage_check",
+    "stream_incremental_agg",
+    "stream_table_fingerprint",
+    "table_fingerprint",
+    "text_quality",
+    "token_count",
+    "tpch_q18_topk",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "udtf_chunk_documents",
+    "window_moving_avg",
+    "zorder4_key_events",
 ]
 
 
 # Queries registered AFTER the current window was pinned at its 50-slot
 # capacity (the driver hash-checks only positions 1-50 per round); each
 # would be covered by the LOCAL parity gate until its rotation slot.
-# EMPTY as of r7 (second consecutive round): all 6 net-new registrations
-# took window slots — any r8 registration must either fit the next
+# EMPTY as of r9 (fourth consecutive round): both net-new registrations
+# took window slots — any r10 registration must either fit the next
 # window's leftover capacity or land here visibly, never silently.
 _PENDING_NEXT_WINDOW: list[str] = []
 

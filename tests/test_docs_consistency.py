@@ -42,17 +42,19 @@ def test_every_query_named_in_coverage():
 
 
 def test_driver_window_covers_every_query():
-    """Round-8 invariant — the evidence floor ADVANCES to r5 (VERDICT r7
-    item 5: the six r4-era leftovers lead this window, so r4 rows are no
-    longer needed by any query): (1) every REGISTERED query has a driver
-    row in r5 ∪ r6 ∪ r7 ∪ this round's 50-query window; (2) every
+    """Round-9 invariant — the evidence floor ADVANCES to r6 (VERDICT r8
+    item 6: the fourteen r5-era leftovers lead this window, so r5 rows
+    are no longer needed by any query): (1) every REGISTERED query has a
+    driver row in r6 ∪ r7 ∪ r8 ∪ this round's 50-query window; (2) every
     ORACLE-BACKED query has a hash row in that union.  Queries whose
-    RESULTS or NAME changed this round (heavy_hitters_mixed,
-    fuzzy_match_names, embedding_knn_ivfpq) must sit IN the window —
-    their older rows certify a different computation.  The pending list
-    is EMPTY again (net-new registrations capped to window slots); the
-    mechanism stays so any future overflow is visible, never silent.
-    (The driver checks only the first 50 registered queries per round.)"""
+    RESULTS or LIFECYCLE changed this round
+    (curation_pipeline_multimodal — the audio stage,
+    dedup_incremental_tworound — the state compaction) must sit IN the
+    window — their older rows certify a different computation.  The
+    pending list is EMPTY again (net-new registrations capped to window
+    slots); the mechanism stays so any future overflow is visible,
+    never silent.  (The driver checks only the first 50 registered
+    queries per round.)"""
     import json
 
     queries = list(entrymod.queries())
@@ -61,28 +63,29 @@ def test_driver_window_covers_every_query():
     assert window == entrymod._DRIVER_WINDOW
     assert len(set(window)) == 50
     rounds = [
-        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (5, 6, 7)
+        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (6, 7, 8)
     ]
     driver_rows = set().union(*rounds)
     hash_green = set().union(
         *({k for k, v in r.items() if v.get("hash_match")} for r in rounds)
     )
     pending = set(entrymod._PENDING_NEXT_WINDOW)
-    assert pending == set(), "r8 contract: zero registrations left pending"
+    assert pending == set(), "r9 contract: zero registrations left pending"
     assert pending.isdisjoint(window), "pending query already in window"
     for changed in (
-        "heavy_hitters_mixed",
-        "fuzzy_match_names",
-        "embedding_knn_ivfpq",
+        "curation_pipeline_multimodal",
+        "dedup_incremental_tworound",
+        "pq_index_refit",
+        "ingest_screen_multimodal",
     ):
-        assert changed in window, f"{changed} changed in r8 but not in window"
+        assert changed in window, f"{changed} changed in r9 but not in window"
     for name in queries:
         assert name in driver_rows or name in window or name in pending, (
-            f"{name} has no driver row newer than r4"
+            f"{name} has no driver row newer than r5"
         )
         if name in oracles:
             assert name in hash_green or name in window or name in pending, (
-                f"{name} is oracle-backed but has no r5+ hash-green "
+                f"{name} is oracle-backed but has no r6+ hash-green "
                 "driver row"
             )
 
@@ -115,3 +118,40 @@ def test_bench_stdout_line_fits_driver_capture():
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_wall"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_bench_rotation_policy_capacity_and_registry():
+    """The r9 rotation policy (VERDICT r8 item 5): retirees stay
+    registered and oracle-checked (only the timing slot is released),
+    never overlap HEADLINE, and the surviving set must render at >= 2-dp
+    display precision inside the 2000-char capture for the realistic
+    worst case (every query under 100 s at 2 dp) — the headroom that
+    lets next round's additions land without another precision rung."""
+    import json
+
+    import bench
+
+    queries = entrymod.queries()
+    oracles = set(entrymod.oracle_sql())
+    assert not set(bench.RETIRED) & set(bench.HEADLINE)
+    for name, reason in bench.RETIRED.items():
+        assert name in queries, f"retired {name} left the registry"
+        assert name in oracles, f"retired {name} lost its oracle"
+        assert reason, f"retired {name} has no family-collateral reason"
+    two_dp = {name: 99.99 for name in bench.HEADLINE}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": 9999.99,
+            "unit": "sec",
+            "queries": two_dp,
+            "runs_per_query": 5,
+            "detail": "BENCH_local_latest.json",
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) + 1 <= 1950, (
+        f"2-dp render is {len(line)} chars — retire more entries "
+        "before adding new ones"
+    )
