@@ -58,10 +58,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     advances to r6), then the 2 queries whose results or lifecycle
     changed this round (``curation_pipeline_multimodal`` gained the
     audio stage — eight columns now; ``dedup_incremental_tworound``
-    compacts its folded state after the fold), then the r9 additions
-    (``pq_index_refit``, ``ingest_screen_multimodal`` — first driver
-    rows, zero deferral), then re-checks of the oldest remaining
-    (r6-era) evidence.  The 15 r6-era queries left un-re-checked are the
+    compacts its folded state after the fold), then the 3 r9 additions
+    (``pq_index_refit``, ``ingest_screen_multimodal``, and the late
+    ``ingest_tworound_multimodal`` — first driver rows, zero deferral),
+    then re-checks of the oldest remaining (r6-era) evidence.  The 16
+    r6-era queries left un-re-checked are the
     ones with the strongest collateral — an oracle-twin or near-twin
     already re-checked; named in the window comment.  The union
     r6 ∪ r7 ∪ r8 ∪ this window gives EVERY registered query a driver row
@@ -388,6 +389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tables in one pass, unified per-doc disposition with pinned
         # precedence exact > near > image > audio > kept
         "ingest_screen_multimodal": P.ingest_screen_multimodal,
+        # r9 (late): the unified crawl LOOP — two consecutive
+        # multimodal deliveries with the per-tier state FOLDED between
+        # them across all six bucketed state tables (compacted after
+        # the fold); ingest 2's planted repeats of ingest-1 keeps prove
+        # the text fold (exact), the image fold and the audio fold in
+        # one oracle-backed report
+        "ingest_tworound_multimodal": P.ingest_tworound_multimodal,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -406,7 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     tables — rows identical, but the table lifecycle the row
 #     certifies changed);
 # (c) the r9 additions — first driver rows, zero deferral;
-# (d) re-checks of the oldest remaining evidence (r6-era).  The 15 left
+# (d) re-checks of the oldest remaining evidence (r6-era).  The 16 left
 #     at r6 evidence, chosen for the strongest collateral:
 #       audio_decode — dedup_audio_fingerprint (r8-green) runs the same
 #         RIFF walk + PCM decode end-to-end;
@@ -437,7 +445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #         variants share the expression family);
 #       unpivot_lineitem — pivot_events r8-green: the inverse reshape;
 #       string_agg_nations — scalar_functions re-checked here;
-#         group_sum_avg r8-green covers the grouped-agg path.
+#         group_sum_avg r8-green covers the grouped-agg path;
+#       window_moving_avg — displaced late-r9 by the unified-loop
+#         registration (the r7/r8 precedent): window_rank and
+#         window_lag_lead r8-green, ntile_ranks re-checked here — the
+#         same Window-frame machinery.
 # Result: every registered query has a driver row in r6 ∪ r7 ∪ r8 ∪ this
 # window, every oracle-backed one a hash row in that union, and every
 # operator added this round gets first-row evidence
@@ -462,8 +474,11 @@ _DRIVER_WINDOW = [
     "curation_pipeline_multimodal",
     "dedup_incremental_tworound",
     # (c) the r9 additions — first driver rows
+    # (the late unified-loop registration displaces one group-(d)
+    # re-check — window_moving_avg — per the leave-out list above)
     "pq_index_refit",
     "ingest_screen_multimodal",
+    "ingest_tworound_multimodal",
     # (d) oldest-evidence re-checks (newest driver row is r6-era)
     "binary_file_meta",
     "bm25_topk",
@@ -495,7 +510,6 @@ _DRIVER_WINDOW = [
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "udtf_chunk_documents",
-    "window_moving_avg",
     "zorder4_key_events",
 ]
 
@@ -2837,6 +2851,13 @@ def oracle_sql() -> dict[str, str]:
         # with the same band-membership + Hamming screens, precedence
         # CASE at the end
         "ingest_screen_multimodal": P.ingest_screen_oracle_sql(
+            _MINHASH_CTES
+        ),
+        # r9 (late): the unified loop — both screens AND all three
+        # modality folds replayed as pure SQL (state2 = day-0 ∪ the
+        # keeps' rows per tier), the tworound contract at integration
+        # width
+        "ingest_tworound_multimodal": P.ingest_tworound_oracle_sql(
             _MINHASH_CTES
         ),
         "quality_topk_per_lang": """

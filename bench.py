@@ -175,6 +175,10 @@ HEADLINE = [
     # + both media fixture writes, runs 1+ are one batch through all
     # four incremental screens with the unified disposition
     "ingest_screen_multimodal",
+    # r9 (late): the unified crawl LOOP — run 0 pays the six folded
+    # state tables + their compaction, runs 1+ are two full deliveries
+    # through the screens (the day-over-day steady cost)
+    "ingest_tworound_multimodal",
 ]
 
 # Bench-set ROTATION POLICY (r9, VERDICT r8 item 5): the stdout line has

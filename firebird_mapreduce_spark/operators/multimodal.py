@@ -1332,6 +1332,53 @@ def _ingest_audio_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
+def _ingest2_image_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The unified tworound loop's SECOND image delivery: docs with
+    d % 8 == 7 carry a pert-2 one-block retouch of the "igb" family —
+    i.e. of the image their own INGEST-1 doc delivered (d%8 == 7 docs
+    are deterministically kept in ingest 1: new text, new media), so
+    the batch-2 image flags IFF ingest 1's image was folded into the
+    state — the fold probe, image edition.  The rest are genuinely new
+    ("igb2" salt)."""
+    import hashlib
+
+    tag = hashlib.md5(f"igb2|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"igb2_{tag}",
+    )
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _PHASH_BASE)
+    assets = [
+        (d, d, 2, "igb") if d % 8 == 7 else (d, d, 0, "igb2")
+        for d in doc_ids
+    ]
+    _write_phash_assets(out_dir, assets)
+    return out_dir
+
+
+def _ingest2_audio_batch_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The unified tworound loop's SECOND audio delivery: docs with
+    d % 8 == 6 carry a pert-2 one-window re-record of the "agb" family
+    (their own deterministically-kept ingest-1 clip) — the audio fold
+    probe; the rest genuinely new ("agb2" salt)."""
+    import hashlib
+
+    tag = hashlib.md5(f"agb2|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"agb2_{tag}",
+    )
+    doc_ids = _fixture_doc_ids(spark, sf_dir, _AFP_BASE)
+    assets = [
+        (d, d, 2, "agb") if d % 8 == 6 else (d, d, 0, "agb2")
+        for d in doc_ids
+    ]
+    _write_afp_assets(out_dir, assets)
+    return out_dir
+
+
 def _afp_state_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:

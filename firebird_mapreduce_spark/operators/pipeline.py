@@ -1264,16 +1264,12 @@ def ingest_screen_multimodal(
     the batch's own files, and the final disposition join is
     batch-sized — total exchanges O(batch) regardless of corpus size
     (pinned in test_bucketing.py)."""
-    from ..sources.readers import read_binary_dir
-    from .dedup import _screen_batch, banded_signatures
+    from .dedup import banded_signatures
     from .multimodal import (
         _afp_state_tables,
-        _hash_incremental_screen,
         _ingest_audio_batch_fixture_dir,
         _ingest_image_batch_fixture_dir,
         _phash_state_tables,
-        audio_fingerprints,
-        phash_hashes,
     )
     from .relational import corpus_tag, ensure_bucketed_table
 
@@ -1298,40 +1294,79 @@ def ingest_screen_multimodal(
         .select("band", "sig")
         .distinct(),
     )
-    text_rep = _screen_batch(batch, corpus_hashes, corpus_bands, k, bands)
-
-    def media_hits(state, fixture_dir, glob, fingerprint, suffix):
-        files = read_binary_dir(spark, fixture_dir, glob=glob)
-        fps = fingerprint(
-            files.select(
-                F.regexp_extract(
-                    F.col("path"), rf"asset_(\d+)\.{suffix}$", 1
-                )
-                .cast("bigint")
-                .alias("asset_id"),
-                "content",
-            )
-        ).localCheckpoint(eager=False)
-        return _hash_incremental_screen(state[0], state[1], fps).select(
-            (F.col("asset_id") + 600000).alias("doc_id"),
-            (~F.col("kept")).alias("hit"),
-        )
-
-    img_rep = media_hits(
+    img_fps = _media_batch_fps(
+        spark, _ingest_image_batch_fixture_dir(spark, sf_dir), "png"
+    )
+    aud_fps = _media_batch_fps(
+        spark, _ingest_audio_batch_fixture_dir(spark, sf_dir), "wav"
+    )
+    return _multimodal_screen(
+        batch,
+        (corpus_hashes, corpus_bands),
         _phash_state_tables(spark, sf_dir),
-        _ingest_image_batch_fixture_dir(spark, sf_dir),
-        "*.png",
-        phash_hashes,
-        "png",
-    ).withColumnRenamed("hit", "image_hit")
-    aud_rep = media_hits(
         _afp_state_tables(spark, sf_dir),
-        _ingest_audio_batch_fixture_dir(spark, sf_dir),
-        "*.wav",
-        audio_fingerprints,
-        "wav",
-    ).withColumnRenamed("hit", "audio_hit")
+        img_fps,
+        aud_fps,
+        k,
+        bands,
+        600000,
+    )
 
+
+def _media_batch_fps(spark: SparkSession, fixture_dir: str, suffix: str):
+    """One media delivery's fingerprints: binaryFile scan of the batch
+    directory, decode + 56-bit hash (PNG → ``phash_hashes``, WAV →
+    ``audio_fingerprints``), lazily checkpointed — the frame feeds both
+    the membership probe and (in the tworound loop) the fold delta."""
+    from ..sources.readers import read_binary_dir
+    from .multimodal import audio_fingerprints, phash_hashes
+
+    fingerprint = phash_hashes if suffix == "png" else audio_fingerprints
+    files = read_binary_dir(spark, fixture_dir, glob=f"*.{suffix}")
+    return fingerprint(
+        files.select(
+            F.regexp_extract(F.col("path"), rf"asset_(\d+)\.{suffix}$", 1)
+            .cast("bigint")
+            .alias("asset_id"),
+            "content",
+        )
+    ).localCheckpoint(eager=False)
+
+
+def _multimodal_screen(
+    batch: DataFrame,
+    text_state: tuple[DataFrame, DataFrame],
+    img_state: tuple[DataFrame, DataFrame],
+    aud_state: tuple[DataFrame, DataFrame],
+    img_fps: DataFrame,
+    aud_fps: DataFrame,
+    k: int,
+    bands: int,
+    id_base: int,
+) -> DataFrame:
+    """One multimodal batch through all four incremental screens
+    against GIVEN state-table pairs — shared by the single-ingest
+    screen (day-0 states) and the tworound loop (folded states), so
+    the two cannot drift.  Returns (doc_id, is_exact_dup, is_near_dup,
+    is_image_dup, is_audio_dup, disposition) with the pinned precedence
+    exact > near > image > audio > kept; media asset ids are base doc
+    ids, re-keyed by ``id_base`` to the batch's doc ids."""
+    from .dedup import _screen_batch
+    from .multimodal import _hash_incremental_screen
+
+    text_rep = _screen_batch(batch, text_state[0], text_state[1], k, bands)
+    img_rep = _hash_incremental_screen(
+        img_state[0], img_state[1], img_fps
+    ).select(
+        (F.col("asset_id") + id_base).alias("doc_id"),
+        (~F.col("kept")).alias("image_hit"),
+    )
+    aud_rep = _hash_incremental_screen(
+        aud_state[0], aud_state[1], aud_fps
+    ).select(
+        (F.col("asset_id") + id_base).alias("doc_id"),
+        (~F.col("kept")).alias("audio_hit"),
+    )
     joined = text_rep.join(img_rep, "doc_id", "left").join(
         aud_rep, "doc_id", "left"
     )
@@ -1502,4 +1537,429 @@ def ingest_screen_oracle_sql(minhash_ctes: str) -> str:
         LEFT JOIN near nr ON nd.doc_id = nr.doc_id
         LEFT JOIN ihit ih ON ih.base + 600000 = nd.doc_id
         LEFT JOIN ahit ah ON ah.base + 600000 = nd.doc_id
+    """
+
+
+# The unified loop's SECOND text delivery (+700000): docs with d%8 == 6
+# repeat their ingest-1 z-prefixed text EXACTLY (an exact dup IFF the
+# ingest-1 doc — deterministically kept: new text, new media — was
+# folded), the rest are fresh y-prefixed texts.  Same inner-subquery
+# discipline as INGEST_BATCH_SQL.
+INGEST2_BATCH_SQL = """
+    SELECT doc_id + 700000 AS doc_id, text FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 8 = 6 THEN array_to_string(list_transform(
+                        string_split(text, ' '),
+                        t -> 'z' || CAST(doc_id AS VARCHAR) || t), ' ')
+                    ELSE array_to_string(list_transform(
+                        string_split(text, ' '),
+                        t -> 'y' || CAST(doc_id AS VARCHAR) || t), ' ')
+               END AS text
+        FROM documents)
+"""
+
+# corpus ∪ both deliveries — what the tworound banding runs over
+INGEST_TWOROUND_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL"
+    + INGEST_BATCH_SQL
+    + " UNION ALL"
+    + INGEST2_BATCH_SQL
+)
+
+
+def ingest2_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second unified delivery (see ``INGEST2_BATCH_SQL`` — must
+    stay expression-for-expression equivalent)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+
+    def prefixed(letter: str):
+        return F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.concat(
+                    F.lit(letter), F.col("doc_id").cast("string"), t
+                ),
+            ),
+            " ",
+        )
+
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 8 == 6, prefixed("z"))
+        .otherwise(prefixed("y"))
+        .alias("text"),
+    ).select((F.col("doc_id") + 700000).alias("doc_id"), "text")
+
+
+def ingest_tworound_multimodal(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """The unified crawl LOOP — ``ingest_screen_multimodal`` is day 1's
+    screen; this query runs TWO consecutive multimodal deliveries with
+    the per-tier state FOLDED between them, all six state tables, one
+    pass each:
+
+      ingest 1  the same multimodal batch as the unified screen runs
+                through all four screens against the day-0 states
+                (``_multimodal_screen``, shared function);
+      fold      the KEPT docs' state rows — text md5 + band sigs, image
+                hashes + band keys, audio fingerprints + band keys —
+                APPEND into this query's own six bucketed state tables
+                (``_ensure_folded_state(compact=True)``: O(kept)
+                appends under the crash-guard marker, then compaction
+                restores one file per bucket; separate tables because
+                the shared day-0 ones must stay corpus-only for the
+                sibling queries' oracles).  A doc's media folds IFF the
+                DOC was kept — a rejected doc contributes nothing to
+                any tier;
+      ingest 2  the second delivery probes the FOLDED states: d%8 == 6
+                docs repeat their ingest-1 text exactly (exact-dup IFF
+                the fold happened — their ingest-1 twins are
+                deterministically kept) and carry a one-window
+                re-record of their ingest-1 clip (audio-dup IFF folded
+                — the booleans prove BOTH folds on one doc while the
+                disposition shows exact > audio precedence); d%8 == 7
+                docs carry a one-block retouch of their ingest-1 image
+                (image-dup IFF folded); everything else is fresh and
+                stays kept.
+
+    Output: (ingest, doc_id, is_exact_dup, is_near_dup, is_image_dup,
+    is_audio_dup, disposition) for both deliveries.  The oracle replays
+    both screens AND all three modality folds as pure SQL (state2 =
+    day-0 ∪ ingest-1 keeps), so the fold semantics are hash-verified
+    across every tier at once — the tworound contract at integration
+    width.
+
+    At 100 TB this is the production crawl's day-over-day shape: each
+    day screens O(batch) against six pre-bucketed states, folds
+    O(kept) rows, compacts back to one file per bucket, and never
+    touches corpus-sized data — the full loop the per-tier queries
+    demonstrate piecewise, in one declared query."""
+    from .dedup import _ensure_folded_state, banded_signatures
+    from .multimodal import (
+        _afp_state_tables,
+        _ingest2_audio_batch_fixture_dir,
+        _ingest2_image_batch_fixture_dir,
+        _ingest_audio_batch_fixture_dir,
+        _ingest_image_batch_fixture_dir,
+        _phash_band_keys,
+        _phash_state_tables,
+    )
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = corpus_tag(sf_dir, "documents")
+    b1 = ingest_batch_docs(spark, sf_dir)
+    b2 = ingest2_batch_docs(spark, sf_dir)
+    # day-0 states (the shared corpus-only tables)
+    th = ensure_bucketed_table(
+        spark,
+        "corpus_hash_",
+        tag,
+        8,
+        ["h"],
+        lambda: docs.select(F.md5("text").alias("h")).distinct(),
+    )
+    tb = ensure_bucketed_table(
+        spark,
+        f"corpus_bands_{k}x{bands}_",
+        tag,
+        8,
+        ["band", "sig"],
+        lambda: banded_signatures(docs, k, bands)
+        .select("band", "sig")
+        .distinct(),
+    )
+    ih, ib = _phash_state_tables(spark, sf_dir)
+    ah, ab = _afp_state_tables(spark, sf_dir)
+    img1 = _media_batch_fps(
+        spark, _ingest_image_batch_fixture_dir(spark, sf_dir), "png"
+    )
+    aud1 = _media_batch_fps(
+        spark, _ingest_audio_batch_fixture_dir(spark, sf_dir), "wav"
+    )
+    r1 = _multimodal_screen(
+        b1, (th, tb), (ih, ib), (ah, ab), img1, aud1, k, bands, 600000
+    ).localCheckpoint(eager=True)
+    kept1_ids = r1.filter(F.col("disposition") == "kept").select("doc_id")
+    kept1_docs = b1.join(kept1_ids, "doc_id")
+    kept1_bases = kept1_ids.select(
+        (F.col("doc_id") - 600000).alias("asset_id")
+    )
+    img1_kept = img1.join(kept1_bases, "asset_id")
+    aud1_kept = aud1.join(kept1_bases, "asset_id")
+
+    # the six folded states: base = a copy of the day-0 table (pay-once
+    # state reused, no re-decode), delta = the keeps' rows, compacted
+    fh = _ensure_folded_state(
+        spark,
+        f"mmr_hash_{k}x{bands}_",
+        tag,
+        8,
+        ["h"],
+        lambda: th,
+        lambda: kept1_docs.select(F.md5("text").alias("h")).distinct(),
+        compact=True,
+    )
+    fb = _ensure_folded_state(
+        spark,
+        f"mmr_bands_{k}x{bands}_",
+        tag,
+        8,
+        ["band", "sig"],
+        lambda: tb,
+        lambda: banded_signatures(kept1_docs, k, bands)
+        .select("band", "sig")
+        .distinct(),
+        compact=True,
+    )
+    fih = _ensure_folded_state(
+        spark, "mmr_imgh_", tag, 8, ["asset_id"],
+        lambda: ih, lambda: img1_kept, compact=True,
+    )
+    fib = _ensure_folded_state(
+        spark, "mmr_imgb_", tag, 8, ["band", "bval"],
+        lambda: ib, lambda: _phash_band_keys(img1_kept), compact=True,
+    )
+    fah = _ensure_folded_state(
+        spark, "mmr_audh_", tag, 8, ["asset_id"],
+        lambda: ah, lambda: aud1_kept, compact=True,
+    )
+    fab = _ensure_folded_state(
+        spark, "mmr_audb_", tag, 8, ["band", "bval"],
+        lambda: ab, lambda: _phash_band_keys(aud1_kept), compact=True,
+    )
+    img2 = _media_batch_fps(
+        spark, _ingest2_image_batch_fixture_dir(spark, sf_dir), "png"
+    )
+    aud2 = _media_batch_fps(
+        spark, _ingest2_audio_batch_fixture_dir(spark, sf_dir), "wav"
+    )
+    r2 = _multimodal_screen(
+        b2, (fh, fb), (fih, fib), (fah, fab), img2, aud2, k, bands, 700000
+    )
+    return r1.select(F.lit(1).alias("ingest"), "*").unionByName(
+        r2.select(F.lit(2).alias("ingest"), "*")
+    )
+
+
+def _img_derive_ctes() -> str:
+    """Continuation CTEs deriving image hashes from an ``iassets``
+    relation (id, doc_id, pert, salt, side): the ``_phash_grid``
+    arithmetic → 56-bit hash → 14-bit bands.  Shared by both ingest
+    oracles so the derivation cannot drift."""
+    from .multimodal import _PHASH_BANDS, _PHASH_GRID
+
+    return f"""igrid AS (
+            SELECT a.id, a.side, bx.i AS bx, by.i AS by,
+                   CAST('0x' || substr(md5(a.salt || '|'
+                        || CAST(a.doc_id AS VARCHAR) || '|'
+                        || CAST(bx.i AS VARCHAR) || '|'
+                        || CAST(by.i AS VARCHAR)), 1, 4) AS BIGINT) % 200
+                   + CASE WHEN a.pert = 1 THEN 1
+                          WHEN a.pert = 2 AND bx.i = 4 AND by.i = 3 THEN 37
+                          WHEN a.pert = 3 AND bx.i = 5 AND by.i = 2 THEN 19
+                          ELSE 0 END AS g
+            FROM iassets a, range(0, {_PHASH_GRID}) bx(i),
+                 range(0, {_PHASH_GRID}) by(i)),
+        ihashes AS (
+            SELECT l.id, l.side,
+                   CAST(sum(CASE WHEN r.g > l.g
+                                 THEN CAST(power(2, l.by * 7 + l.bx)
+                                      AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM igrid l JOIN igrid r
+              ON r.id = l.id AND r.side = l.side
+             AND r.by = l.by AND r.bx = l.bx + 1
+            GROUP BY l.id, l.side),
+        ibanded AS (
+            SELECT id, side, phash, b.b AS band,
+                   (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384
+                       AS bval
+            FROM ihashes, range(0, {_PHASH_BANDS}) b(b))"""
+
+
+def _aud_derive_ctes() -> str:
+    """Continuation CTEs deriving audio fingerprints from an
+    ``aassets`` relation — the ``_afp_amplitudes`` arithmetic →
+    56-bit contour fingerprint → 14-bit bands."""
+    from .multimodal import _AFP_WINDOWS, _PHASH_BANDS
+
+    return f"""aen AS (
+            SELECT a.id, a.side, w.i AS w,
+                   (CAST('0x' || substr(md5(a.salt || '|'
+                        || CAST(a.doc_id AS VARCHAR) || '|'
+                        || CAST(w.i AS VARCHAR)), 1, 4) AS BIGINT) % 2000)
+                   * (CASE WHEN a.pert = 1 THEN 2 ELSE 1 END)
+                   + (CASE WHEN a.pert = 2 AND w.i = 13 THEN 700
+                           WHEN a.pert = 3 AND w.i = 29 THEN 700
+                           ELSE 0 END) AS e
+            FROM aassets a, range(0, {_AFP_WINDOWS}) w(i)),
+        ahashes AS (
+            SELECT l.id, l.side,
+                   CAST(sum(CASE WHEN r.e > l.e
+                                 THEN CAST(power(2, l.w) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM aen l JOIN aen r ON r.id = l.id AND r.side = l.side
+                               AND r.w = l.w + 1
+            GROUP BY l.id, l.side),
+        abanded AS (
+            SELECT id, side, phash, b.b AS band,
+                   (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384
+                       AS bval
+            FROM ahashes, range(0, {_PHASH_BANDS}) b(b))"""
+
+
+def _media_hit_cte(tbl: str, state_pred: str, batch_side: str) -> str:
+    """One modality's membership screen as a CTE body: batch-side
+    banded keys probe the state side(s) selected by ``state_pred``,
+    exact Hamming verify, distinct hit bases."""
+    from .multimodal import _PHASH_THRESHOLD
+
+    h = tbl[0]  # 'i' or 'a'
+    return f"""
+            SELECT DISTINCT c.b_id AS base FROM (
+                SELECT DISTINCT s.id AS a_id, s.side AS a_side,
+                       bt.id AS b_id
+                FROM {h}banded bt JOIN {h}banded s
+                  ON s.band = bt.band AND s.bval = bt.bval
+                WHERE bt.side = '{batch_side}' AND ({state_pred})) c
+            JOIN {h}hashes ha ON ha.id = c.a_id AND ha.side = c.a_side
+            JOIN {h}hashes hb ON hb.id = c.b_id AND hb.side = '{batch_side}'
+            WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_THRESHOLD}"""
+
+
+def ingest_tworound_oracle_sql(minhash_ctes: str) -> str:
+    """DuckDB replica of ``ingest_tworound_multimodal``: the banding
+    block over corpus ∪ both deliveries, ingest 1's four screens (the
+    unified-screen oracle), the fold as pure SQL — text hash/band state
+    2 = day-0 ∪ keeps, media state 2 = corpus families ∪ the keeps' b1
+    assets — and ingest 2's four screens against the folded states,
+    with the precedence CASE on both reports."""
+    from .multimodal import _AFP_BASE, _PHASH_BASE
+
+    banding = minhash_ctes.format(docs=INGEST_TWOROUND_DOCS_SQL)
+    kept_b1 = "s.side = 'b1' AND s.id + 600000 IN (SELECT doc_id FROM kept1)"
+    disposition = """CASE WHEN is_exact_dup THEN 'exact'
+                        WHEN is_near_dup THEN 'near'
+                        WHEN is_image_dup THEN 'image'
+                        WHEN is_audio_dup THEN 'audio'
+                        ELSE 'kept' END AS disposition"""
+    return f"""
+        WITH {banding},
+        corpus_banded AS (
+            SELECT DISTINCT b, bsig FROM banded WHERE doc_id < 600000),
+        corpus_h AS (
+            SELECT DISTINCT md5(text) AS h FROM docs WHERE doc_id < 600000),
+        b1d AS (
+            SELECT doc_id, md5(text) AS h FROM docs
+            WHERE doc_id >= 600000 AND doc_id < 700000),
+        b2d AS (
+            SELECT doc_id, md5(text) AS h FROM docs WHERE doc_id >= 700000),
+        near1 AS (
+            SELECT DISTINCT n.doc_id
+            FROM banded n JOIN corpus_banded c
+              ON n.b = c.b AND n.bsig = c.bsig
+            WHERE n.doc_id >= 600000 AND n.doc_id < 700000),
+        iids AS (SELECT doc_id FROM documents WHERE doc_id < {_PHASH_BASE}),
+        aids AS (SELECT doc_id FROM documents WHERE doc_id < {_AFP_BASE}),
+        iassets AS (
+            SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'ph' AS salt,
+                   'c' AS side
+            FROM iids
+            UNION ALL
+            SELECT doc_id * 10 + 1, doc_id, 1, 'ph', 'c' FROM iids
+            WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id * 10 + 2, doc_id, 2, 'ph', 'c' FROM iids
+            WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id, doc_id,
+                   CASE WHEN doc_id % 8 IN (0, 2) THEN 3 ELSE 0 END,
+                   CASE WHEN doc_id % 8 IN (0, 2) THEN 'ph' ELSE 'igb' END,
+                   'b1'
+            FROM iids
+            UNION ALL
+            SELECT doc_id, doc_id,
+                   CASE WHEN doc_id % 8 = 7 THEN 2 ELSE 0 END,
+                   CASE WHEN doc_id % 8 = 7 THEN 'igb' ELSE 'igb2' END,
+                   'b2'
+            FROM iids),
+        aassets AS (
+            SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'au' AS salt,
+                   'c' AS side
+            FROM aids
+            UNION ALL
+            SELECT doc_id * 10 + 1, doc_id, 1, 'au', 'c' FROM aids
+            WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id * 10 + 2, doc_id, 2, 'au', 'c' FROM aids
+            WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id, doc_id,
+                   CASE WHEN doc_id % 8 IN (1, 3) THEN 3 ELSE 0 END,
+                   CASE WHEN doc_id % 8 IN (1, 3) THEN 'au' ELSE 'agb' END,
+                   'b1'
+            FROM aids
+            UNION ALL
+            SELECT doc_id, doc_id,
+                   CASE WHEN doc_id % 8 = 6 THEN 2 ELSE 0 END,
+                   CASE WHEN doc_id % 8 = 6 THEN 'agb' ELSE 'agb2' END,
+                   'b2'
+            FROM aids),
+        {_img_derive_ctes()},
+        {_aud_derive_ctes()},
+        ihit1 AS ({_media_hit_cte("i", "s.side = 'c'", "b1")}),
+        ahit1 AS ({_media_hit_cte("a", "s.side = 'c'", "b1")}),
+        r1 AS (
+            SELECT b.doc_id,
+                   (ch.h IS NOT NULL) AS is_exact_dup,
+                   (nr.doc_id IS NOT NULL) AS is_near_dup,
+                   (ih.base IS NOT NULL) AS is_image_dup,
+                   (ah.base IS NOT NULL) AS is_audio_dup
+            FROM b1d b
+            LEFT JOIN corpus_h ch ON b.h = ch.h
+            LEFT JOIN near1 nr ON nr.doc_id = b.doc_id
+            LEFT JOIN ihit1 ih ON ih.base + 600000 = b.doc_id
+            LEFT JOIN ahit1 ah ON ah.base + 600000 = b.doc_id),
+        kept1 AS (
+            SELECT doc_id FROM r1
+            WHERE NOT (is_exact_dup OR is_near_dup
+                       OR is_image_dup OR is_audio_dup)),
+        h2 AS (
+            SELECT h FROM corpus_h
+            UNION
+            SELECT md5(d.text) FROM docs d
+            JOIN kept1 k ON d.doc_id = k.doc_id),
+        banded2 AS (
+            SELECT b, bsig FROM corpus_banded
+            UNION
+            SELECT n.b, n.bsig FROM banded n
+            JOIN kept1 k ON n.doc_id = k.doc_id),
+        near2 AS (
+            SELECT DISTINCT n.doc_id
+            FROM banded n JOIN banded2 c
+              ON n.b = c.b AND n.bsig = c.bsig
+            WHERE n.doc_id >= 700000),
+        ihit2 AS ({_media_hit_cte("i", f"s.side = 'c' OR ({kept_b1})", "b2")}),
+        ahit2 AS ({_media_hit_cte("a", f"s.side = 'c' OR ({kept_b1})", "b2")}),
+        r2 AS (
+            SELECT b.doc_id,
+                   (ch.h IS NOT NULL) AS is_exact_dup,
+                   (nr.doc_id IS NOT NULL) AS is_near_dup,
+                   (ih.base IS NOT NULL) AS is_image_dup,
+                   (ah.base IS NOT NULL) AS is_audio_dup
+            FROM b2d b
+            LEFT JOIN h2 ch ON b.h = ch.h
+            LEFT JOIN near2 nr ON nr.doc_id = b.doc_id
+            LEFT JOIN ihit2 ih ON ih.base + 700000 = b.doc_id
+            LEFT JOIN ahit2 ah ON ah.base + 700000 = b.doc_id)
+        SELECT 1 AS ingest, doc_id, is_exact_dup, is_near_dup,
+               is_image_dup, is_audio_dup, {disposition}
+        FROM r1
+        UNION ALL
+        SELECT 2, doc_id, is_exact_dup, is_near_dup,
+               is_image_dup, is_audio_dup, {disposition}
+        FROM r2
     """

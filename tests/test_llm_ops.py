@@ -1452,3 +1452,58 @@ def test_ingest_screen_dispositions_and_precedence(spark):
         for d, r in rows.items()
         if d >= 256
     )
+
+
+def test_ingest_tworound_fold_proofs_all_tiers(spark):
+    """The unified crawl loop's fold contracts (base docs d < 256):
+    every d%8==6 ingest-2 doc repeats its DETERMINISTICALLY-KEPT
+    ingest-1 twin's text and re-records its clip, so it must flag
+    is_exact_dup AND is_audio_dup — two folds proven on one doc, with
+    disposition 'exact' showing the precedence; every d%8==7 doc
+    carries a retouch of its kept twin's image — is_image_dup; fresh
+    docs (d%8 in (0..5) with new text/media in delivery 2) stay kept.
+    The six folded state tables hold day-0 rows + the keeps' delta and
+    stay compact (<= 1 file per bucket) — compaction after the fold."""
+    from firebird_mapreduce_spark.operators.layout import (
+        bucketed_table_file_count,
+    )
+    from firebird_mapreduce_spark.operators.pipeline import (
+        ingest_tworound_multimodal,
+    )
+    from firebird_mapreduce_spark.operators.relational import corpus_tag
+
+    out = ingest_tworound_multimodal(spark, SF_SMOKE).collect()
+    r1 = {r["doc_id"] - 600000: r for r in out if r["ingest"] == 1}
+    r2 = {r["doc_id"] - 700000: r for r in out if r["ingest"] == 2}
+    assert set(r1) == set(r2)
+    media = [d for d in r2 if d < 256]
+    assert media, "no media-carrying docs at this SF"
+    for d in media:
+        if d % 8 == 6:
+            assert r1[d]["disposition"] == "kept", (d, r1[d])
+            assert r2[d]["is_exact_dup"] and r2[d]["is_audio_dup"], r2[d]
+            assert r2[d]["disposition"] == "exact", r2[d]
+        elif d % 8 == 7:
+            assert r1[d]["disposition"] == "kept", (d, r1[d])
+            assert r2[d]["is_image_dup"], r2[d]
+            assert not r2[d]["is_exact_dup"], r2[d]
+            assert r2[d]["disposition"] == "image", r2[d]
+        else:
+            # fresh text + fresh media in delivery 2: no tier can fire
+            assert r2[d]["disposition"] == "kept", (d, r2[d])
+    # non-media docs: only the text fold can reach them
+    for d, r in r2.items():
+        if d >= 256:
+            expected = "exact" if d % 8 == 6 else "kept"
+            assert r["disposition"] == expected, (d, r)
+    tag = corpus_tag(SF_SMOKE, "documents")
+    for t in (
+        f"mmr_hash_16x4_{tag}",
+        f"mmr_bands_16x4_{tag}",
+        f"mmr_imgh_{tag}",
+        f"mmr_imgb_{tag}",
+        f"mmr_audh_{tag}",
+        f"mmr_audb_{tag}",
+    ):
+        n = bucketed_table_file_count(spark, t)
+        assert 0 < n <= 8, f"{t}: {n} files (fold not compacted)"
