@@ -2235,6 +2235,7 @@ def dedup_semantic_incremental(
             "cluster",
             NEARDUP_TABLES,
         ),
+        compact=True,
     )
     v2_vecs = _ensure_folded_state(
         spark,
@@ -2244,6 +2245,7 @@ def dedup_semantic_incremental(
         ["vec_id"],
         lambda: corpus,
         lambda: kept1,
+        compact=True,
     )
 
     a2 = _assign_to_centroids(_quantized_components(b2), cent)
@@ -2345,6 +2347,7 @@ def embedding_knn_ivfpq_incremental(
             ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
         ),
         lambda: split_codes(_pq_assign_arrays(_pq_subvectors(b1, m), pq_cent, dims)),
+        compact=True,
     )
     state_cells = _ensure_folded_state(
         spark,
@@ -2356,6 +2359,7 @@ def embedding_knn_ivfpq_incremental(
         lambda: _assign_to_centroids(_quantized_components(b1), cent).select(
             "vec_id", "cluster"
         ),
+        compact=True,
     )
     q = b2.filter(F.col("vec_id") % query_mod < 2)
     q_cells = _assign_to_centroids(_quantized_components(q), cent).select(

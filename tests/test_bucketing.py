@@ -350,6 +350,18 @@ def test_ivfpq_incremental_fold_state_and_plan(spark):
         == 2 * n_corpus * m
     )
     assert spark.table(f"pqvinc_cells_{k}x{it}_{tag}").count() == 2 * n_corpus
+    # (a') the fold's compact=True (r9) left both states at one file
+    # per non-empty bucket
+    from firebird_mapreduce_spark.operators.layout import (
+        bucketed_table_file_count,
+    )
+
+    for t in (
+        f"pqvinc_codes_{m}x{ksub}x{pit}_{tag}",
+        f"pqvinc_cells_{k}x{it}_{tag}",
+    ):
+        n_files = bucketed_table_file_count(spark, t)
+        assert 0 < n_files <= 8, f"{t}: {n_files} files"
 
     key = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(key, None)
