@@ -716,34 +716,9 @@ def dedup_incremental_bucketed(
     row-identical to ``dedup_incremental`` (same oracle: layout changes
     the plan, never the answer).
     """
-    from .relational import corpus_tag, ensure_bucketed_table
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     aug = augmented_documents(spark, sf_dir)
     new_batch = aug.filter(F.col("doc_id") >= 100000)
-    tag = corpus_tag(sf_dir, "documents")
-
-    corpus_hashes = ensure_bucketed_table(
-        spark,
-        "corpus_hash_",
-        tag,
-        8,
-        ["h"],
-        lambda: docs.select(F.md5("text").alias("h")).distinct(),
-    )
-    # the table prefix carries (k, bands): signatures built with one
-    # parameterization must never be probed by another — a stale-parameter
-    # reuse would make every band lookup miss and silently report kept=true
-    corpus_bands = ensure_bucketed_table(
-        spark,
-        f"corpus_bands_{k}x{bands}_",
-        tag,
-        8,
-        ["band", "sig"],
-        lambda: banded_signatures(docs, k, bands)
-        .select("band", "sig")
-        .distinct(),
-    )
+    corpus_hashes, corpus_bands = _text_state_tables(spark, sf_dir, k, bands)
     return _screen_batch(new_batch, corpus_hashes, corpus_bands, k, bands)
 
 
@@ -852,6 +827,12 @@ def _ensure_folded_state(
 
     tbl = f"{prefix}{tag}"
     marker = os.path.join(warehouse_path(spark), f"_{tbl}_folded")
+    # a crash between compaction's tmp write and its DROP/RENAME strands
+    # a full-size __compact duplicate that compact_bucketed_table itself
+    # is never re-entered to clear (table + marker both look healthy) —
+    # sweep it here, the one gate every consumer passes through
+    if compact:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
     if spark.catalog.tableExists(tbl) and not os.path.exists(marker):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not spark.catalog.tableExists(tbl):
@@ -875,6 +856,45 @@ def _ensure_folded_state(
         if compact:
             compact_bucketed_table(spark, tbl, n_buckets, key_cols)
     return spark.table(tbl)
+
+
+def _text_state_tables(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """The TEXT tier's persisted day-0 corpus state — the content-hash
+    set (``corpus_hash_``) and the banded-signature set
+    (``corpus_bands_{k}x{bands}_``) as bucketed tables, ONE builder for
+    every consumer (``dedup_incremental_bucketed``, the tworound fold
+    bases, both unified ingest queries) so the screening rule cannot
+    drift between them — the ``_phash_state_tables`` discipline on the
+    text tier."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = corpus_tag(sf_dir, "documents")
+    hashes = ensure_bucketed_table(
+        spark,
+        "corpus_hash_",
+        tag,
+        8,
+        ["h"],
+        lambda: docs.select(F.md5("text").alias("h")).distinct(),
+    )
+    # the table prefix carries (k, bands): signatures built with one
+    # parameterization must never be probed by another — a
+    # stale-parameter reuse would make every band lookup miss and
+    # silently report kept=true
+    bands_tbl = ensure_bucketed_table(
+        spark,
+        f"corpus_bands_{k}x{bands}_",
+        tag,
+        8,
+        ["band", "sig"],
+        lambda: banded_signatures(docs, k, bands)
+        .select("band", "sig")
+        .distinct(),
+    )
+    return hashes, bands_tbl
 
 
 def tworound_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,27 +968,10 @@ def dedup_incremental_tworound(
         (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
     )
     batch2 = world.filter(F.col("doc_id") >= 200000)
-    from .relational import corpus_tag, ensure_bucketed_table
+    from .relational import corpus_tag
 
     tag = corpus_tag(sf_dir, "documents")
-    v1_hashes = ensure_bucketed_table(
-        spark,
-        "corpus_hash_",
-        tag,
-        8,
-        ["h"],
-        lambda: docs.select(F.md5("text").alias("h")).distinct(),
-    )
-    v1_bands = ensure_bucketed_table(
-        spark,
-        f"corpus_bands_{k}x{bands}_",
-        tag,
-        8,
-        ["band", "sig"],
-        lambda: banded_signatures(docs, k, bands)
-        .select("band", "sig")
-        .distinct(),
-    )
+    v1_hashes, v1_bands = _text_state_tables(spark, sf_dir, k, bands)
     r1 = _screen_batch(batch1, v1_hashes, v1_bands, k, bands).localCheckpoint(
         eager=True
     )

@@ -768,29 +768,37 @@ def _phash_band_keys(hashes: DataFrame) -> DataFrame:
     ).select("asset_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
 
 
-def _phash_state_tables(
-    spark: SparkSession, sf_dir: str
+def _media_state_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    fixture_dir: str,
+    suffix: str,
+    hash_prefix: str,
+    band_prefix: str,
 ) -> tuple[DataFrame, DataFrame]:
-    """The IMAGE tier's persisted corpus state — the (asset_id, phash)
+    """One media tier's persisted corpus state — the (asset_id, phash)
     hash table bucketed by id and the exploded (band, bval, asset_id)
     banding table bucketed by its join key — built from ONE corpus
-    decode+hash pass (memoized + checkpointed, the measure_afp.py
-    discipline) and shared by the incremental screen and the unified
-    ingest screen, so the two probe literally the same tables."""
+    decode+fingerprint pass (memoized + checkpointed, the
+    measure_afp.py discipline, so a cold warehouse never decodes the
+    corpus assets twice) and shared by the incremental screens and the
+    unified ingest queries, so they all probe literally the same
+    tables.  One helper for both modalities: the image and audio tiers
+    differ only in fixture, codec and table names."""
     from .relational import corpus_tag, ensure_bucketed_table
 
+    fingerprint = phash_hashes if suffix == "png" else audio_fingerprints
     tag = corpus_tag(sf_dir, "documents")
-    hashes_cache: list[DataFrame] = []
+    fps_cache: list[DataFrame] = []
 
-    def corpus_hashes() -> DataFrame:
-        if not hashes_cache:
-            fixture = _phash_fixture_dir(spark, sf_dir)
-            files = read_binary_dir(spark, fixture, glob="*.png")
-            hashes_cache.append(
-                phash_hashes(
+    def corpus_fps() -> DataFrame:
+        if not fps_cache:
+            files = read_binary_dir(spark, fixture_dir, glob=f"*.{suffix}")
+            fps_cache.append(
+                fingerprint(
                     files.select(
                         F.regexp_extract(
-                            F.col("path"), r"asset_(\d+)\.png$", 1
+                            F.col("path"), rf"asset_(\d+)\.{suffix}$", 1
                         )
                         .cast("bigint")
                         .alias("asset_id"),
@@ -798,20 +806,35 @@ def _phash_state_tables(
                     )
                 ).localCheckpoint(eager=True)
             )
-        return hashes_cache[0]
+        return fps_cache[0]
 
     state_hashes = ensure_bucketed_table(
-        spark, "phash_hashes_", tag, 8, ["asset_id"], corpus_hashes
+        spark, hash_prefix, tag, 8, ["asset_id"], corpus_fps
     )
     state_bands = ensure_bucketed_table(
         spark,
-        "phash_bands_",
+        band_prefix,
         tag,
         8,
         ["band", "bval"],
-        lambda: _phash_band_keys(corpus_hashes()),
+        lambda: _phash_band_keys(corpus_fps()),
     )
     return state_hashes, state_bands
+
+
+def _phash_state_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The IMAGE tier's persisted corpus state (see
+    ``_media_state_tables``)."""
+    return _media_state_tables(
+        spark,
+        sf_dir,
+        _phash_fixture_dir(spark, sf_dir),
+        "png",
+        "phash_hashes_",
+        "phash_bands_",
+    )
 
 
 def dedup_images_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1383,46 +1406,15 @@ def _afp_state_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """The AUDIO tier's persisted corpus state — identical schemas to
-    the image tier's (``_phash_state_tables``): both state tables derive
-    from ONE corpus decode+fingerprint pass (memoized + checkpointed, so
-    a cold warehouse never decodes the corpus WAVs twice — the r8
-    advisory fix), shared by the incremental screen and the unified
-    ingest screen."""
-    from .relational import corpus_tag, ensure_bucketed_table
-
-    tag = corpus_tag(sf_dir, "documents")
-    fps_cache: list[DataFrame] = []
-
-    def corpus_fps() -> DataFrame:
-        if not fps_cache:
-            fixture = _afp_fixture_dir(spark, sf_dir)
-            files = read_binary_dir(spark, fixture, glob="*.wav")
-            fps_cache.append(
-                audio_fingerprints(
-                    files.select(
-                        F.regexp_extract(
-                            F.col("path"), r"asset_(\d+)\.wav$", 1
-                        )
-                        .cast("bigint")
-                        .alias("asset_id"),
-                        "content",
-                    )
-                ).localCheckpoint(eager=True)
-            )
-        return fps_cache[0]
-
-    state_hashes = ensure_bucketed_table(
-        spark, "afp_hashes_", tag, 8, ["asset_id"], corpus_fps
-    )
-    state_bands = ensure_bucketed_table(
+    the image tier's (see ``_media_state_tables``)."""
+    return _media_state_tables(
         spark,
+        sf_dir,
+        _afp_fixture_dir(spark, sf_dir),
+        "wav",
+        "afp_hashes_",
         "afp_bands_",
-        tag,
-        8,
-        ["band", "bval"],
-        lambda: _phash_band_keys(corpus_fps()),
     )
-    return state_hashes, state_bands
 
 
 def dedup_audio_fingerprint_incremental(

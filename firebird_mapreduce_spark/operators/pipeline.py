@@ -619,9 +619,10 @@ def curation_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9 adds the AUDIO near-dup stage after the image one (VERDICT r8
     item 3 — the audio tier's machinery was already shared-function):
     each surviving doc's audio clip (one real WAV per doc_id <
-    ``_AFP_BASE``, ``_funnel_audio_fixture_dir`` — 4-doc groups sharing
-    one clip family: gain shift ≡ identical fingerprint, one-window
-    re-records <= 2 bits) is PCM-decoded and energy-fingerprinted with
+    ``_AFP_BASE``, ``_funnel_audio_fixture_dir`` — 8-doc groups sharing
+    one clip family, deliberately SPANNING two image groups: gain shift
+    ≡ identical fingerprint, one-window re-records <= 2 bits) is
+    PCM-decoded and energy-fingerprinted with
     EXACTLY ``dedup_audio_fingerprint``'s machinery
     (``audio_fingerprints`` + the shared ``_modal_neardup_dropped``
     banding/Hamming rule — the SAME function the image stage runs, one
@@ -1264,36 +1265,16 @@ def ingest_screen_multimodal(
     the batch's own files, and the final disposition join is
     batch-sized — total exchanges O(batch) regardless of corpus size
     (pinned in test_bucketing.py)."""
-    from .dedup import banded_signatures
+    from .dedup import _text_state_tables
     from .multimodal import (
         _afp_state_tables,
         _ingest_audio_batch_fixture_dir,
         _ingest_image_batch_fixture_dir,
         _phash_state_tables,
     )
-    from .relational import corpus_tag, ensure_bucketed_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     batch = ingest_batch_docs(spark, sf_dir)
-    tag = corpus_tag(sf_dir, "documents")
-    corpus_hashes = ensure_bucketed_table(
-        spark,
-        "corpus_hash_",
-        tag,
-        8,
-        ["h"],
-        lambda: docs.select(F.md5("text").alias("h")).distinct(),
-    )
-    corpus_bands = ensure_bucketed_table(
-        spark,
-        f"corpus_bands_{k}x{bands}_",
-        tag,
-        8,
-        ["band", "sig"],
-        lambda: banded_signatures(docs, k, bands)
-        .select("band", "sig")
-        .distinct(),
-    )
+    corpus_hashes, corpus_bands = _text_state_tables(spark, sf_dir, k, bands)
     img_fps = _media_batch_fps(
         spark, _ingest_image_batch_fixture_dir(spark, sf_dir), "png"
     )
@@ -1393,18 +1374,10 @@ def ingest_screen_oracle_sql(minhash_ctes: str) -> str:
     """DuckDB twin of ``ingest_screen_multimodal``: the text screens are
     the ``dedup_incremental`` oracle over ``INGEST_DOCS_SQL``; the media
     tiers re-derive the corpus state families AND the ingest batch's
-    assets relationally (the grid / energy arithmetic of the standalone
-    dedup oracles), run the same corpus-vs-batch band-membership +
-    Hamming screens, and the final select applies the precedence
-    CASE."""
-    from .multimodal import (
-        _AFP_BASE,
-        _AFP_WINDOWS,
-        _PHASH_BANDS,
-        _PHASH_BASE,
-        _PHASH_GRID,
-        _PHASH_THRESHOLD,
-    )
+    assets relationally through the SHARED derive/hit CTE builders (the
+    same spellings the tworound oracle composes), and the final select
+    applies the precedence CASE."""
+    from .multimodal import _AFP_BASE, _PHASH_BASE
 
     banding = minhash_ctes.format(docs=INGEST_DOCS_SQL)
     return f"""
@@ -1421,107 +1394,27 @@ def ingest_screen_oracle_sql(minhash_ctes: str) -> str:
         new_docs AS (
             SELECT doc_id, md5(text) AS h FROM docs WHERE doc_id >= 600000),
         iids AS (SELECT doc_id FROM documents WHERE doc_id < {_PHASH_BASE}),
+        aids AS (SELECT doc_id FROM documents WHERE doc_id < {_AFP_BASE}),
         iassets AS (
-            SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'ph' AS salt,
-                   'c' AS side
-            FROM iids
-            UNION ALL
-            SELECT doc_id * 10 + 1, doc_id, 1, 'ph', 'c' FROM iids
-            WHERE doc_id % 4 = 0
-            UNION ALL
-            SELECT doc_id * 10 + 2, doc_id, 2, 'ph', 'c' FROM iids
-            WHERE doc_id % 8 = 0
+            {_corpus_asset_arms("iids", "ph")}
             UNION ALL
             SELECT doc_id, doc_id,
                    CASE WHEN doc_id % 8 IN (0, 2) THEN 3 ELSE 0 END,
                    CASE WHEN doc_id % 8 IN (0, 2) THEN 'ph' ELSE 'igb' END,
                    'b'
             FROM iids),
-        igrid AS (
-            SELECT a.id, a.side, bx.i AS bx, by.i AS by,
-                   CAST('0x' || substr(md5(a.salt || '|'
-                        || CAST(a.doc_id AS VARCHAR) || '|'
-                        || CAST(bx.i AS VARCHAR) || '|'
-                        || CAST(by.i AS VARCHAR)), 1, 4) AS BIGINT) % 200
-                   + CASE WHEN a.pert = 1 THEN 1
-                          WHEN a.pert = 2 AND bx.i = 4 AND by.i = 3 THEN 37
-                          WHEN a.pert = 3 AND bx.i = 5 AND by.i = 2 THEN 19
-                          ELSE 0 END AS g
-            FROM iassets a, range(0, {_PHASH_GRID}) bx(i),
-                 range(0, {_PHASH_GRID}) by(i)),
-        ihashes AS (
-            SELECT l.id, l.side,
-                   CAST(sum(CASE WHEN r.g > l.g
-                                 THEN CAST(power(2, l.by * 7 + l.bx)
-                                      AS BIGINT)
-                                 ELSE 0 END) AS BIGINT) AS phash
-            FROM igrid l JOIN igrid r
-              ON r.id = l.id AND r.side = l.side
-             AND r.by = l.by AND r.bx = l.bx + 1
-            GROUP BY l.id, l.side),
-        ibanded AS (
-            SELECT id, side, phash, b.b AS band,
-                   (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384
-                       AS bval
-            FROM ihashes, range(0, {_PHASH_BANDS}) b(b)),
-        ihit AS (
-            SELECT DISTINCT c.b_id AS base FROM (
-                SELECT DISTINCT s.id AS a_id, bt.id AS b_id
-                FROM ibanded bt JOIN ibanded s
-                  ON s.band = bt.band AND s.bval = bt.bval
-                 AND s.side = 'c' AND bt.side = 'b') c
-            JOIN ihashes ha ON ha.id = c.a_id AND ha.side = 'c'
-            JOIN ihashes hb ON hb.id = c.b_id AND hb.side = 'b'
-            WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_THRESHOLD}),
-        aids AS (SELECT doc_id FROM documents WHERE doc_id < {_AFP_BASE}),
         aassets AS (
-            SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'au' AS salt,
-                   'c' AS side
-            FROM aids
-            UNION ALL
-            SELECT doc_id * 10 + 1, doc_id, 1, 'au', 'c' FROM aids
-            WHERE doc_id % 4 = 0
-            UNION ALL
-            SELECT doc_id * 10 + 2, doc_id, 2, 'au', 'c' FROM aids
-            WHERE doc_id % 8 = 0
+            {_corpus_asset_arms("aids", "au")}
             UNION ALL
             SELECT doc_id, doc_id,
                    CASE WHEN doc_id % 8 IN (1, 3) THEN 3 ELSE 0 END,
                    CASE WHEN doc_id % 8 IN (1, 3) THEN 'au' ELSE 'agb' END,
                    'b'
             FROM aids),
-        aen AS (
-            SELECT a.id, a.side, w.i AS w,
-                   (CAST('0x' || substr(md5(a.salt || '|'
-                        || CAST(a.doc_id AS VARCHAR) || '|'
-                        || CAST(w.i AS VARCHAR)), 1, 4) AS BIGINT) % 2000)
-                   * (CASE WHEN a.pert = 1 THEN 2 ELSE 1 END)
-                   + (CASE WHEN a.pert = 2 AND w.i = 13 THEN 700
-                           WHEN a.pert = 3 AND w.i = 29 THEN 700
-                           ELSE 0 END) AS e
-            FROM aassets a, range(0, {_AFP_WINDOWS}) w(i)),
-        ahashes AS (
-            SELECT l.id, l.side,
-                   CAST(sum(CASE WHEN r.e > l.e
-                                 THEN CAST(power(2, l.w) AS BIGINT)
-                                 ELSE 0 END) AS BIGINT) AS phash
-            FROM aen l JOIN aen r ON r.id = l.id AND r.side = l.side
-                               AND r.w = l.w + 1
-            GROUP BY l.id, l.side),
-        abanded AS (
-            SELECT id, side, phash, b.b AS band,
-                   (phash // CAST(power(2, b.b * 14) AS BIGINT)) % 16384
-                       AS bval
-            FROM ahashes, range(0, {_PHASH_BANDS}) b(b)),
-        ahit AS (
-            SELECT DISTINCT c.b_id AS base FROM (
-                SELECT DISTINCT s.id AS a_id, bt.id AS b_id
-                FROM abanded bt JOIN abanded s
-                  ON s.band = bt.band AND s.bval = bt.bval
-                 AND s.side = 'c' AND bt.side = 'b') c
-            JOIN ahashes ha ON ha.id = c.a_id AND ha.side = 'c'
-            JOIN ahashes hb ON hb.id = c.b_id AND hb.side = 'b'
-            WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_THRESHOLD})
+        {_img_derive_ctes()},
+        {_aud_derive_ctes()},
+        ihit AS ({_media_hit_cte("i", "s.side = 'c'", "b")}),
+        ahit AS ({_media_hit_cte("a", "s.side = 'c'", "b")})
         SELECT nd.doc_id,
                (ch.h IS NOT NULL) AS is_exact_dup,
                (nr.doc_id IS NOT NULL) AS is_near_dup,
@@ -1636,7 +1529,11 @@ def ingest_tworound_multimodal(
     O(kept) rows, compacts back to one file per bucket, and never
     touches corpus-sized data — the full loop the per-tier queries
     demonstrate piecewise, in one declared query."""
-    from .dedup import _ensure_folded_state, banded_signatures
+    from .dedup import (
+        _ensure_folded_state,
+        _text_state_tables,
+        banded_signatures,
+    )
     from .multimodal import (
         _afp_state_tables,
         _ingest2_audio_batch_fixture_dir,
@@ -1646,31 +1543,13 @@ def ingest_tworound_multimodal(
         _phash_band_keys,
         _phash_state_tables,
     )
-    from .relational import corpus_tag, ensure_bucketed_table
+    from .relational import corpus_tag
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tag = corpus_tag(sf_dir, "documents")
     b1 = ingest_batch_docs(spark, sf_dir)
     b2 = ingest2_batch_docs(spark, sf_dir)
     # day-0 states (the shared corpus-only tables)
-    th = ensure_bucketed_table(
-        spark,
-        "corpus_hash_",
-        tag,
-        8,
-        ["h"],
-        lambda: docs.select(F.md5("text").alias("h")).distinct(),
-    )
-    tb = ensure_bucketed_table(
-        spark,
-        f"corpus_bands_{k}x{bands}_",
-        tag,
-        8,
-        ["band", "sig"],
-        lambda: banded_signatures(docs, k, bands)
-        .select("band", "sig")
-        .distinct(),
-    )
+    th, tb = _text_state_tables(spark, sf_dir, k, bands)
     ih, ib = _phash_state_tables(spark, sf_dir)
     ah, ab = _afp_state_tables(spark, sf_dir)
     img1 = _media_batch_fps(
@@ -1687,8 +1566,20 @@ def ingest_tworound_multimodal(
     kept1_bases = kept1_ids.select(
         (F.col("doc_id") - 600000).alias("asset_id")
     )
-    img1_kept = img1.join(kept1_bases, "asset_id")
-    aud1_kept = aud1.join(kept1_bases, "asset_id")
+    # folded batch assets RE-KEY to base*10 + 3 — the corpus fixture
+    # scheme's unused slot (base/gain/retouch take 0/1/2).  The raw doc
+    # id would COLLIDE with a corpus asset id (id 30 is both corpus doc
+    # 3's base asset and batch doc 30's), and _hash_incremental_screen
+    # verifies state hashes by asset_id alone, so one id must never
+    # name two entities.  Output-invisible (the screen reports batch
+    # ids only) and oracle-neutral (the oracle disambiguates by side).
+    def rekey(fps: DataFrame) -> DataFrame:
+        return fps.join(kept1_bases, "asset_id").select(
+            (F.col("asset_id") * 10 + 3).alias("asset_id"), "phash"
+        )
+
+    img1_kept = rekey(img1)
+    aud1_kept = rekey(aud1)
 
     # the six folded states: base = a copy of the day-0 table (pay-once
     # state reused, no re-decode), delta = the keeps' rows, compacted
@@ -1742,6 +1633,21 @@ def ingest_tworound_multimodal(
     return r1.select(F.lit(1).alias("ingest"), "*").unionByName(
         r2.select(F.lit(2).alias("ingest"), "*")
     )
+
+
+def _corpus_asset_arms(ids_cte: str, salt: str) -> str:
+    """The corpus media-state families as UNION arms (side 'c'): base
+    asset per doc, gain/brightness copy per 4th, one-site edit per 8th
+    — one spelling for both ingest oracles and both modalities."""
+    return f"""SELECT doc_id * 10 AS id, doc_id, 0 AS pert,
+                   '{salt}' AS salt, 'c' AS side
+            FROM {ids_cte}
+            UNION ALL
+            SELECT doc_id * 10 + 1, doc_id, 1, '{salt}', 'c' FROM {ids_cte}
+            WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id * 10 + 2, doc_id, 2, '{salt}', 'c' FROM {ids_cte}
+            WHERE doc_id % 8 = 0"""
 
 
 def _img_derive_ctes() -> str:
@@ -1865,15 +1771,7 @@ def ingest_tworound_oracle_sql(minhash_ctes: str) -> str:
         iids AS (SELECT doc_id FROM documents WHERE doc_id < {_PHASH_BASE}),
         aids AS (SELECT doc_id FROM documents WHERE doc_id < {_AFP_BASE}),
         iassets AS (
-            SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'ph' AS salt,
-                   'c' AS side
-            FROM iids
-            UNION ALL
-            SELECT doc_id * 10 + 1, doc_id, 1, 'ph', 'c' FROM iids
-            WHERE doc_id % 4 = 0
-            UNION ALL
-            SELECT doc_id * 10 + 2, doc_id, 2, 'ph', 'c' FROM iids
-            WHERE doc_id % 8 = 0
+            {_corpus_asset_arms("iids", "ph")}
             UNION ALL
             SELECT doc_id, doc_id,
                    CASE WHEN doc_id % 8 IN (0, 2) THEN 3 ELSE 0 END,
@@ -1887,15 +1785,7 @@ def ingest_tworound_oracle_sql(minhash_ctes: str) -> str:
                    'b2'
             FROM iids),
         aassets AS (
-            SELECT doc_id * 10 AS id, doc_id, 0 AS pert, 'au' AS salt,
-                   'c' AS side
-            FROM aids
-            UNION ALL
-            SELECT doc_id * 10 + 1, doc_id, 1, 'au', 'c' FROM aids
-            WHERE doc_id % 4 = 0
-            UNION ALL
-            SELECT doc_id * 10 + 2, doc_id, 2, 'au', 'c' FROM aids
-            WHERE doc_id % 8 = 0
+            {_corpus_asset_arms("aids", "au")}
             UNION ALL
             SELECT doc_id, doc_id,
                    CASE WHEN doc_id % 8 IN (1, 3) THEN 3 ELSE 0 END,

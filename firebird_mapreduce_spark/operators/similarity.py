@@ -1578,12 +1578,21 @@ def _drop_retired_pq_tables(spark: SparkSession) -> None:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     # a fresh session's in-memory catalog does not list a PREVIOUS
     # session's saveAsTable output, so also sweep the warehouse
-    # directories themselves (the ensure_layout_table orphan discipline)
+    # directories themselves (the ensure_layout_table orphan discipline;
+    # rmtree silently no-ops on regular files under ignore_errors, so
+    # handle both entry kinds — the _versioned_index_table split)
     root = warehouse_path(spark)
     if os.path.isdir(root):
         for d in os.listdir(root):
             if any(d.startswith(p) for p in _RETIRED_PQ_PREFIXES):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                path = os.path.join(root, d)
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    import contextlib
+
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(path)
     _RETIRED_SWEPT.add(app)
 
 
