@@ -1082,34 +1082,53 @@ def fuzzy_match_names_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measurement about blocking, per the r6 verdict's finding on the
     k=1 bench number.
 
-    Scale shape: identical to k=1 — per-row key explode (no shuffle),
-    one equi-join on uniformly-hashed string keys, verify-before-
-    distinct so the pair shuffle carries true pairs only."""
-    names = fuzzy_matching_names_k2(spark, sf_dir).filter(
-        F.length("name") <= 48
-    )
-    L = F.length("name")
-    d1 = F.transform(
-        F.sequence(F.lit(1), L), lambda i: _delete_char(F.col("name"), i)
-    )
-    # p1 < p2 enumerated once: delete p2 first (positions unshifted),
-    # then p1 from the shorter string; outer p1 ranges 1..L-1 so the
-    # inner sequence(p1+1, L) never descends (names here are >= 2 chars)
-    d2 = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), L - F.lit(1)),
-            lambda p1: F.transform(
-                F.sequence(p1 + F.lit(1), L),
-                lambda p2: _delete_char(_delete_char(F.col("name"), p2), p1),
-            ),
+    Scale shape: the k=2 index (~105 keys/name) is a PERSISTED bucketed
+    artifact (``fastss2_keys_`` — at 100 TB a FastSS index is built
+    once and served, not re-derived per lookup; r9, previously the
+    explode ran TWICE per query, once per join side), so the self-join
+    reads both sides bucketed on the key with NO exchange; the only
+    shuffle left is the verified-pair distinct — verify-before-distinct
+    so it carries true pairs only."""
+    from .relational import corpus_tag, ensure_bucketed_table
+
+    def build_keys() -> DataFrame:
+        names = fuzzy_matching_names_k2(spark, sf_dir).filter(
+            F.length("name") <= 48
         )
-    )
-    keyed = names.select(
-        "k",
-        "name",
-        F.explode(
-            F.array_distinct(F.concat(F.array(F.col("name")), d1, d2))
-        ).alias("bkey"),
+        L = F.length("name")
+        d1 = F.transform(
+            F.sequence(F.lit(1), L), lambda i: _delete_char(F.col("name"), i)
+        )
+        # p1 < p2 enumerated once: delete p2 first (positions
+        # unshifted), then p1 from the shorter string; outer p1 ranges
+        # 1..L-1 so the inner sequence(p1+1, L) never descends (names
+        # here are >= 2 chars)
+        d2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), L - F.lit(1)),
+                lambda p1: F.transform(
+                    F.sequence(p1 + F.lit(1), L),
+                    lambda p2: _delete_char(
+                        _delete_char(F.col("name"), p2), p1
+                    ),
+                ),
+            )
+        )
+        return names.select(
+            "k",
+            "name",
+            F.explode(
+                F.array_distinct(F.concat(F.array(F.col("name")), d1, d2))
+            ).alias("bkey"),
+        )
+
+    keyed = ensure_bucketed_table(
+        spark,
+        "fastss2_keys_",
+        corpus_tag(sf_dir, "customer"),
+        8,
+        ["bkey"],
+        build_keys,
     )
     a = keyed.select(
         F.col("k").alias("a_custkey"), F.col("name").alias("a_name"), "bkey"

@@ -512,3 +512,28 @@ def test_ingest_screen_exchanges_batch_side_only(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_fastss_k2_index_join_zero_exchange(spark):
+    """The persisted FastSS k=2 key index (r9): the self-join reads
+    both sides from the bucketed key table with NO exchange under the
+    at-scale no-broadcast strategy — the only shuffle is the
+    verified-pair distinct (exchanges pinned at exactly 1) — and the
+    pair set equals a fresh-explode spelling of the same join."""
+    from firebird_mapreduce_spark.operators.dedup import fuzzy_match_names_k2
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        df = fuzzy_match_names_k2(spark, SF_SMOKE)
+        plan = plan_string(df, "formatted")
+        assert plan.count("Bucketed: true") == 2, plan
+        n = count_exchanges(df)
+        assert n == 1, f"exchanges={n} (expected 1: the pair distinct)\n{plan}"
+        assert df.count() > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
