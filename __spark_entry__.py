@@ -58,11 +58,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     advances to r6), then the 2 queries whose results or lifecycle
     changed this round (``curation_pipeline_multimodal`` gained the
     audio stage — eight columns now; ``dedup_incremental_tworound``
-    compacts its folded state after the fold), then the 3 r9 additions
+    compacts its folded state after the fold), then the 4 r9 additions
     (``pq_index_refit``, ``ingest_screen_multimodal``, and the late
-    ``ingest_tworound_multimodal`` — first driver rows, zero deferral),
-    then re-checks of the oldest remaining (r6-era) evidence.  The 16
-    r6-era queries left un-re-checked are the
+    ``ingest_tworound_multimodal`` / ``stream_dedup_incremental`` —
+    first driver rows, zero deferral), then re-checks of the oldest
+    remaining (r6-era) evidence.  The 17 r6-era queries left
+    un-re-checked are the
     ones with the strongest collateral — an oracle-twin or near-twin
     already re-checked; named in the window comment.  The union
     r6 ∪ r7 ∪ r8 ∪ this window gives EVERY registered query a driver row
@@ -396,6 +397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the text fold (exact), the image fold and the audio fold in
         # one oracle-backed report
         "ingest_tworound_multimodal": P.ingest_tworound_multimodal,
+        # r9 (late): the incremental-dedup loop as a STRUCTURED
+        # STREAMING job — foreachBatch over a two-file document stream,
+        # each micro-batch screening against the bucketed state as of
+        # its trigger and folding its keeps back in before the next
+        # fires; dedup_incremental_tworound's semantics (and oracle)
+        # verbatim, continuous edition
+        "stream_dedup_incremental": SJ.stream_dedup_incremental_query,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -413,8 +421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     dedup_incremental_tworound (the fold now compacts its state
 #     tables — rows identical, but the table lifecycle the row
 #     certifies changed);
-# (c) the r9 additions — first driver rows, zero deferral;
-# (d) re-checks of the oldest remaining evidence (r6-era).  The 16 left
+# (c) the r9 additions — first driver rows, zero deferral (the two
+#     late registrations displace one group-(d) re-check each, per the
+#     leave-out list);
+# (d) re-checks of the oldest remaining evidence (r6-era).  The 17 left
 #     at r6 evidence, chosen for the strongest collateral:
 #       audio_decode — dedup_audio_fingerprint (r8-green) runs the same
 #         RIFF walk + PCM decode end-to-end;
@@ -449,7 +459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       window_moving_avg — displaced late-r9 by the unified-loop
 #         registration (the r7/r8 precedent): window_rank and
 #         window_lag_lead r8-green, ntile_ranks re-checked here — the
-#         same Window-frame machinery.
+#         same Window-frame machinery;
+#       binary_file_meta — displaced late-r9 by the streaming-loop
+#         registration: binary_meta r8-green over the same metadata
+#         expressions, and every media-tier query in groups (b)/(c)
+#         exercises the binaryFile source end-to-end.
 # Result: every registered query has a driver row in r6 ∪ r7 ∪ r8 ∪ this
 # window, every oracle-backed one a hash row in that union, and every
 # operator added this round gets first-row evidence
@@ -479,8 +493,8 @@ _DRIVER_WINDOW = [
     "pq_index_refit",
     "ingest_screen_multimodal",
     "ingest_tworound_multimodal",
+    "stream_dedup_incremental",
     # (d) oldest-evidence re-checks (newest driver row is r6-era)
-    "binary_file_meta",
     "bm25_topk",
     "dedup_incremental_bucketed",
     "dedup_paragraphs",
@@ -687,7 +701,7 @@ def oracle_sql() -> dict[str, str]:
     when it moved off the FakeDecoder onto the real PNG codec (features
     re-derived from the same doc_id arithmetic as ``image_decode``).
     """
-    return {
+    oracles = {
         "scan_project": "SELECT r_regionkey, r_name FROM region",
         "filter_predicate": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -2887,3 +2901,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
         """,
     }
+    # the streaming twin shares the batch loop's oracle VERBATIM — same
+    # semantics (and therefore the same hash), different execution
+    # engine, which is exactly the claim the query makes
+    oracles["stream_dedup_incremental"] = oracles[
+        "dedup_incremental_tworound"
+    ]
+    return oracles

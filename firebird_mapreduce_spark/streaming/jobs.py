@@ -1028,3 +1028,183 @@ def stream_table_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         schema="table_name string, n_rows long, fingerprint string",
     )
+
+
+def _docs_split_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the tworound document INGESTS as a 2-file stream
+    source: file 0 = ingest 1 (doc_id in [100000, 200000)), file 1 =
+    ingest 2 (doc_id >= 200000), with strictly increasing mtimes so a
+    ``maxFilesPerTrigger=1`` file stream replays them as two successive
+    micro-batches in ingest order — the ``_events_split_dir``
+    discipline on the documents table.  The batch CONTENT comes from
+    ``operators.dedup.tworound_documents`` (one derivation — the
+    streaming twin must never re-spell the fixture), written via a
+    single-partition Spark write.  Idempotent via a source-md5 marker;
+    stale files pruned."""
+    import glob as _glob
+    import hashlib
+    import json
+    import shutil
+
+    from ..operators.dedup import tworound_documents
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    with open(src, "rb") as fh:
+        src_md5 = hashlib.md5(fh.read()).hexdigest()
+    tag = hashlib.md5(f"docsplit|{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"docs_split_{tag}",
+    )
+    marker = os.path.join(out_dir, "_marker.json")
+    expected = {"ingest_000.parquet", "ingest_001.parquet"}
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        have = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+        if meta.get("src_md5") == src_md5 and have == expected:
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and f not in expected:
+            os.remove(os.path.join(out_dir, f))
+    world = tworound_documents(spark, sf_dir)
+    base_mtime = os.path.getmtime(src)
+    for i, (lo, hi) in enumerate(((100000, 200000), (200000, None))):
+        batch = world.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("doc_id") < hi)
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        path = os.path.join(out_dir, f"ingest_{i:03d}.parquet")
+        shutil.move(part, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    with open(marker, "w") as fh:
+        json.dump({"src_md5": src_md5}, fh)
+    return out_dir
+
+
+def stream_dedup_incremental_query(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Declared query: the incremental-dedup LOOP as a STRUCTURED
+    STREAMING job — ``dedup_incremental_tworound``'s exact semantics
+    (and therefore its exact ORACLE) executed by ``foreachBatch`` over
+    a two-file document stream: each micro-batch screens against the
+    bucketed state tables AS OF ITS TRIGGER, and its kept docs' hashes
+    and band signatures append back into them before the next batch
+    fires — so ingest 2's copies of ingest-1 survivors are flagged
+    precisely because batch 1's fold committed between triggers (the
+    tworound contract, continuous edition).
+
+    Mechanics the batch spelling doesn't exercise: the screen result is
+    EAGERLY checkpointed before the state append (a lazy report would
+    silently re-read post-fold state — the read-your-own-writes hazard
+    every streaming sink with feedback has), the state tables start as
+    a fresh day-0 snapshot per replay (deterministic re-runs), and the
+    stream runs availableNow with a scratch checkpoint that is removed
+    after the replay (a declared query must not leak disk).
+
+    At 100 TB this is the continuous crawl: the screen's per-trigger
+    cost is O(batch) against pre-bucketed state, the fold appends
+    O(kept) bucket files (compaction cadence per
+    ``compact_bucketed_table``), and exactly-once comes from the
+    checkpoint + idempotent distinct-append (a retried batch re-appends
+    rows that are already present — harmless for SET-shaped state)."""
+    import shutil
+    import tempfile
+
+    import shutil
+
+    from ..operators.dedup import (
+        _screen_batch,
+        _text_state_tables,
+        banded_signatures,
+    )
+    from ..operators.relational import corpus_tag, warehouse_path
+
+    day0_h, day0_b = _text_state_tables(spark, sf_dir, k, bands)
+    tag = corpus_tag(sf_dir, "documents")
+    htbl = f"strinc_hash_{k}x{bands}_{tag}"
+    btbl = f"strinc_bands_{k}x{bands}_{tag}"
+    for tbl, keys, base in (
+        (htbl, ["h"], day0_h),
+        (btbl, ["band", "sig"], day0_b),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # the warehouse DIRECTORY outlives the in-memory catalog: a
+        # previous session's replay state makes saveAsTable fail with
+        # LOCATION_ALREADY_EXISTS (the ensure_layout_table discipline)
+        shutil.rmtree(
+            os.path.join(warehouse_path(spark), tbl), ignore_errors=True
+        )
+        (
+            base.write.bucketBy(8, *keys)
+            .sortBy(*keys)
+            .saveAsTable(tbl)
+        )
+    reports: list[tuple[int, DataFrame]] = []
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        bdf = batch_df.localCheckpoint(eager=True)
+        rep = _screen_batch(
+            bdf, spark.table(htbl), spark.table(btbl), k, bands
+        ).localCheckpoint(eager=True)  # pin BEFORE the fold mutates state
+        reports.append((batch_id, rep))
+        kept = bdf.join(rep.filter(F.col("kept")).select("doc_id"), "doc_id")
+        (
+            kept.select(F.md5("text").alias("h"))
+            .distinct()
+            .write.mode("append")
+            .bucketBy(8, "h")
+            .sortBy("h")
+            .saveAsTable(htbl)
+        )
+        (
+            banded_signatures(kept, k, bands)
+            .select("band", "sig")
+            .distinct()
+            .write.mode("append")
+            .bucketBy(8, "band", "sig")
+            .sortBy("band", "sig")
+            .saveAsTable(btbl)
+        )
+        # the append commits through the MICRO-BATCH's cloned session
+        # and invalidates only ITS relation cache — the outer session
+        # (whose spark.table the next trigger's screen resolves) would
+        # keep serving the pre-fold file listing and silently re-admit
+        # ingest-1 copies; refresh makes the fold visible (caught by
+        # the batch-twin differential during development)
+        spark.catalog.refreshTable(htbl)
+        spark.catalog.refreshTable(btbl)
+
+    sdir = _docs_split_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    base = tempfile.mkdtemp(prefix="fb_strinc_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = None
+        for bid, rep in sorted(reports, key=lambda t: t[0]):
+            part = rep.select(F.lit(bid + 1).alias("ingest"), "*")
+            out = part if out is None else out.unionByName(part)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "ingest int, doc_id bigint, is_exact_dup boolean, "
+        "is_near_dup boolean, kept boolean",
+    )

@@ -78,6 +78,7 @@ def test_driver_window_covers_every_query():
         "pq_index_refit",
         "ingest_screen_multimodal",
         "ingest_tworound_multimodal",
+        "stream_dedup_incremental",
     ):
         assert changed in window, f"{changed} changed in r9 but not in window"
     for name in queries:

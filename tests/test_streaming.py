@@ -1154,3 +1154,29 @@ def test_vacuum_zero_and_additive_batch_normalization(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="vacuumed"):
         t.read(spark)
+
+
+def test_stream_dedup_incremental_equals_batch_twin(spark):
+    """The streaming incremental-dedup loop must equal
+    ``dedup_incremental_tworound`` ROW-FOR-ROW (same semantics, same
+    oracle — the execution engine is the only difference), which
+    certifies the cross-trigger fold: ingest 2's +300000 copies of
+    ingest-1 survivors flag as dups ONLY if batch 1's fold was visible
+    to batch 2's screen (the relation-cache staleness this query's
+    refreshTable exists for), and the replay is deterministic."""
+    from firebird_mapreduce_spark.operators.dedup import (
+        dedup_incremental_tworound,
+    )
+    from firebird_mapreduce_spark.streaming.jobs import (
+        stream_dedup_incremental_query,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    streamed = rows(stream_dedup_incremental_query(spark, SF_SMOKE))
+    batch = rows(dedup_incremental_tworound(spark, SF_SMOKE))
+    assert streamed == batch
+    # the fold probe is non-vacuous: some +300000 doc is flagged exact
+    assert any(
+        r[0] == 2 and r[1] >= 300000 and r[2] for r in streamed
+    ), "no ingest-2 copy of an ingest-1 survivor was flagged"
