@@ -1087,6 +1087,74 @@ def _docs_split_dir(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
+def _strinc_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    report_dir: str,
+    htbl: str,
+    btbl: str,
+    k: int,
+    bands: int,
+) -> None:
+    """One micro-batch of the continuous incremental-dedup loop: screen
+    ``batch_df`` against the state tables AS OF NOW, COMMIT the
+    per-batch report to its parquet sink, then fold the kept docs'
+    state rows back into the tables.  Module-level rather than a
+    closure so the retry contract is directly unit-testable
+    (tests/test_streaming.py): a batch_id whose report sink already
+    carries ``_SUCCESS`` is a complete no-op — re-screening would read
+    post-fold state and re-folding would duplicate work, the two
+    failure modes a Structured Streaming foreachBatch retry exposes."""
+    from ..operators.dedup import _screen_batch, banded_signatures
+
+    bdir = os.path.join(report_dir, f"batch_{batch_id:05d}")
+    if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        # retried batch: its report committed before the failure, so
+        # the fold below it may or may not have run — skip BOTH (the
+        # state appends are set-shaped, so a half-applied fold is
+        # completed harmlessly by the distinct-append semantics; a
+        # re-screen here would read post-fold state)
+        return
+    bdf = batch_df.localCheckpoint(eager=True)
+    rep = _screen_batch(bdf, spark.table(htbl), spark.table(btbl), k, bands)
+    # COMMIT the report before the fold mutates state: the parquet
+    # write both materializes the screen against pre-fold state and
+    # keeps the per-doc rows executor-side (no driver collect)
+    (
+        rep.select(F.lit(batch_id + 1).cast("int").alias("ingest"), "*")
+        .write.mode("overwrite")
+        .parquet(bdir)
+    )
+    rep = spark.read.parquet(bdir).drop("ingest")
+    kept = bdf.join(rep.filter(F.col("kept")).select("doc_id"), "doc_id")
+    (
+        kept.select(F.md5("text").alias("h"))
+        .distinct()
+        .write.mode("append")
+        .bucketBy(8, "h")
+        .sortBy("h")
+        .saveAsTable(htbl)
+    )
+    (
+        banded_signatures(kept, k, bands)
+        .select("band", "sig")
+        .distinct()
+        .write.mode("append")
+        .bucketBy(8, "band", "sig")
+        .sortBy("band", "sig")
+        .saveAsTable(btbl)
+    )
+    # the append commits through the MICRO-BATCH's cloned session
+    # and invalidates only ITS relation cache — the outer session
+    # (whose spark.table the next trigger's screen resolves) would
+    # keep serving the pre-fold file listing and silently re-admit
+    # ingest-1 copies; refresh makes the fold visible (caught by
+    # the batch-twin differential during development)
+    spark.catalog.refreshTable(htbl)
+    spark.catalog.refreshTable(btbl)
+
+
 def stream_dedup_incremental_query(
     spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -1100,24 +1168,36 @@ def stream_dedup_incremental_query(
     precisely because batch 1's fold committed between triggers (the
     tworound contract, continuous edition).
 
-    Mechanics the batch spelling doesn't exercise: the screen result is
-    EAGERLY checkpointed before the state append (a lazy report would
-    silently re-read post-fold state — the read-your-own-writes hazard
-    every streaming sink with feedback has), the state tables start as
-    a fresh day-0 snapshot per replay (deterministic re-runs), and the
-    stream runs availableNow with a scratch checkpoint that is removed
-    after the replay (a declared query must not leak disk).
+    Mechanics the batch spelling doesn't exercise: each micro-batch's
+    screen report is COMMITTED to a per-batch parquet sink BEFORE the
+    state append (a lazy report would silently re-read post-fold state
+    — the read-your-own-writes hazard every streaming sink with
+    feedback has; a committed write pins the pre-fold result even
+    harder than a localCheckpoint, and it never routes per-doc rows
+    through the driver — the report stays executor-side end to end and
+    the outer session reads the sink back lazily).  The sink's
+    ``_SUCCESS`` marker doubles as the retry guard: a re-invoked
+    batch_id (Structured Streaming retries foreachBatch on failure)
+    finds its committed report and SKIPS both screen and fold, so a
+    retry can neither duplicate report rows nor screen against
+    post-fold state.  The state tables start as a fresh day-0 snapshot
+    per replay (deterministic re-runs), and the stream runs
+    availableNow with a scratch checkpoint that is removed after the
+    replay (a declared query must not leak disk; the report sink lives
+    in the warehouse beside the state tables and is reset per run —
+    the same lifecycle discipline).
 
     At 100 TB this is the continuous crawl: the screen's per-trigger
-    cost is O(batch) against pre-bucketed state, the fold appends
-    O(kept) bucket files (compaction cadence per
+    cost is O(batch) against pre-bucketed state, the report write is a
+    distributed O(batch) sink (never a driver collect), the fold
+    appends O(kept) bucket files (compaction cadence per
     ``compact_bucketed_table``), and exactly-once comes from the
-    checkpoint + idempotent distinct-append (a retried batch re-appends
-    rows that are already present — harmless for SET-shaped state)."""
+    checkpoint + the batch_id-keyed report commit + idempotent
+    distinct-append (a batch is replayed only until its report
+    commits; state re-appends of already-present rows are harmless for
+    SET-shaped state)."""
     import shutil
     import tempfile
-
-    import shutil
 
     from ..operators.dedup import (
         _screen_batch,
@@ -1146,40 +1226,13 @@ def stream_dedup_incremental_query(
             .sortBy(*keys)
             .saveAsTable(tbl)
         )
-    reports: list[tuple[int, DataFrame]] = []
+    report_dir = os.path.join(warehouse_path(spark), f"strinc_report_{tag}")
+    shutil.rmtree(report_dir, ignore_errors=True)  # fresh sink per replay
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        bdf = batch_df.localCheckpoint(eager=True)
-        rep = _screen_batch(
-            bdf, spark.table(htbl), spark.table(btbl), k, bands
-        ).localCheckpoint(eager=True)  # pin BEFORE the fold mutates state
-        reports.append((batch_id, rep))
-        kept = bdf.join(rep.filter(F.col("kept")).select("doc_id"), "doc_id")
-        (
-            kept.select(F.md5("text").alias("h"))
-            .distinct()
-            .write.mode("append")
-            .bucketBy(8, "h")
-            .sortBy("h")
-            .saveAsTable(htbl)
+        _strinc_apply_batch(
+            spark, batch_df, batch_id, report_dir, htbl, btbl, k, bands
         )
-        (
-            banded_signatures(kept, k, bands)
-            .select("band", "sig")
-            .distinct()
-            .write.mode("append")
-            .bucketBy(8, "band", "sig")
-            .sortBy("band", "sig")
-            .saveAsTable(btbl)
-        )
-        # the append commits through the MICRO-BATCH's cloned session
-        # and invalidates only ITS relation cache — the outer session
-        # (whose spark.table the next trigger's screen resolves) would
-        # keep serving the pre-fold file listing and silently re-admit
-        # ingest-1 copies; refresh makes the fold visible (caught by
-        # the batch-twin differential during development)
-        spark.catalog.refreshTable(htbl)
-        spark.catalog.refreshTable(btbl)
 
     sdir = _docs_split_dir(spark, sf_dir)
     stream = (
@@ -1196,15 +1249,10 @@ def stream_dedup_incremental_query(
             .start()
         )
         q.awaitTermination()
-        out = None
-        for bid, rep in sorted(reports, key=lambda t: t[0]):
-            part = rep.select(F.lit(bid + 1).alias("ingest"), "*")
-            out = part if out is None else out.unionByName(part)
-        rows = out.collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "ingest int, doc_id bigint, is_exact_dup boolean, "
-        "is_near_dup boolean, kept boolean",
+    # lazy read-back of the committed per-batch reports: the only thing
+    # that ever crosses to the driver is whatever the CALLER collects
+    return spark.read.parquet(os.path.join(report_dir, "batch_*")).select(
+        "ingest", "doc_id", "is_exact_dup", "is_near_dup", "kept"
     )

@@ -1180,3 +1180,96 @@ def test_stream_dedup_incremental_equals_batch_twin(spark):
     assert any(
         r[0] == 2 and r[1] >= 300000 and r[2] for r in streamed
     ), "no ingest-2 copy of an ingest-1 survivor was flagged"
+
+
+def test_strinc_report_sink_immune_to_fold(spark):
+    """The per-batch report is COMMITTED parquet, so its content must
+    not change when the state tables are folded again afterwards
+    (write -> fold -> read == write -> read).  A lazily-captured report
+    would re-screen against the mutated state here and differ — the
+    exact read-your-own-writes hazard the sink exists to close."""
+    from firebird_mapreduce_spark.operators.relational import corpus_tag
+    from firebird_mapreduce_spark.streaming.jobs import (
+        stream_dedup_incremental_query,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    df = stream_dedup_incremental_query(spark, SF_SMOKE)
+    before = sorted(map(tuple, df.collect()))
+    # an out-of-band "fold": append a synthetic hash row to the state
+    # table the screens probed — if the report were lazy over state,
+    # re-collecting df would recompute against this mutated table
+    htbl = f"strinc_hash_16x4_{corpus_tag(SF_SMOKE, 'documents')}"
+    (
+        spark.range(1)
+        .select(F.md5(F.lit("__fold_immunity_probe__")).alias("h"))
+        .write.mode("append")
+        .bucketBy(8, "h")
+        .sortBy("h")
+        .saveAsTable(htbl)
+    )
+    spark.catalog.refreshTable(htbl)
+    after = sorted(map(tuple, df.collect()))
+    assert after == before
+
+
+def test_strinc_retry_batch_is_noop(spark):
+    """A foreachBatch RETRY of an already-committed batch_id must be a
+    complete no-op: no re-screen (it would read post-fold state and
+    produce wrongly-screened report rows) and no re-fold.  Proven by
+    re-invoking ``_strinc_apply_batch`` with the same batch_id but a
+    DIFFERENT batch — if the guard failed, the report content and the
+    state row counts would both move."""
+    import os
+    import shutil
+
+    from firebird_mapreduce_spark.operators.relational import warehouse_path
+    from firebird_mapreduce_spark.streaming.jobs import _strinc_apply_batch
+    from pyspark.sql import functions as F
+
+    htbl, btbl = "test_strinc_retry_hash", "test_strinc_retry_bands"
+    report_dir = os.path.join(warehouse_path(spark), "test_strinc_retry_rep")
+    shutil.rmtree(report_dir, ignore_errors=True)
+    docs = spark.createDataFrame(
+        [(i, f"seed document {i} " + "tok " * 20) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    from firebird_mapreduce_spark.operators.dedup import banded_signatures
+
+    for tbl, keys, base in (
+        (htbl, ["h"], docs.select(F.md5("text").alias("h")).distinct()),
+        (
+            btbl,
+            ["band", "sig"],
+            banded_signatures(docs, 16, 4).select("band", "sig").distinct(),
+        ),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(
+            os.path.join(warehouse_path(spark), tbl), ignore_errors=True
+        )
+        base.write.bucketBy(8, *keys).sortBy(*keys).saveAsTable(tbl)
+    batch = spark.createDataFrame(
+        [(100, "fresh document alpha " + "tok " * 20)],
+        "doc_id bigint, text string",
+    )
+    _strinc_apply_batch(spark, batch, 0, report_dir, htbl, btbl, 16, 4)
+    rep_path = os.path.join(report_dir, "batch_00000")
+    first = sorted(map(tuple, spark.read.parquet(rep_path).collect()))
+    h_n, b_n = spark.table(htbl).count(), spark.table(btbl).count()
+    assert h_n == 21, "the fold after the first apply must have landed"
+    # the retry: same batch_id, different content — must change NOTHING
+    retry = spark.createDataFrame(
+        [(999, "a different retry payload " + "tok " * 20)],
+        "doc_id bigint, text string",
+    )
+    _strinc_apply_batch(spark, retry, 0, report_dir, htbl, btbl, 16, 4)
+    assert (
+        sorted(map(tuple, spark.read.parquet(rep_path).collect())) == first
+    ), "retry re-screened: report content moved"
+    assert spark.table(htbl).count() == h_n, "retry re-folded hashes"
+    assert spark.table(btbl).count() == b_n, "retry re-folded bands"
+    for tbl in (htbl, btbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(report_dir, ignore_errors=True)
