@@ -404,6 +404,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fires; dedup_incremental_tworound's semantics (and oracle)
         # verbatim, continuous edition
         "stream_dedup_incremental": SJ.stream_dedup_incremental_query,
+        # r10: the unified multimodal crawl as a STRUCTURED STREAMING
+        # job — foreachBatch over two multimodal deliveries, all four
+        # tiers' screens per trigger against the six bucketed state
+        # tables, all-tier folds between triggers, per-batch report
+        # sink (pre-fold pin + retry no-op, no driver collect);
+        # ingest_tworound_multimodal's semantics (and oracle) verbatim
+        "stream_ingest_multimodal": SJ.stream_ingest_multimodal_query,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -2901,10 +2908,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
         """,
     }
-    # the streaming twin shares the batch loop's oracle VERBATIM — same
-    # semantics (and therefore the same hash), different execution
-    # engine, which is exactly the claim the query makes
+    # the streaming twins share their batch loops' oracles VERBATIM —
+    # same semantics (and therefore the same hash), different execution
+    # engine, which is exactly the claim each query makes
     oracles["stream_dedup_incremental"] = oracles[
         "dedup_incremental_tworound"
+    ]
+    oracles["stream_ingest_multimodal"] = oracles[
+        "ingest_tworound_multimodal"
     ]
     return oracles

@@ -798,6 +798,7 @@ def _ensure_folded_state(
     build_base,
     build_delta,
     compact: bool = False,
+    compact_threshold: int = 4,
 ) -> DataFrame:
     """Bucketed state table maintained by CREATE-then-APPEND: the base
     snapshot is written once, then the ingest delta is APPENDED as
@@ -810,19 +811,23 @@ def _ensure_folded_state(
     state and rebuilds instead of silently screening against a corpus
     snapshot that forgot the previous ingest.
 
-    ``compact`` runs ``layout.compact_bucketed_table`` once after the
-    fold completes: each append leaves O(batch) extra files per bucket,
-    so after K ingests the state is K-way fragmented and every screen
-    pays K file opens per bucket — compaction restores one file per
-    bucket while PRESERVING the bucketing metadata (and therefore the
-    zero-corpus-shuffle screen plans pinned in test_bucketing.py).  A
-    crash mid-compaction lands in the same rebuild path as a crash
-    mid-fold: the table is briefly absent and the marker/tableExists
-    guard rebuilds — the marker semantics survive compaction because
-    the marker is never touched by it."""
+    ``compact`` runs ``layout.maybe_compact_bucketed_table`` once after
+    the fold completes: each append leaves O(batch) extra files per
+    bucket, so after K ingests the state is K-way fragmented and every
+    screen pays K file opens per bucket — compaction restores one file
+    per bucket while PRESERVING the bucketing metadata (and therefore
+    the zero-corpus-shuffle screen plans pinned in test_bucketing.py).
+    THRESHOLD-DRIVEN (r10): the rewrite only runs when some bucket
+    exceeds ``compact_threshold`` files, so a daily crawl pays the
+    O(state) rewrite every ~threshold days, not every day — a fresh
+    base+delta fold sits at 2 waves and correctly skips.  A crash
+    mid-compaction lands in the same rebuild path as a crash mid-fold:
+    the table is briefly absent and the marker/tableExists guard
+    rebuilds — the marker semantics survive compaction because the
+    marker is never touched by it."""
     import os
 
-    from .layout import compact_bucketed_table
+    from .layout import maybe_compact_bucketed_table
     from .relational import ensure_layout_table, warehouse_path
 
     tbl = f"{prefix}{tag}"
@@ -854,7 +859,9 @@ def _ensure_folded_state(
         )
         open(marker, "w").close()
         if compact:
-            compact_bucketed_table(spark, tbl, n_buckets, key_cols)
+            maybe_compact_bucketed_table(
+                spark, tbl, n_buckets, key_cols, compact_threshold
+            )
     return spark.table(tbl)
 
 

@@ -294,6 +294,51 @@ def bucketed_table_file_count(spark: SparkSession, tbl: str) -> int:
     return n
 
 
+def bucket_fragmentation(spark: SparkSession, tbl: str) -> int:
+    """MAX parquet files in any single bucket of a managed bucketed
+    table — the per-screen cost metric threshold-driven compaction
+    watches (a screen touching bucket b opens ``fragmentation(b)``
+    files; the worst bucket bounds the tail).  Bucket ids parse from
+    the writer's ``_NNNNN.cNNN`` filename component; files without one
+    (none, for a bucketed writer) pool under a sentinel bucket."""
+    import os
+    import re
+
+    from .relational import warehouse_path
+
+    root = os.path.join(warehouse_path(spark), tbl.lower())
+    pat = re.compile(r"_(\d{5})\.c\d+")
+    counts: dict[int, int] = {}
+    for _dir, _sub, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                m = pat.search(f)
+                b = int(m.group(1)) if m else -1
+                counts[b] = counts.get(b, 0) + 1
+    return max(counts.values(), default=0)
+
+
+def maybe_compact_bucketed_table(
+    spark: SparkSession,
+    tbl: str,
+    n_buckets: int,
+    key_cols: list[str],
+    threshold: int = 4,
+) -> bool:
+    """Threshold-driven compaction cadence (VERDICT r9 item 4): compact
+    ``tbl`` only when some bucket holds MORE than ``threshold`` files,
+    so a daily-crawl fold pays the O(state) rewrite every ~``threshold``
+    ingests instead of every ingest — between compactions a screen pays
+    at most ``threshold`` file opens per bucket touched, the bounded
+    read amplification the threshold trades against write cost.
+    Returns whether a compaction ran.  Same caller contract as
+    ``compact_bucketed_table`` (see its Contract paragraph)."""
+    if bucket_fragmentation(spark, tbl) <= threshold:
+        return False
+    compact_bucketed_table(spark, tbl, n_buckets, key_cols)
+    return True
+
+
 def compact_bucketed_table(
     spark: SparkSession, tbl: str, n_buckets: int, key_cols: list[str]
 ) -> int:
@@ -321,11 +366,20 @@ def compact_bucketed_table(
 
     Swap semantics: the rewrite lands in ``<tbl>__compact`` ALONGSIDE
     the live table (readers of ``tbl`` are unaffected while it runs),
-    then DROP + RENAME cut over.  A crash between the two leaves the
-    table absent — the folded-state machinery's marker/tableExists guard
-    treats that exactly like its base-write crash window and rebuilds;
-    the stranded ``__compact`` table is dropped on the next pass's
-    entry.  Returns the post-compaction file count."""
+    then DROP + RENAME cut over.  Returns the post-compaction file
+    count.
+
+    Contract — CALLER MUST GUARD THE CRASH WINDOW: a crash between the
+    DROP and the RENAME leaves ``tbl`` absent (the Hive catalog has no
+    atomic two-table swap, so some one-statement absence window exists
+    under any statement ordering), and a crash before the DROP strands
+    a full-size ``<tbl>__compact``.  Every caller must therefore (a)
+    treat tableExists(tbl)==False as rebuild-from-source — the
+    ``_ensure_folded_state`` marker/tableExists guard, or a declared
+    query's drop-and-reseed-per-replay lifecycle — and (b) drop a
+    stale ``<tbl>__compact`` on entry (``_ensure_folded_state`` sweeps
+    it; this function also clears it at its own start).  Do NOT call
+    this on a table whose only copy of the data has no rebuild path."""
     tmp = f"{tbl}__compact"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"

@@ -1881,7 +1881,7 @@ pqallcomp AS (
     FROM pqallsub
 ),
 pqcodes AS (
-    SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, dist2 FROM (
         SELECT cb.vec_id, c.cluster,
                sum(CAST((cb.v - c.m) * (cb.v - c.m) AS DECIMAL(28,15)))
                    AS dist2
@@ -2128,12 +2128,43 @@ def _semantic_screen(
     )
 
 
+def _drift_trigger_frame(
+    fit_side: DataFrame, batch_side: DataFrame, refit_ratio: float
+) -> DataFrame:
+    """The stored-dist2 DRIFT TRIGGER as a 1-row frame (drift_ratio,
+    refit_recommended) — the ``pq_index_refit``/``semantic_index_drift``
+    trigger expression factored out so the incremental LOOPS evaluate it
+    after every fold (VERDICT r9 item 3: in production the crawl IS what
+    surfaces drift; a trigger nobody evaluates catches nothing).  Both
+    inputs carry STORED enrollment/encode dist2 — never a re-encode per
+    report: mean(batch dist2) / mean(fit-side dist2), rounded 6 dp, then
+    flagged past ``refit_ratio``.  Two driver-sized aggregates + a 1×1
+    cross join (the drift-ratio pattern every refit query uses)."""
+
+    def mean(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.round(
+                F.sum("dist2").cast("double") / F.count(F.lit(1)), 6
+            ).alias(name)
+        )
+
+    return (
+        mean(fit_side, "f")
+        .crossJoin(mean(batch_side, "b"))
+        .select(F.round(F.col("b") / F.col("f"), 6).alias("drift_ratio"))
+        .withColumn(
+            "refit_recommended", F.col("drift_ratio") > F.lit(refit_ratio)
+        )
+    )
+
+
 def dedup_semantic_incremental(
     spark: SparkSession,
     sf_dir: str,
     k: int = N_CENTROIDS,
     iterations: int = 3,
     threshold: float = SEMANTIC_THRESHOLD,
+    refit_ratio: float = 1.5,
 ) -> DataFrame:
     """TWO consecutive EMBEDDING ingests maintained against the persisted
     k-means index — ``dedup_incremental_tworound``'s closed loop applied
@@ -2156,11 +2187,19 @@ def dedup_semantic_incremental(
                 happened (pinned in test_llm_ops.py against a
                 stale-state screen).
 
-    Output: (ingest, vec_id, cluster, dist2, kept, dup_of) for both
-    batches — dist2 is the enrollment distance, the raw material of the
-    DRIFT metric (``semantic_index_drift``: when the batch's mean
-    enrollment dist2 pulls away from the fit-time mean, assign-only has
-    decayed and a refit is due; assign-vs-refit cost note in SCALE.md).
+    Output: (ingest, vec_id, cluster, dist2, kept, dup_of, drift_ratio,
+    refit_recommended) for both batches — dist2 is the enrollment
+    distance, and the DRIFT TRIGGER is now EVALUATED INSIDE THE LOOP
+    (r10 — VERDICT r9 item 3): each ingest's mean enrollment dist2 is
+    compared against the STORED corpus enrollment mean as of that
+    ingest's state (ingest 1 vs the day-0 persisted corpus score table;
+    ingest 2 vs the FOLDED score state = corpus ∪ ingest-1 survivors'
+    stored enrollments), so a drifted delivery surfaces
+    ``refit_recommended`` in the crawl's own report instead of waiting
+    for someone to run ``semantic_index_drift``.  The trigger reads
+    stored dist2 only — the corpus is never re-scored per report (the
+    ``pq_index_refit`` pay-once discipline; the corpus score table is a
+    one-time artifact like the centroid table).
 
     The DuckDB oracle replays everything as pure SQL — the exact-k-means
     chain, the final-centroid recompute, both batch constructions, the
@@ -2202,6 +2241,18 @@ def dedup_semantic_incremental(
     )
     v1_vecs = ensure_bucketed_table(
         spark, "semv_vecs_", tag, 8, ["vec_id"], lambda: corpus
+    )
+    # the STORED corpus enrollment vs the FINAL centroids — the drift
+    # trigger's fit-side baseline persisted pay-once (same-generation
+    # means, the semantic_index_drift discipline; re-scoring the corpus
+    # per report would be the exact cost the stored-only rule forbids)
+    v1_score = ensure_bucketed_table(
+        spark,
+        f"semv_score_{k}x{iterations}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: _assign_to_centroids(_quantized_components(emb), cent),
     )
 
     a1 = _assign_to_centroids(_quantized_components(b1), cent).localCheckpoint(
@@ -2256,6 +2307,19 @@ def dedup_semantic_incremental(
         lambda: kept1,
         compact=True,
     )
+    # the folded SCORE state: corpus stored enrollments ∪ the survivors'
+    # stored ingest-1 enrollments — ingest 2's drift baseline reflects
+    # what the index is actually serving after the fold
+    v2_score = _ensure_folded_state(
+        spark,
+        f"semvf_score_{param_tag}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: v1_score,
+        lambda: a1.join(kept_ids, "vec_id"),
+        compact=True,
+    )
 
     a2 = _assign_to_centroids(_quantized_components(b2), cent)
     keys2 = _sig_keys(
@@ -2266,8 +2330,13 @@ def dedup_semantic_incremental(
         NEARDUP_TABLES,
     )
     r2 = _semantic_screen(keys2, a2, v2_bands, v2_vecs, b2, threshold)
-    return r1.select(F.lit(1).alias("ingest"), "*").unionByName(
-        r2.select(F.lit(2).alias("ingest"), "*")
+    # the post-fold drift evaluation, per ingest against ITS state
+    d1 = _drift_trigger_frame(v1_score, a1, refit_ratio)
+    d2 = _drift_trigger_frame(v2_score, a2, refit_ratio)
+    return (
+        r1.select(F.lit(1).alias("ingest"), "*")
+        .crossJoin(d1)
+        .unionByName(r2.select(F.lit(2).alias("ingest"), "*").crossJoin(d2))
     )
 
 
@@ -2288,6 +2357,7 @@ def embedding_knn_ivfpq_incremental(
     ksub: int = PQ_KSUB,
     pq_iterations: int = PQ_ITERATIONS,
     query_mod: int = PQINC_QUERY_MOD,
+    refit_ratio: float = 1.5,
 ) -> DataFrame:
     """The PQ tier's MAINTENANCE LOOP as a declared query (VERDICT r7
     item 1 — the last member of the incremental family: text
@@ -2311,23 +2381,30 @@ def embedding_knn_ivfpq_incremental(
                IVF+PQ serving path against the FOLDED state: own coarse
                cell, ADC over the folded codes, top-1 by (adc, id).
 
-    Output: (q_id, nn_id, adc) — odd queries' nearest neighbors are
-    their b1 parents (nn_id in the 2xxxxx range) PRECISELY because the
-    fold happened (a stale-state index returns a corpus id instead —
-    pinned in test_llm_ops.py); even queries resolve to their corpus
-    source.  The DuckDB oracle replays the coarse chain, the sampled PQ
-    chain, both assign-only encodings, the fold (state = corpus ∪ b1),
-    and the ADC probe as pure SQL — the tworound contract, so the
-    maintenance SEMANTICS are hash-verified without the table mechanics.
+    Output: (q_id, nn_id, adc, drift_ratio, refit_recommended) — odd
+    queries' nearest neighbors are their b1 parents (nn_id in the
+    2xxxxx range) PRECISELY because the fold happened (a stale-state
+    index returns a corpus id instead — pinned in test_llm_ops.py);
+    even queries resolve to their corpus source.  The DRIFT TRIGGER is
+    evaluated INSIDE the loop (r10 — VERDICT r9 item 3): the folded
+    batch's STORED encode dist2 mean against the corpus code table's
+    stored mean (``pq_index_refit``'s trigger expression — both sides
+    pay-once persisted encodes, no re-encode per report), so a drifted
+    delivery flags ``refit_recommended`` in the crawl's own report.
+    The DuckDB oracle replays the coarse chain, the sampled PQ chain,
+    both assign-only encodings, the fold (state = corpus ∪ b1), the
+    ADC probe AND the trigger means as pure SQL — the tworound
+    contract, so the maintenance SEMANTICS are hash-verified without
+    the table mechanics.
 
     At 100 TB this is the daily embedding crawl against a served ANN
     index: each day's batch encodes assign-only (broadcast codebooks),
     appends O(batch) code/cell rows into the bucketed state, and is
     immediately findable by the next day's queries — the corpus is
     never re-encoded and the index never rebuilt (drift decides refits:
-    ``semantic_index_refit``)."""
+    ``semantic_index_refit``, now flagged by this loop's own trigger)."""
     from .dedup import _ensure_folded_state
-    from .relational import corpus_tag
+    from .relational import corpus_tag, ensure_bucketed_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _, b1, b2 = incremental_embedding_batches(spark, sf_dir)
@@ -2346,16 +2423,29 @@ def embedding_knn_ivfpq_incremental(
             "cluster",
         )
 
+    # the two STORED encode passes the drift trigger reads (pay-once,
+    # the pq_index_refit discipline): the shared corpus code table and
+    # b1's assign-only encode persisted WITH dist2 — the fold's code
+    # delta then splits from the stored table instead of re-encoding
+    codes_corpus = ensure_pq_codes_table(
+        spark, sf_dir, emb, m, ksub, pq_iterations
+    )
+    codes_b1 = ensure_bucketed_table(
+        spark,
+        f"pqvinc_b1d_{m}x{ksub}x{pq_iterations}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: _pq_assign_arrays(_pq_subvectors(b1, m), pq_cent, dims),
+    )
     state_codes = _ensure_folded_state(
         spark,
         f"pqvinc_codes_{m}x{ksub}x{pq_iterations}_",
         tag,
         8,
         ["ovec"],
-        lambda: split_codes(
-            ensure_pq_codes_table(spark, sf_dir, emb, m, ksub, pq_iterations)
-        ),
-        lambda: split_codes(_pq_assign_arrays(_pq_subvectors(b1, m), pq_cent, dims)),
+        lambda: split_codes(codes_corpus),
+        lambda: split_codes(codes_b1),
         compact=True,
     )
     state_cells = _ensure_folded_state(
@@ -2397,7 +2487,7 @@ def embedding_knn_ivfpq_incremental(
         .groupBy("q_id", "ovec")
         .agg(F.sum("dist2").alias("adc"))
     )
-    return (
+    top1 = (
         adc.groupBy("q_id")
         .agg(F.min(F.struct("adc", "ovec")).alias("t"))
         .select(
@@ -2405,6 +2495,11 @@ def embedding_knn_ivfpq_incremental(
             F.col("t.ovec").alias("nn_id"),
             F.round(F.col("t.adc").cast("double"), 6).alias("adc"),
         )
+    )
+    # the post-fold drift evaluation: folded delta's stored encode mean
+    # vs the corpus code table's stored mean — two aggregates, no encode
+    return top1.crossJoin(
+        _drift_trigger_frame(codes_corpus, codes_b1, refit_ratio)
     )
 
 
@@ -2415,13 +2510,15 @@ def _knn_ivfpq_incremental_oracle_sql(
     ksub: int = PQ_KSUB,
     pq_iterations: int = PQ_ITERATIONS,
     query_mod: int = PQINC_QUERY_MOD,
+    refit_ratio: float = 1.5,
 ) -> str:
     """DuckDB replica of ``embedding_knn_ivfpq_incremental``: coarse
     chain + final centroids, sampled PQ chain + full-corpus codes (the
     shared IVFPQ CTE helpers), both batch constructions (the shared
     ``_INC_B1_SQL``/``_INC_B2_SQL``), b1's assign-only coarse + PQ
-    encodings, the fold as pure SQL (state = corpus ∪ b1), and the
-    sampled ingest-2 ADC probe."""
+    encodings, the fold as pure SQL (state = corpus ∪ b1), the sampled
+    ingest-2 ADC probe, and the in-loop drift trigger (stored-encode
+    means, ratio, flag — the r10 surfacing)."""
     t = iterations + 1
     pt = pq_iterations + 1
     d_sub = 64 // m
@@ -2500,8 +2597,20 @@ adc AS (
     GROUP BY c.q_id, c.ovec),
 top1 AS (
     SELECT q_id, ovec, adc FROM adc
-    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc, ovec) = 1)
-SELECT q_id, ovec AS nn_id, round(CAST(adc AS DOUBLE), 6) AS adc FROM top1
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc, ovec) = 1),
+fitd AS (
+    SELECT round(CAST(sum(dist2) AS DOUBLE) / count(*), 6) AS mean
+    FROM pqcodes),
+batd AS (
+    SELECT round(CAST(sum(dist2) AS DOUBLE) / count(*), 6) AS mean
+    FROM b1codes),
+drift AS (
+    SELECT round(b.mean / f.mean, 6) AS drift_ratio,
+           round(b.mean / f.mean, 6) > {refit_ratio} AS refit_recommended
+    FROM fitd f CROSS JOIN batd b)
+SELECT q_id, ovec AS nn_id, round(CAST(adc AS DOUBLE), 6) AS adc,
+       d.drift_ratio, d.refit_recommended
+FROM top1 CROSS JOIN drift d
 """
 
 
@@ -3058,13 +3167,17 @@ def _dedup_semantic_incremental_oracle_sql(
     k: int = N_CENTROIDS,
     iterations: int = 3,
     threshold: float = SEMANTIC_THRESHOLD,
+    refit_ratio: float = 1.5,
 ) -> str:
     """DuckDB replica of ``dedup_semantic_incremental``: the raw-corpus
     exact-k-means chain, the final-centroid recompute, both batch
     constructions (perturb in a subquery, re-id outside — the
     lateral-alias discipline), exact-decimal assign-only enrollment,
-    salted SRP banding, both membership screens, and the fold as pure
-    SQL (state2 = corpus ∪ ingest-1 survivors)."""
+    salted SRP banding, both membership screens, the fold as pure SQL
+    (state2 = corpus ∪ ingest-1 survivors), and the in-loop drift
+    trigger — per-ingest stored-enrollment means against that ingest's
+    state (day-0 corpus score for ingest 1, folded score for ingest 2),
+    ratio and flag (the r10 surfacing)."""
     chain = _kmeans_exact_cte_chain(k, iterations)
     t = iterations + 1
 
@@ -3166,10 +3279,35 @@ m2 AS ({screen("cand2", "vecs2")}),
 r2 AS (
     SELECT a.vec_id, a.cluster, round(CAST(a.dist2 AS DOUBLE), 6) AS dist2,
            m.dup_of IS NULL AS kept, m.dup_of
-    FROM a_b2 a LEFT JOIN m2 m USING (vec_id))
-SELECT 1 AS ingest, * FROM r1
+    FROM a_b2 a LEFT JOIN m2 m USING (vec_id)),
+a_corp AS ({enroll("comp")}),
+fit1d AS (
+    SELECT round(CAST(sum(dist2) AS DOUBLE) / count(*), 6) AS mean
+    FROM a_corp),
+bat1d AS (
+    SELECT round(CAST(sum(dist2) AS DOUBLE) / count(*), 6) AS mean
+    FROM a_b1),
+fit2d AS (
+    SELECT round(CAST(sum(dist2) AS DOUBLE) / count(*), 6) AS mean
+    FROM (SELECT dist2 FROM a_corp
+          UNION ALL
+          SELECT a.dist2 FROM a_b1 a JOIN kept1 USING (vec_id))),
+bat2d AS (
+    SELECT round(CAST(sum(dist2) AS DOUBLE) / count(*), 6) AS mean
+    FROM a_b2),
+drift1 AS (
+    SELECT round(b.mean / f.mean, 6) AS drift_ratio,
+           round(b.mean / f.mean, 6) > {refit_ratio} AS refit_recommended
+    FROM fit1d f CROSS JOIN bat1d b),
+drift2 AS (
+    SELECT round(b.mean / f.mean, 6) AS drift_ratio,
+           round(b.mean / f.mean, 6) > {refit_ratio} AS refit_recommended
+    FROM fit2d f CROSS JOIN bat2d b)
+SELECT 1 AS ingest, r1.*, d.drift_ratio, d.refit_recommended
+FROM r1 CROSS JOIN drift1 d
 UNION ALL
-SELECT 2 AS ingest, * FROM r2
+SELECT 2 AS ingest, r2.*, d.drift_ratio, d.refit_recommended
+FROM r2 CROSS JOIN drift2 d
 """
 
 

@@ -1033,32 +1033,53 @@ def stream_table_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFram
 def _docs_split_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the tworound document INGESTS as a 2-file stream
     source: file 0 = ingest 1 (doc_id in [100000, 200000)), file 1 =
-    ingest 2 (doc_id >= 200000), with strictly increasing mtimes so a
-    ``maxFilesPerTrigger=1`` file stream replays them as two successive
-    micro-batches in ingest order — the ``_events_split_dir``
-    discipline on the documents table.  The batch CONTENT comes from
+    ingest 2 (doc_id >= 200000) — the batch CONTENT comes from
     ``operators.dedup.tworound_documents`` (one derivation — the
-    streaming twin must never re-spell the fixture), written via a
-    single-partition Spark write.  Idempotent via a source-md5 marker;
+    streaming twin must never re-spell the fixture)."""
+    from ..operators.dedup import tworound_documents
+
+    return _doc_batches_split_dir(
+        spark,
+        sf_dir,
+        "docsplit",
+        tworound_documents,
+        ((100000, 200000), (200000, None)),
+    )
+
+
+def _doc_batches_split_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    salt: str,
+    world_fn,
+    splits: tuple[tuple[int, int | None], ...],
+) -> str:
+    """Materialize a derived document universe as an N-file stream
+    source: file i holds ``world_fn(spark, sf_dir)`` restricted to the
+    i-th doc_id range, with strictly increasing mtimes so a
+    ``maxFilesPerTrigger=1`` file stream replays them as successive
+    micro-batches in delivery order — the ``_events_split_dir``
+    discipline on the documents table, shared by every streaming twin
+    of a multi-ingest batch query (one world derivation per pair — the
+    streaming spelling must never re-spell the fixture).  Written via
+    single-partition Spark writes; idempotent via a source-md5 marker;
     stale files pruned."""
     import glob as _glob
     import hashlib
     import json
     import shutil
 
-    from ..operators.dedup import tworound_documents
-
     src = os.path.join(sf_dir, "documents.parquet")
     with open(src, "rb") as fh:
         src_md5 = hashlib.md5(fh.read()).hexdigest()
-    tag = hashlib.md5(f"docsplit|{sf_dir}".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{salt}|{sf_dir}".encode()).hexdigest()[:8]
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".fixtures",
         f"docs_split_{tag}",
     )
     marker = os.path.join(out_dir, "_marker.json")
-    expected = {"ingest_000.parquet", "ingest_001.parquet"}
+    expected = {f"ingest_{i:03d}.parquet" for i in range(len(splits))}
     if os.path.exists(marker):
         with open(marker) as fh:
             meta = json.load(fh)
@@ -1069,9 +1090,9 @@ def _docs_split_dir(spark: SparkSession, sf_dir: str) -> str:
     for f in os.listdir(out_dir):
         if f.endswith(".parquet") and f not in expected:
             os.remove(os.path.join(out_dir, f))
-    world = tworound_documents(spark, sf_dir)
+    world = world_fn(spark, sf_dir)
     base_mtime = os.path.getmtime(src)
-    for i, (lo, hi) in enumerate(((100000, 200000), (200000, None))):
+    for i, (lo, hi) in enumerate(splits):
         batch = world.filter(F.col("doc_id") >= lo)
         if hi is not None:
             batch = batch.filter(F.col("doc_id") < hi)
@@ -1150,9 +1171,17 @@ def _strinc_apply_batch(
     # (whose spark.table the next trigger's screen resolves) would
     # keep serving the pre-fold file listing and silently re-admit
     # ingest-1 copies; refresh makes the fold visible (caught by
-    # the batch-twin differential during development)
-    spark.catalog.refreshTable(htbl)
-    spark.catalog.refreshTable(btbl)
+    # the batch-twin differential during development).  The
+    # threshold-driven compaction keeps a long-running crawl's state
+    # from fragmenting without paying the rewrite every trigger; a
+    # crash in its swap window is covered by this query's
+    # drop-and-reseed-per-replay lifecycle (the
+    # compact_bucketed_table caller contract)
+    from ..operators.layout import maybe_compact_bucketed_table
+
+    for tbl, keys in ((htbl, ["h"]), (btbl, ["band", "sig"])):
+        maybe_compact_bucketed_table(spark, tbl, 8, keys)
+        spark.catalog.refreshTable(tbl)
 
 
 def stream_dedup_incremental_query(
@@ -1255,4 +1284,216 @@ def stream_dedup_incremental_query(
     # that ever crosses to the driver is whatever the CALLER collects
     return spark.read.parquet(os.path.join(report_dir, "batch_*")).select(
         "ingest", "doc_id", "is_exact_dup", "is_near_dup", "kept"
+    )
+
+
+def _strmm_tables(tag: str, k: int, bands: int) -> dict[str, tuple[str, ...]]:
+    """The streaming multimodal loop's six state tables: name → bucket
+    keys.  One spelling for the seeder, the per-batch fold, and the
+    relation-cache refresh, so the set cannot drift."""
+    return {
+        f"strmm_hash_{k}x{bands}_{tag}": ("h",),
+        f"strmm_bands_{k}x{bands}_{tag}": ("band", "sig"),
+        f"strmm_imgh_{tag}": ("asset_id",),
+        f"strmm_imgb_{tag}": ("band", "bval"),
+        f"strmm_audh_{tag}": ("asset_id",),
+        f"strmm_audb_{tag}": ("band", "bval"),
+    }
+
+
+def _strmm_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    report_dir: str,
+    sf_dir: str,
+    tag: str,
+    k: int,
+    bands: int,
+) -> None:
+    """One micro-batch of the continuous MULTIMODAL crawl: infer which
+    delivery this is from the batch's own id range (never from
+    batch_id — a restarted stream renumbers batches, the id range is
+    content), load that delivery's media fingerprints, run all four
+    incremental screens against the six state tables AS OF NOW
+    (``_multimodal_screen``, the same shared function both batch
+    spellings use), COMMIT the per-batch report, then fold the KEPT
+    docs' rows into every tier's state.  Same retry contract as
+    ``_strinc_apply_batch``: a committed report makes the whole batch
+    a no-op."""
+    from ..operators.dedup import banded_signatures
+    from ..operators.multimodal import (
+        _ingest2_audio_batch_fixture_dir,
+        _ingest2_image_batch_fixture_dir,
+        _ingest_audio_batch_fixture_dir,
+        _ingest_image_batch_fixture_dir,
+        _phash_band_keys,
+    )
+    from ..operators.pipeline import _media_batch_fps, _multimodal_screen
+
+    bdir = os.path.join(report_dir, f"batch_{batch_id:05d}")
+    if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        return
+    bdf = batch_df.localCheckpoint(eager=True)
+    # delivery inference: one driver-sized scalar (an aggregate, never
+    # per-doc rows) — ingest 1 lives at +600000, ingest 2 at +700000
+    id_base = (bdf.agg(F.min("doc_id")).first()[0] // 100000) * 100000
+    if id_base == 600000:
+        img_dir = _ingest_image_batch_fixture_dir(spark, sf_dir)
+        aud_dir = _ingest_audio_batch_fixture_dir(spark, sf_dir)
+    else:
+        img_dir = _ingest2_image_batch_fixture_dir(spark, sf_dir)
+        aud_dir = _ingest2_audio_batch_fixture_dir(spark, sf_dir)
+    img_fps = _media_batch_fps(spark, img_dir, "png")
+    aud_fps = _media_batch_fps(spark, aud_dir, "wav")
+    tbls = list(_strmm_tables(tag, k, bands))
+    th, tb, ih, ib, ah, ab = (spark.table(t) for t in tbls)
+    rep = _multimodal_screen(
+        bdf, (th, tb), (ih, ib), (ah, ab), img_fps, aud_fps, k, bands, id_base
+    )
+    # COMMIT the report before any fold mutates state (the strinc
+    # discipline: pre-fold pin + retry guard + no driver collect)
+    (
+        rep.select(F.lit(batch_id + 1).cast("int").alias("ingest"), "*")
+        .write.mode("overwrite")
+        .parquet(bdir)
+    )
+    rep = spark.read.parquet(bdir).drop("ingest")
+    kept_ids = rep.filter(F.col("disposition") == "kept").select("doc_id")
+    kept_docs = bdf.join(kept_ids, "doc_id")
+    kept_bases = kept_ids.select((F.col("doc_id") - id_base).alias("asset_id"))
+
+    def rekey(fps: DataFrame) -> DataFrame:
+        # folded batch assets re-key to doc_id*10 + 3: slot 3 is unused
+        # by the corpus fixture scheme (base/gain/retouch take 0/1/2)
+        # and the full doc_id keeps ingest-1 and ingest-2 folds disjoint
+        # — one id must never name two entities in the state hash table
+        return fps.join(kept_bases, "asset_id").select(
+            ((F.col("asset_id") + id_base) * 10 + 3).alias("asset_id"),
+            "phash",
+        )
+
+    img_kept, aud_kept = rekey(img_fps), rekey(aud_fps)
+    deltas = (
+        kept_docs.select(F.md5("text").alias("h")).distinct(),
+        banded_signatures(kept_docs, k, bands).select("band", "sig").distinct(),
+        img_kept,
+        _phash_band_keys(img_kept),
+        aud_kept,
+        _phash_band_keys(aud_kept),
+    )
+    from ..operators.layout import maybe_compact_bucketed_table
+
+    for tbl, delta in zip(tbls, deltas):
+        keys = _strmm_tables(tag, k, bands)[tbl]
+        (
+            delta.write.mode("append")
+            .bucketBy(8, *keys)
+            .sortBy(*keys)
+            .saveAsTable(tbl)
+        )
+        # threshold-driven compaction cadence + outer-session relation
+        # cache refresh (crash window covered by the per-replay reseed)
+        maybe_compact_bucketed_table(spark, tbl, 8, list(keys))
+        spark.catalog.refreshTable(tbl)
+
+
+def stream_ingest_multimodal_query(
+    spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Declared query: the unified multimodal crawl LOOP as a
+    STRUCTURED STREAMING job — ``ingest_tworound_multimodal``'s exact
+    semantics (and therefore its exact ORACLE) executed by
+    ``foreachBatch`` over a two-delivery document stream: each
+    micro-batch runs all FOUR tiers' incremental screens (exact text
+    hash, MinHash-LSH bands, image perceptual hash, audio energy
+    fingerprint) against the six bucketed state tables AS OF ITS
+    TRIGGER, and its kept docs' rows — text md5 + band sigs, image
+    hashes + band keys, audio fingerprints + band keys — append back
+    before the next trigger fires.  Ingest 2's planted repeats of
+    ingest-1 keeps (d%8==6 text + audio re-record, d%8==7 image
+    retouch) flag as dups precisely because batch 1's all-tier fold
+    committed between triggers — the tworound contract at integration
+    width, continuous edition.
+
+    Streaming mechanics inherited from ``stream_dedup_incremental``:
+    per-batch report COMMITTED to a parquet sink before the fold
+    (pre-fold pin + retry no-op + no driver collect), fresh day-0
+    state snapshot per replay, availableNow with a scratch checkpoint,
+    relation-cache refresh after every table append.  The delivery's
+    media fixture pair is inferred from the batch's own id range, not
+    from batch_id — content decides, so a restarted stream that
+    renumbers batches still screens each delivery against the right
+    assets.
+
+    At 100 TB this is the production crawl loop entire: per trigger,
+    O(batch) screens against six pre-bucketed states, map-only media
+    decodes of the delivery's own files, O(kept) state appends, and a
+    distributed report sink — no corpus-sized pass and no driver-sized
+    per-doc data anywhere."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import _text_state_tables
+    from ..operators.multimodal import (
+        _afp_state_tables,
+        _phash_state_tables,
+    )
+    from ..operators.pipeline import ingest2_batch_docs, ingest_batch_docs
+    from ..operators.relational import corpus_tag, warehouse_path
+
+    tag = corpus_tag(sf_dir, "documents")
+    day0 = (
+        *_text_state_tables(spark, sf_dir, k, bands),
+        *_phash_state_tables(spark, sf_dir),
+        *_afp_state_tables(spark, sf_dir),
+    )
+    tbls = _strmm_tables(tag, k, bands)
+    for (tbl, keys), base in zip(tbls.items(), day0):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(
+            os.path.join(warehouse_path(spark), tbl), ignore_errors=True
+        )
+        base.write.bucketBy(8, *keys).sortBy(*keys).saveAsTable(tbl)
+    report_dir = os.path.join(warehouse_path(spark), f"strmm_report_{tag}")
+    shutil.rmtree(report_dir, ignore_errors=True)  # fresh sink per replay
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        _strmm_apply_batch(
+            spark, batch_df, batch_id, report_dir, sf_dir, tag, k, bands
+        )
+
+    sdir = _doc_batches_split_dir(
+        spark,
+        sf_dir,
+        "mmsplit",
+        lambda sp, sd: ingest_batch_docs(sp, sd).unionByName(
+            ingest2_batch_docs(sp, sd)
+        ),
+        ((600000, 700000), (700000, None)),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    base = tempfile.mkdtemp(prefix="fb_strmm_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.read.parquet(os.path.join(report_dir, "batch_*")).select(
+        "ingest",
+        "doc_id",
+        "is_exact_dup",
+        "is_near_dup",
+        "is_image_dup",
+        "is_audio_dup",
+        "disposition",
     )

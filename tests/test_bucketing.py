@@ -246,17 +246,17 @@ def test_tworound_fold_appends_delta_and_stays_corpus_shuffle_free(spark):
         == spark.table(f"corpus_bands_16x4_{tag}").count() + n_kept_bands
     )
 
-    # (a') the fold's compact=True left one file per non-empty bucket
-    # (the CREATE+APPEND wrote two waves; compaction restored the
-    # layout without touching rows — see
-    # test_compact_bucketed_table_one_file_per_bucket for the pre/post)
+    # (a') the fold's compact=True bounds per-bucket fragmentation at
+    # the compaction threshold (r10: the CREATE+APPEND's two waves sit
+    # UNDER the threshold, so the rewrite correctly skips — the cadence
+    # contract; see test_maybe_compact_threshold_paths for both sides)
     from firebird_mapreduce_spark.operators.layout import (
-        bucketed_table_file_count,
+        bucket_fragmentation,
     )
 
     for t in (f"inc2_hash_16x4_{tag}", f"inc2_bands_16x4_{tag}"):
-        n_files = bucketed_table_file_count(spark, t)
-        assert n_files <= 8, f"{t} fragmented: {n_files} files"
+        frag = bucket_fragmentation(spark, t)
+        assert 0 < frag <= 4, f"{t} fragmented past threshold: {frag}"
 
     # (b) plan: folded tables bucketed-scanned, exchanges batch-side only
     key = "spark.sql.autoBroadcastJoinThreshold"
@@ -350,18 +350,18 @@ def test_ivfpq_incremental_fold_state_and_plan(spark):
         == 2 * n_corpus * m
     )
     assert spark.table(f"pqvinc_cells_{k}x{it}_{tag}").count() == 2 * n_corpus
-    # (a') the fold's compact=True (r9) left both states at one file
-    # per non-empty bucket
+    # (a') the fold's compact=True bounds per-bucket fragmentation at
+    # the compaction threshold (r10 cadence contract)
     from firebird_mapreduce_spark.operators.layout import (
-        bucketed_table_file_count,
+        bucket_fragmentation,
     )
 
     for t in (
         f"pqvinc_codes_{m}x{ksub}x{pit}_{tag}",
         f"pqvinc_cells_{k}x{it}_{tag}",
     ):
-        n_files = bucketed_table_file_count(spark, t)
-        assert 0 < n_files <= 8, f"{t}: {n_files} files"
+        frag = bucket_fragmentation(spark, t)
+        assert 0 < frag <= 4, f"{t}: fragmentation {frag}"
 
     key = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(key, None)
@@ -424,12 +424,18 @@ def test_semantic_incremental_fold_state_and_plan(spark):
     try:
         df = S.dedup_semantic_incremental(spark, SF_SMOKE)
         plan = plan_string(df, "formatted")
-        assert plan.count("Bucketed: true") == 4, plan
+        # r10: 4 -> 5 — the in-loop drift trigger reads the persisted
+        # score state through one more bucketed scan (the means
+        # themselves scan without the bucket key — Bucketed: false)
+        assert plan.count("Bucketed: true") == 5, plan
         n = count_exchanges(df)
         # r8: 12 -> 10 — _assign_to_centroids now BROADCASTS the k·d
         # centroid side (its join key d has few distinct values, so the
-        # old shuffle join both serialized and cost two exchanges)
-        assert n == 10, f"exchanges={n} (expected 10)\n{plan}"
+        # old shuffle join both serialized and cost two exchanges).
+        # r10: 10 -> 12 — the drift trigger's stored-dist2 means add
+        # two single-partition aggregate exchanges (1-row frames, the
+        # driver-sized aggregate class, never corpus reshuffles)
+        assert n == 12, f"exchanges={n} (expected 12)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -537,3 +543,61 @@ def test_fastss_k2_index_join_zero_exchange(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_maybe_compact_threshold_paths(spark):
+    """The compaction CADENCE contract (r10 — VERDICT r9 item 4), both
+    sides: below the threshold the rewrite is SKIPPED (file layout
+    untouched — a daily fold must not pay an O(state) rewrite daily);
+    above it the rewrite runs and restores one file per bucket.  Rows
+    identical and the crash-guard marker untouched on both paths."""
+    import os
+
+    from firebird_mapreduce_spark.operators.layout import (
+        bucket_fragmentation,
+        bucketed_table_file_count,
+        maybe_compact_bucketed_table,
+    )
+    from firebird_mapreduce_spark.operators.relational import warehouse_path
+
+    tbl = "cadence_h_t10"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(warehouse_path(spark), tbl), ignore_errors=True
+    )
+    marker = os.path.join(warehouse_path(spark), f"_{tbl}_folded")
+    open(marker, "w").close()
+
+    def wave(lo: int, hi: int, mode: str) -> None:
+        # single-task wave → exactly one file per bucket per wave, so
+        # the fragmentation count below equals the wave count
+        (
+            spark.range(lo, hi)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .repartition(1)
+            .write.mode(mode)
+            .bucketBy(8, "h")
+            .sortBy("h")
+            .saveAsTable(tbl)
+        )
+
+    wave(0, 500, "overwrite")
+    wave(500, 1000, "append")  # 2 waves: at-or-under threshold
+    files_before = bucketed_table_file_count(spark, tbl)
+    assert bucket_fragmentation(spark, tbl) <= 4
+    assert maybe_compact_bucketed_table(spark, tbl, 8, ["h"]) is False
+    assert bucketed_table_file_count(spark, tbl) == files_before, (
+        "below-threshold fold paid a rewrite"
+    )
+    for i in range(2, 6):  # 4 more waves: some bucket exceeds 4 files
+        wave(i * 500, (i + 1) * 500, "append")
+    assert bucket_fragmentation(spark, tbl) > 4, "fixture not fragmented"
+    rows_pre = sorted(r.h for r in spark.table(tbl).collect())
+    assert maybe_compact_bucketed_table(spark, tbl, 8, ["h"]) is True
+    assert bucket_fragmentation(spark, tbl) == 1, "not one file per bucket"
+    assert sorted(r.h for r in spark.table(tbl).collect()) == rows_pre
+    assert os.path.exists(marker), "cadence pass must not touch the marker"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    os.unlink(marker)

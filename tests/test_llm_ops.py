@@ -1463,9 +1463,11 @@ def test_ingest_tworound_fold_proofs_all_tiers(spark):
     carries a retouch of its kept twin's image — is_image_dup; fresh
     docs (d%8 in (0..5) with new text/media in delivery 2) stay kept.
     The six folded state tables hold day-0 rows + the keeps' delta and
-    stay compact (<= 1 file per bucket) — compaction after the fold."""
+    stay within the compaction threshold per bucket — the r10 cadence
+    contract (a 2-wave fold sits under the threshold and skips the
+    rewrite; see test_maybe_compact_threshold_paths for both sides)."""
     from firebird_mapreduce_spark.operators.layout import (
-        bucketed_table_file_count,
+        bucket_fragmentation,
     )
     from firebird_mapreduce_spark.operators.pipeline import (
         ingest_tworound_multimodal,
@@ -1505,5 +1507,63 @@ def test_ingest_tworound_fold_proofs_all_tiers(spark):
         f"mmr_audh_{tag}",
         f"mmr_audb_{tag}",
     ):
-        n = bucketed_table_file_count(spark, t)
-        assert 0 < n <= 8, f"{t}: {n} files (fold not compacted)"
+        frag = bucket_fragmentation(spark, t)
+        assert 0 < frag <= 4, f"{t}: fragmentation {frag} past threshold"
+
+
+def test_drift_trigger_evaluated_inside_loops(spark):
+    """The in-loop drift surfacing (r10 — VERDICT r9 item 3), both
+    sides of the trigger:
+
+    (a) the loops' own in-distribution batches report drift_ratio ≈ 1
+        and refit_recommended False on every row (one constant pair per
+        ingest — the trigger fires on distribution shifts, not on
+        healthy crawls);
+    (b) a PLANTED drifted ingest (the mean-shifted batch every refit
+        query uses) evaluated through the same trigger expression
+        against the same STORED score baseline blows the ratio out and
+        fires the flag."""
+    import firebird_mapreduce_spark.operators.similarity as S
+    from firebird_mapreduce_spark.operators.relational import corpus_tag
+    from firebird_mapreduce_spark.sources import load_table
+
+    out = S.dedup_semantic_incremental(spark, SF_SMOKE)
+    pairs = {
+        r["ingest"]: r
+        for r in out.select(
+            "ingest", "drift_ratio", "refit_recommended"
+        ).distinct().collect()
+    }
+    assert set(pairs) == {1, 2}, "drift columns not constant per ingest"
+    for i in (1, 2):
+        assert not pairs[i]["refit_recommended"], pairs[i]
+        assert 0.5 < pairs[i]["drift_ratio"] < 1.5, pairs[i]
+    pq = {
+        tuple(r)
+        for r in S.embedding_knn_ivfpq_incremental(spark, SF_SMOKE)
+        .select("drift_ratio", "refit_recommended")
+        .distinct()
+        .collect()
+    }
+    assert len(pq) == 1 and not next(iter(pq))[1], pq
+
+    # (b) planted drift through the SAME trigger + stored baseline the
+    # loop evaluates (the semv_score_ table the loop run above ensured)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assign = S.ensure_kmeans_exact_table(
+        spark, SF_SMOKE, "raw", emb, S.N_CENTROIDS, 3
+    )
+    cent = S.ensure_centroid_table(
+        spark, SF_SMOKE, "raw", emb, assign, S.N_CENTROIDS, 3
+    )
+    tag = corpus_tag(SF_SMOKE, "embeddings")
+    baseline = spark.table(f"semv_score_{S.N_CENTROIDS}x3_{tag}")
+    drifted = S._assign_to_centroids(
+        S._quantized_components(S.drifted_embedding_batch(spark, SF_SMOKE)),
+        cent,
+    )
+    flag = S._drift_trigger_frame(baseline, drifted, 1.5).collect()[0]
+    assert flag["refit_recommended"], flag
+    assert flag["drift_ratio"] > 1.5, flag

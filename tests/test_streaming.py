@@ -1273,3 +1273,35 @@ def test_strinc_retry_batch_is_noop(spark):
     for tbl in (htbl, btbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(report_dir, ignore_errors=True)
+
+
+def test_stream_ingest_multimodal_equals_batch_twin(spark):
+    """The streaming multimodal crawl must equal
+    ``ingest_tworound_multimodal`` ROW-FOR-ROW (same semantics, same
+    oracle — the execution engine is the only difference), which
+    certifies the cross-trigger ALL-TIER fold: ingest 2's planted
+    repeats of ingest-1 keeps flag on the text, image AND audio tiers
+    only because batch 1's six state appends were visible to batch 2's
+    screens (relation-cache refresh across all six tables), and the
+    delivery→media-fixture pairing inferred from the batch's id range
+    picked the right assets per trigger."""
+    from firebird_mapreduce_spark.operators.pipeline import (
+        ingest_tworound_multimodal,
+    )
+    from firebird_mapreduce_spark.streaming.jobs import (
+        stream_ingest_multimodal_query,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    streamed = rows(stream_ingest_multimodal_query(spark, SF_SMOKE))
+    batch = rows(ingest_tworound_multimodal(spark, SF_SMOKE))
+    assert streamed == batch
+    by = {(r[0], r[1]): r for r in streamed}
+    media2 = [d for d in range(256) if (2, d + 700000) in by]
+    assert media2, "no media-carrying ingest-2 docs at this SF"
+    # all three folds non-vacuous in the streamed result
+    assert any(by[(2, d + 700000)][2] and by[(2, d + 700000)][5]
+               for d in media2 if d % 8 == 6), "text+audio fold not proven"
+    assert any(by[(2, d + 700000)][4]
+               for d in media2 if d % 8 == 7), "image fold not proven"
