@@ -53,21 +53,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER IS LOAD-BEARING: the round driver's correctness gate checks the
     first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
-    1-50 for ROUND 9: the 14 queries whose newest driver evidence is
-    r5-era LEAD (VERDICT r8 item 6 — after this round the evidence floor
-    advances to r6), then the 2 queries whose results or lifecycle
-    changed this round (``curation_pipeline_multimodal`` gained the
-    audio stage — eight columns now; ``dedup_incremental_tworound``
-    compacts its folded state after the fold), then the 4 r9 additions
-    (``pq_index_refit``, ``ingest_screen_multimodal``, and the late
-    ``ingest_tworound_multimodal`` / ``stream_dedup_incremental`` —
-    first driver rows, zero deferral), then re-checks of the oldest
-    remaining (r6-era) evidence.  The 17 r6-era queries left
-    un-re-checked are the
-    ones with the strongest collateral — an oracle-twin or near-twin
-    already re-checked; named in the window comment.  The union
-    r6 ∪ r7 ∪ r8 ∪ this window gives EVERY registered query a driver row
-    no older than r6, and every oracle-backed query a hash row in that
+    1-50 for ROUND 10: the 17 queries whose newest driver evidence is
+    r6-era LEAD (VERDICT r9 item 5 — after this round the evidence floor
+    advances to r7), then the 5 queries whose results or lifecycle
+    changed this round (``dedup_semantic_incremental`` and
+    ``embedding_knn_ivfpq_incremental`` gained the in-loop drift
+    columns; ``stream_dedup_incremental`` moved its report to a
+    per-batch sink; ``dedup_incremental_tworound`` and
+    ``ingest_tworound_multimodal`` fold under the threshold-driven
+    compaction cadence), then the 1 r10 addition
+    (``stream_ingest_multimodal`` — first driver row, zero deferral),
+    then 27 re-checks of the oldest remaining (r7-era) evidence.  The
+    21 r7-era queries left un-re-checked are the ones with the
+    strongest collateral — an oracle-twin or near-twin already
+    re-checked; named in the window comment.  The union
+    r7 ∪ r8 ∪ r9 ∪ this window gives EVERY registered query a driver row
+    no older than r7, and every oracle-backed query a hash row in that
     union (tests/test_docs_consistency.py asserts the invariant).  The
     full registry stays under the local gate regardless
     (tests/test_oracle_parity.py + tools/check_correctness.py).
@@ -417,129 +418,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Positions 1-50 of the registry for ROUND 9 (see queries() docstring).
+# Positions 1-50 of the registry for ROUND 10 (see queries() docstring).
 # Groups:
-# (a) the 14 r5-era leftovers LEAD, as VERDICT r8 item 6 prescribed —
+# (a) the 17 r6-era leftovers LEAD, as VERDICT r9 item 5 prescribed —
 #     after this round NO registered query's newest driver row is older
-#     than r6 (the evidence floor advances one round again);
+#     than r7 (the evidence floor advances one round again);
 # (b) queries whose RESULTS or LIFECYCLE changed this round, so their
-#     older rows are stale: curation_pipeline_multimodal (the audio
-#     near-dup stage landed — n_auddedup column, eight stages),
-#     dedup_incremental_tworound (the fold now compacts its state
-#     tables — rows identical, but the table lifecycle the row
-#     certifies changed);
-# (c) the r9 additions — first driver rows, zero deferral (the two
-#     late registrations displace one group-(d) re-check each, per the
-#     leave-out list);
-# (d) re-checks of the oldest remaining evidence (r6-era).  The 17 left
-#     at r6 evidence, chosen for the strongest collateral:
-#       audio_decode — dedup_audio_fingerprint (r8-green) runs the same
-#         RIFF walk + PCM decode end-to-end;
-#       image_decode — the multimodal funnel in group (b) decodes the
-#         same PNG path; dedup_images_phash r7-green;
-#       lang_id — lang_id_chargram re-checked here: the same classifier
-#         surface with the richer profile-table oracle;
-#       doc_length_stats — token_count and text_quality re-checked here
-#         over the same text-stat expressions;
-#       sliding_window_count — tumbling_window_count r8-green, same
-#         time-bucketing machinery (sliding = the 2-bucket explode);
-#       dedup_incremental — dedup_incremental_bucketed re-checked here:
-#         row-identical spelling, same oracle statement;
-#       dedup_semantic — dedup_semantic_multiassign re-checked here
-#         supersets its candidate rule; dedup_semantic_incremental
-#         r8-green on the same enrollment arithmetic;
-#       heavy_hitters_tokens — heavy_hitters_mixed r8-green: the
-#         forced-compression case of the same operator;
-#       bigram_logprob — unigram_logprob r8-green over the same LM
-#         scoring machinery (bigram adds the backoff mix);
-#       batch_session_window — range_join_sessionize r8-green covers
-#         the gap-merge sessionization semantics;
-#       cogroup_customer_orders — mapreduce_group_count in group (a)
-#         and grouped_agg_udaf r8-green cover the mapreduce.py surface;
-#       word_count — flatmap_tokenize and bigram_topk both r8-green
-#         over the same tokenize-explode-count path;
-#       try_arithmetic — scalar_functions re-checked here (the try_*
-#         variants share the expression family);
-#       unpivot_lineitem — pivot_events r8-green: the inverse reshape;
-#       string_agg_nations — scalar_functions re-checked here;
-#         group_sum_avg r8-green covers the grouped-agg path;
-#       window_moving_avg — displaced late-r9 by the unified-loop
-#         registration (the r7/r8 precedent): window_rank and
-#         window_lag_lead r8-green, ntile_ranks re-checked here — the
-#         same Window-frame machinery;
-#       binary_file_meta — displaced late-r9 by the streaming-loop
-#         registration: binary_meta r8-green over the same metadata
-#         expressions, and every media-tier query in groups (b)/(c)
-#         exercises the binaryFile source end-to-end.
-# Result: every registered query has a driver row in r6 ∪ r7 ∪ r8 ∪ this
+#     older rows are stale: dedup_semantic_incremental and
+#     embedding_knn_ivfpq_incremental (in-loop drift trigger — two new
+#     columns, new oracle CTEs), stream_dedup_incremental (per-batch
+#     report sink + retry guard replaced the driver-side collect),
+#     dedup_incremental_tworound and ingest_tworound_multimodal (folds
+#     now under the threshold-driven compaction cadence — rows
+#     identical, table lifecycle changed);
+# (c) the r10 addition — first driver row, zero deferral;
+# (d) re-checks of the oldest remaining evidence (r7-era).  The 21 left
+#     at r7 evidence, chosen for the strongest collateral:
+#       group_count — numbercount_10m re-checked here (the same
+#         count-by-key operator at the reference's published scale);
+#         mapreduce_group_count r9-green;
+#       group_sum_avg — conditional_agg re-checked here; rollup_revenue
+#         and group_min r9-green over the same grouped-agg path;
+#       percentile_stats / stats_moments — approx_percentile_stats and
+#         conditional_agg re-checked here: the same aggregate family,
+#         exact-vs-approx and moment spellings;
+#       dedup_exact_hash — distinct_dedup re-checked here (the same
+#         md5-groupBy path); dedup_incremental in group (a) probes the
+#         same hash state;
+#       dedup_minhash_lsh — dedup_cluster_cc re-checked here builds on
+#         the same minhash_pairs; dedup_incremental (group a) probes
+#         the same banded signatures;
+#       dedup_simhash — dedup_simhash64 r9-green: the 64-bit edition of
+#         the same operator;
+#       embedding_kmeans — the exact-k-means chain underlies
+#         dedup_semantic_incremental in group (b) end-to-end;
+#       embedding_knn — embedding_knn_ivf re-checked here (the brute
+#         scorer IS the IVF rerank);
+#       triangle_count — connected_components re-checked here over the
+#         same edge loader; recursive_cte_reachability r9-green;
+#       tumbling_window_count — sliding_window_count in group (a) (the
+#         2-bucket explode of the same machinery);
+#         stream_tumbling_window r9-green;
+#       topk_orders — global_sort_rank re-checked here; tpch_q3_topk /
+#         tpch_q18_topk r9-green over the same top-k pattern;
+#       reduce_side_join — left_outer_join and semi_anti_join r9-green
+#         over the same shuffle-join family;
+#       scan_project — text_quality / token_count r9-green are
+#         filter+project over the same table with pushdown pinned;
+#       frame_sample — image_features re-checked here (same decode +
+#         frame path); image_decode in group (a);
+#       vector_stats — embedding_knn_ivf re-checked here over the same
+#         embedding array arithmetic;
+#       deterministic_split — stratified_sample re-checked here (same
+#         hash-split discipline); split_leakage_check r9-green;
+#       revenue_share_window — window_rank and window_range_interval
+#         re-checked here, window_moving_avg in group (a) — the same
+#         Window-frame machinery;
+#       inverted_index — tfidf_top_terms re-checked here (the inverted
+#         index is its first half); bm25_topk r9-green;
+#       pack_training_chunks — curation_pipeline_full re-checked here
+#         runs the packing stage inside the funnel;
+#       quality_topk_per_lang — text_quality r9-green (same quality
+#         expressions); lang_mix_downsample / lateral_topk_per_nation
+#         r9-green (same grouped top-k shape).
+# Result: every registered query has a driver row in r7 ∪ r8 ∪ r9 ∪ this
 # window, every oracle-backed one a hash row in that union, and every
 # operator added this round gets first-row evidence
 # (tests/test_docs_consistency.py asserts the invariant).
 _DRIVER_WINDOW = [
-    # (a) the r5-era leftovers lead
-    "curation_pipeline",
-    "dedup_simhash64",
-    "group_min",
-    "lang_mix_downsample",
-    "left_outer_join",
-    "mapreduce_group_count",
-    "rollup_revenue",
-    "semi_anti_join",
-    "stream_group_count",
-    "stream_session_custom",
-    "stream_tumbling_window",
-    "tpch_q5_sql",
-    "variant_extract_events",
-    "zorder_key_events",
+    # (a) the r6-era leftovers lead
+    "audio_decode",
+    "batch_session_window",
+    "bigram_logprob",
+    "binary_file_meta",
+    "cogroup_customer_orders",
+    "dedup_incremental",
+    "dedup_semantic",
+    "doc_length_stats",
+    "heavy_hitters_tokens",
+    "image_decode",
+    "lang_id",
+    "sliding_window_count",
+    "string_agg_nations",
+    "try_arithmetic",
+    "unpivot_lineitem",
+    "window_moving_avg",
+    "word_count",
     # (b) changed this round — old rows stale
-    "curation_pipeline_multimodal",
-    "dedup_incremental_tworound",
-    # (c) the r9 additions — first driver rows
-    # (the late unified-loop registration displaces one group-(d)
-    # re-check — window_moving_avg — per the leave-out list above)
-    "pq_index_refit",
-    "ingest_screen_multimodal",
-    "ingest_tworound_multimodal",
+    "dedup_semantic_incremental",
+    "embedding_knn_ivfpq_incremental",
     "stream_dedup_incremental",
-    # (d) oldest-evidence re-checks (newest driver row is r6-era)
-    "bm25_topk",
-    "dedup_incremental_bucketed",
-    "dedup_paragraphs",
-    "dedup_semantic_multiassign",
-    "doc_fingerprint",
-    "dpp_join_events",
-    "embedding_knn_ivf_multiprobe",
-    "funnel_conversion",
-    "jdbc_roundtrip_nation",
-    "lang_id_chargram",
-    "lang_mix_temperature",
-    "ntile_ranks",
-    "recursive_cte_reachability",
-    "retention_cohorts",
-    "runtime_bloom_join",
-    "scalar_functions",
-    "snapshot_diff",
-    "snapshot_diff_bucketed",
-    "split_leakage_after_dedup",
-    "split_leakage_check",
-    "stream_incremental_agg",
-    "stream_table_fingerprint",
-    "table_fingerprint",
-    "text_quality",
-    "token_count",
-    "tpch_q18_topk",
-    "tpch_q1_pricing",
-    "tpch_q3_topk",
-    "udtf_chunk_documents",
-    "zorder4_key_events",
+    "dedup_incremental_tworound",
+    "ingest_tworound_multimodal",
+    # (c) the r10 addition — first driver row
+    "stream_ingest_multimodal",
+    # (d) oldest-evidence re-checks (newest driver row is r7-era)
+    "approx_percentile_stats",
+    "asof_purchase_prior_click",
+    "conditional_agg",
+    "connected_components",
+    "contamination_check",
+    "curation_pipeline_full",
+    "dedup_cluster_cc",
+    "dedup_images_phash",
+    "dedup_images_phash_incremental",
+    "dedup_ngram_jaccard",
+    "distinct_dedup",
+    "embedding_knn_ivf",
+    "embedding_lsh_ann",
+    "fuzzy_match_names_k2",
+    "global_sort_rank",
+    "grouped_agg_udaf",
+    "grouping_sets_revenue",
+    "image_features",
+    "numbercount_10m",
+    "pii_redact",
+    "range_join_sessionize",
+    "stratified_sample",
+    "text_repetition",
+    "tfidf_top_terms",
+    "timeseries_gapfill",
+    "window_range_interval",
+    "window_rank",
 ]
 
 
 # Queries registered AFTER the current window was pinned at its 50-slot
 # capacity (the driver hash-checks only positions 1-50 per round); each
 # would be covered by the LOCAL parity gate until its rotation slot.
-# EMPTY as of r9 (fourth consecutive round): both net-new registrations
-# took window slots — any r10 registration must either fit the next
+# EMPTY as of r10 (fifth consecutive round): the net-new registration
+# took a window slot — any r11 registration must either fit the next
 # window's leftover capacity or land here visibly, never silently.
 _PENDING_NEXT_WINDOW: list[str] = []
 

@@ -179,6 +179,12 @@ HEADLINE = [
     # state tables + their compaction, runs 1+ are two full deliveries
     # through the screens (the day-over-day steady cost)
     "ingest_tworound_multimodal",
+    # r10: the unified crawl loop as a STREAMING job — each run replays
+    # two multimodal deliveries under foreachBatch (fresh day-0 state
+    # per replay by design, so every run pays seed + 2 triggers + folds:
+    # the honest continuous-crawl cost, vs its batch twin's amortized
+    # steady state above)
+    "stream_ingest_multimodal",
 ]
 
 # Bench-set ROTATION POLICY (r9, VERDICT r8 item 5): the stdout line has
@@ -204,6 +210,45 @@ RETIRED = {
     "quality_filter_c4": "both curation funnels run the same rule gate",
     "skewed_rank_events": "skew_join_events covers the skew family",
 }
+
+# The re-entry half of the rotation policy, made MECHANICAL (r10 —
+# VERDICT r9 item 7: the rule said "re-enters when its code next
+# changes" but nothing detected a change): each retiree's query source
+# is hashed at retirement time; ``stale_retirees`` compares the live
+# source against the recorded hash, and test_docs_consistency FAILS the
+# build when a retiree's code changed without it re-entering HEADLINE —
+# re-entering (and re-recording the hash after the next retirement
+# review) is the documented fix.
+RETIRED_SOURCE_MD5 = {
+    "audio_decode": "69fe038d49bbbb6de9696859dceec81b",
+    "batch_session_window": "66d2a927a0dfa927249567e060cbff10",
+    "bigram_logprob": "cafd33af145842e2b155f2cf53ce5cb6",
+    "dedup_incremental": "90f1f64a082f9283574449857ee2aa65",
+    "dedup_ngram_jaccard": "9410e20b3ea2ee8765a0fab823c783d7",
+    "dedup_semantic": "c44e6d00b3d146be5c50367d1bf0bfe9",
+    "heavy_hitters_tokens": "450a42d559fa8771a54e6ee8c606311a",
+    "quality_filter_c4": "ed98c0a2f688520a8169d30dbf3d15bc",
+    "skewed_rank_events": "797c9ddcab6d8547382e87a096dc09c8",
+}
+
+
+def query_source_md5(name: str) -> str:
+    """md5 of a registered query's function source — the change signal
+    the retirement policy's re-entry branch watches."""
+    import hashlib
+    import inspect
+
+    return hashlib.md5(
+        inspect.getsource(entrymod.queries()[name]).encode()
+    ).hexdigest()
+
+
+def stale_retirees(hashes: dict[str, str] | None = None) -> list[str]:
+    """Retired entries whose query source changed since retirement — by
+    policy these MUST re-enter HEADLINE.  ``hashes`` overrides the
+    recorded table so tests can exercise the detection branch."""
+    table = RETIRED_SOURCE_MD5 if hashes is None else hashes
+    return sorted(n for n, h in table.items() if query_source_md5(n) != h)
 
 
 def run_query(df) -> None:

@@ -42,19 +42,18 @@ def test_every_query_named_in_coverage():
 
 
 def test_driver_window_covers_every_query():
-    """Round-9 invariant — the evidence floor ADVANCES to r6 (VERDICT r8
-    item 6: the fourteen r5-era leftovers lead this window, so r5 rows
-    are no longer needed by any query): (1) every REGISTERED query has a
-    driver row in r6 ∪ r7 ∪ r8 ∪ this round's 50-query window; (2) every
-    ORACLE-BACKED query has a hash row in that union.  Queries whose
-    RESULTS or LIFECYCLE changed this round
-    (curation_pipeline_multimodal — the audio stage,
-    dedup_incremental_tworound — the state compaction) must sit IN the
-    window — their older rows certify a different computation.  The
-    pending list is EMPTY again (net-new registrations capped to window
-    slots); the mechanism stays so any future overflow is visible,
-    never silent.  (The driver checks only the first 50 registered
-    queries per round.)"""
+    """Round-10 invariant — the evidence floor ADVANCES to r7 (VERDICT
+    r9 item 5: the seventeen r6-era leftovers lead this window, so r6
+    rows are no longer needed by any query): (1) every REGISTERED query
+    has a driver row in r7 ∪ r8 ∪ r9 ∪ this round's 50-query window;
+    (2) every ORACLE-BACKED query has a hash row in that union.
+    Queries whose RESULTS or LIFECYCLE changed this round (the in-loop
+    drift columns, the streaming report sink, the compaction cadence)
+    must sit IN the window — their older rows certify a different
+    computation.  The pending list is EMPTY again (net-new
+    registrations capped to window slots); the mechanism stays so any
+    future overflow is visible, never silent.  (The driver checks only
+    the first 50 registered queries per round.)"""
     import json
 
     queries = list(entrymod.queries())
@@ -63,31 +62,31 @@ def test_driver_window_covers_every_query():
     assert window == entrymod._DRIVER_WINDOW
     assert len(set(window)) == 50
     rounds = [
-        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (6, 7, 8)
+        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (7, 8, 9)
     ]
     driver_rows = set().union(*rounds)
     hash_green = set().union(
         *({k for k, v in r.items() if v.get("hash_match")} for r in rounds)
     )
     pending = set(entrymod._PENDING_NEXT_WINDOW)
-    assert pending == set(), "r9 contract: zero registrations left pending"
+    assert pending == set(), "r10 contract: zero registrations left pending"
     assert pending.isdisjoint(window), "pending query already in window"
     for changed in (
-        "curation_pipeline_multimodal",
-        "dedup_incremental_tworound",
-        "pq_index_refit",
-        "ingest_screen_multimodal",
-        "ingest_tworound_multimodal",
+        "dedup_semantic_incremental",
+        "embedding_knn_ivfpq_incremental",
         "stream_dedup_incremental",
+        "dedup_incremental_tworound",
+        "ingest_tworound_multimodal",
+        "stream_ingest_multimodal",
     ):
-        assert changed in window, f"{changed} changed in r9 but not in window"
+        assert changed in window, f"{changed} changed in r10 but not in window"
     for name in queries:
         assert name in driver_rows or name in window or name in pending, (
-            f"{name} has no driver row newer than r5"
+            f"{name} has no driver row newer than r6"
         )
         if name in oracles:
             assert name in hash_green or name in window or name in pending, (
-                f"{name} is oracle-backed but has no r6+ hash-green "
+                f"{name} is oracle-backed but has no r7+ hash-green "
                 "driver row"
             )
 
@@ -156,4 +155,28 @@ def test_bench_rotation_policy_capacity_and_registry():
     assert len(line) + 1 <= 1950, (
         f"2-dp render is {len(line)} chars — retire more entries "
         "before adding new ones"
+    )
+
+
+def test_bench_retirement_reentry_branch():
+    """The rotation policy's RE-ENTRY branch (r10 — VERDICT r9 item 7):
+    the retirement table records each retiree's query-source md5, and a
+    retiree whose code changes must re-enter HEADLINE.  Both sides: the
+    live repo has no stale retirees (every retiree's source still
+    matches its recorded hash — otherwise this build fails until the
+    query re-enters), and the detection actually detects (a planted
+    wrong hash surfaces exactly that query)."""
+    import bench
+
+    assert set(bench.RETIRED_SOURCE_MD5) == set(bench.RETIRED), (
+        "every retiree needs a recorded source hash, and only retirees"
+    )
+    stale = bench.stale_retirees()
+    assert stale == [], (
+        f"retired queries changed without re-entering HEADLINE: {stale}"
+    )
+    victim = sorted(bench.RETIRED)[0]
+    planted = dict(bench.RETIRED_SOURCE_MD5, **{victim: "0" * 32})
+    assert bench.stale_retirees(planted) == [victim], (
+        "the re-entry detector failed to flag a changed retiree"
     )
