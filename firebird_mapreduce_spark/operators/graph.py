@@ -56,6 +56,7 @@ def sssp(
     state_merge: str = "auto",
     hops_per_round: int = 1,
     probe: str = "observe",
+    trace: list | None = None,
 ) -> DataFrame:
     """Single-source shortest paths by frontier relaxation to fixpoint.
 
@@ -127,7 +128,17 @@ def sssp(
     this variant too).  A/B at the 18k syn graph in SCALE.md; keep 1
     (the default) where per-round candidate volume, not round count,
     dominates — i.e. at real scale.
+
+    ``trace`` (measurement hook, ``tools/measure_sssp_iterations.py``):
+    a list that receives one ``(iteration, probe_window_seconds,
+    n_improved)`` tuple per PROBE under the ``observe`` spelling — with
+    ``checkpoint_every=1`` that is a true per-round wall + frontier-size
+    breakdown (the SCALE.md scheduler-floor evidence).  ``None`` (the
+    default) adds zero work.
     """
+    import time as _time
+
+    window_t0 = _time.perf_counter()
     edges = edges.select(
         F.col("src").cast("long"),
         F.col("dst").cast("long"),
@@ -223,7 +234,17 @@ def sssp(
                     obs,
                     F.sum(F.col("improved").cast("long")).alias("n_improved"),
                 ).localCheckpoint(eager=True)
-                if not obs.get["n_improved"]:
+                n_improved = obs.get["n_improved"]
+                if trace is not None:
+                    trace.append(
+                        (
+                            it,
+                            round(_time.perf_counter() - window_t0, 3),
+                            int(n_improved or 0),
+                        )
+                    )
+                    window_t0 = _time.perf_counter()
+                if not n_improved:
                     break
             else:
                 state = state.localCheckpoint(eager=False)
