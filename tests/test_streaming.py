@@ -1305,3 +1305,63 @@ def test_stream_ingest_multimodal_equals_batch_twin(spark):
                for d in media2 if d % 8 == 6), "text+audio fold not proven"
     assert any(by[(2, d + 700000)][4]
                for d in media2 if d % 8 == 7), "image fold not proven"
+
+
+def test_strinc_long_crawl_fragmentation_bounded(spark):
+    """A LONG-RUNNING crawl's state must not fragment without bound
+    (r10 — the cadence's reason to exist in the streaming loop): six
+    consecutive micro-batch folds through ``_strinc_apply_batch``, then
+    assert every state table's worst bucket holds at most the
+    compaction threshold's file count.  Without the in-loop
+    ``maybe_compact_bucketed_table`` each fold appends
+    tasks-per-delta × 1 files per bucket and the screen's per-bucket
+    open count grows with crawl age."""
+    import os
+    import shutil
+
+    from firebird_mapreduce_spark.operators.dedup import banded_signatures
+    from firebird_mapreduce_spark.operators.layout import bucket_fragmentation
+    from firebird_mapreduce_spark.operators.relational import warehouse_path
+    from firebird_mapreduce_spark.streaming.jobs import _strinc_apply_batch
+    from pyspark.sql import functions as F
+
+    htbl, btbl = "test_strinc_crawl_hash", "test_strinc_crawl_bands"
+    report_dir = os.path.join(warehouse_path(spark), "test_strinc_crawl_rep")
+    shutil.rmtree(report_dir, ignore_errors=True)
+    docs = spark.createDataFrame(
+        [(i, f"seed document {i} " + "tok " * 20) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    for tbl, keys, base in (
+        (htbl, ["h"], docs.select(F.md5("text").alias("h")).distinct()),
+        (
+            btbl,
+            ["band", "sig"],
+            banded_signatures(docs, 16, 4).select("band", "sig").distinct(),
+        ),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(
+            os.path.join(warehouse_path(spark), tbl), ignore_errors=True
+        )
+        base.write.bucketBy(8, *keys).sortBy(*keys).saveAsTable(tbl)
+    for day in range(6):
+        batch = spark.createDataFrame(
+            [
+                (1000 + day * 10 + j, f"day {day} doc {j} " + "tok " * 20)
+                for j in range(3)
+            ],
+            "doc_id bigint, text string",
+        )
+        _strinc_apply_batch(spark, batch, day, report_dir, htbl, btbl, 16, 4)
+    for tbl in (htbl, btbl):
+        frag = bucket_fragmentation(spark, tbl)
+        assert 0 < frag <= 4, (
+            f"{tbl}: fragmentation {frag} after 6 folds — cadence broken"
+        )
+    # all six reports committed, each batch-sized
+    n_rep = spark.read.parquet(os.path.join(report_dir, "batch_*")).count()
+    assert n_rep == 18
+    for tbl in (htbl, btbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(report_dir, ignore_errors=True)
