@@ -412,6 +412,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sink (pre-fold pin + retry no-op, no driver collect);
         # ingest_tworound_multimodal's semantics (and oracle) verbatim
         "stream_ingest_multimodal": SJ.stream_ingest_multimodal_query,
+        # r10: hybrid retrieval — BM25 sparse top-20 (bm25_topk's scored
+        # core shared verbatim) ⊕ exact-cosine dense top-20
+        # (embedding_knn's ranking), fused with reciprocal-rank fusion
+        # k=60; both arms TakeOrderedAndProject cuts, ranks assigned on
+        # the k-row frames, exact-decimal fusion terms
+        "hybrid_retrieval_rrf": S.hybrid_retrieval_rrf,
+        # r10: int8 scalar-quantized ANN — per-vector symmetric SQ8
+        # codes (map-only codegen quantization, 1 byte/dim), exact
+        # BIGINT integer dot product, one rounded final rescale; the
+        # serving tier between raw float32 kNN and IVFPQ
+        "embedding_sq8_knn": S.embedding_sq8_knn,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
@@ -545,11 +556,15 @@ _DRIVER_WINDOW = [
 
 # Queries registered AFTER the current window was pinned at its 50-slot
 # capacity (the driver hash-checks only positions 1-50 per round); each
-# would be covered by the LOCAL parity gate until its rotation slot.
-# EMPTY as of r10 (fifth consecutive round): the net-new registration
-# took a window slot — any r11 registration must either fit the next
-# window's leftover capacity or land here visibly, never silently.
-_PENDING_NEXT_WINDOW: list[str] = []
+# is covered by the LOCAL parity gate (tests/test_oracle_parity.py,
+# tools/check_correctness.py) until its rotation slot.  Two r10 late
+# registrations (hybrid retrieval fusion, SQ8 ANN) landed after the
+# window was pinned — they take r11 window slots for their first driver
+# rows; the mechanism stays so overflow is visible, never silent.
+_PENDING_NEXT_WINDOW: list[str] = [
+    "hybrid_retrieval_rrf",
+    "embedding_sq8_knn",
+]
 
 
 # Char-trigram language-ID oracle, generated from the SAME profile table
@@ -2915,6 +2930,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM j)
             WHERE rn <= 3
         """,
+        # r10: BM25 CTE chain shared with bm25_topk + the embedding_knn
+        # cosine ranking, both ranked at depth 20, full-outer RRF fusion
+        # on exact DECIMAL(18,9) 1/(60+rank) terms
+        "hybrid_retrieval_rrf": S.HYBRID_RETRIEVAL_RRF_ORACLE_SQL,
+        # r10: SQ8 — same quantization spelling (round(x·127/max|x|)),
+        # exact BIGINT code dot product, one mirrored final rescale
+        "embedding_sq8_knn": S.EMBEDDING_SQ8_KNN_ORACLE_SQL,
     }
     # the streaming twins share their batch loops' oracles VERBATIM —
     # same semantics (and therefore the same hash), different execution

@@ -185,6 +185,16 @@ HEADLINE = [
     # the honest continuous-crawl cost, vs its batch twin's amortized
     # steady state above)
     "stream_ingest_multimodal",
+    # r10 (late): hybrid sparse⊕dense retrieval — both arms top-k cuts,
+    # so the cost is BM25's one per-doc shuffle + a brute cosine map.
+    # Its sibling registration embedding_sq8_knn is NOT benched: the
+    # 2000-char capture budget admits one new slot and no current entry
+    # met the retirement policy's stability bar this window (every
+    # sub-second candidate swung >1.2 across r7-r9 with host load);
+    # its cost twin embedding_knn (same map + top-k shape, 4x the scan
+    # bytes) is already timed, and sq8 stays oracle-checked like every
+    # registered query.
+    "hybrid_retrieval_rrf",
 ]
 
 # Bench-set ROTATION POLICY (r9, VERDICT r8 item 5): the stdout line has

@@ -3439,3 +3439,272 @@ KNN_IVFPQ_INCREMENTAL_ORACLE_SQL = _knn_ivfpq_incremental_oracle_sql()
 SEMANTIC_INDEX_REFIT_ORACLE_SQL = _semantic_index_refit_oracle_sql()
 PQ_INDEX_REFIT_ORACLE_SQL = _pq_index_refit_oracle_sql()
 KNN_IVFPQ_ORACLE_SQL = _knn_ivfpq_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval (sparse BM25 + dense cosine, reciprocal-rank fusion)
+# and int8 scalar-quantized ANN — the two serving tiers a retrieval
+# pipeline adds between "exact brute force" and "PQ-compressed index".
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_DEPTH = 20
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 sparse top-20 ⊕ dense cosine top-20 fused
+    with reciprocal-rank fusion (RRF, k=60) — the standard way a RAG /
+    contamination-search pipeline combines a lexical index with an
+    embedding index when their scores are incomparable.  The sparse arm
+    is ``text.bm25_scored`` (the fixed 3-term query, shared verbatim
+    with ``bm25_topk``); the dense arm is the exact cosine ranking of
+    ``embedding_knn`` (query = vec_id 0's embedding, self excluded);
+    the doc_id/vec_id key spaces coincide by corpus construction.
+
+    Scale shape: each arm is a ``TakeOrderedAndProject`` top-k cut — the
+    full corpus is never globally sorted and never leaves the executors
+    except as k rows.  Rank assignment (``row_number`` over a
+    no-partition window) runs AFTER the cut, on a k-row frame — the
+    single-task window that is an anti-pattern on a corpus is free on
+    20 rows.  The fusion itself is a full-outer join of two 20-row
+    frames: driver-sized by construction, broadcast if it ever joined
+    anything bigger.  At 100 TB each arm's cost is its own query's
+    (one shuffle for BM25's per-doc agg; a map + top-k for cosine);
+    fusion adds nothing measurable.
+
+    Oracle discipline: ranks are small exact integers; each RRF term is
+    ``round(1.0/(60+rank), 9)`` carried as DECIMAL(18,9) so the 2-term
+    sum is exact and the final ordering (fused DESC, doc_id ASC) can
+    never hinge on a float divergence.  Absent-arm terms are exact
+    decimal zero."""
+    from .text import bm25_scored
+    from pyspark.sql import Window
+
+    def rrf_term(rank_col: str):
+        term = F.round(
+            F.lit(1.0) / (F.lit(60.0) + F.col(rank_col).cast("double")), 9
+        ).cast("decimal(18,9)")
+        return F.coalesce(term, F.lit(0).cast("decimal(18,9)"))
+
+    # sparse arm: exact-decimal BM25 cut to top-20, then ranked
+    sparse_top = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("_total"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    w_sparse = Window.orderBy(F.desc("_total"), F.asc("doc_id"))
+    sparse_rank = sparse_top.select(
+        "doc_id", F.row_number().over(w_sparse).alias("sparse_rank")
+    )
+
+    # dense arm: exact cosine (round 6 dp) cut to top-20, then ranked
+    query = _query_vector(spark, sf_dir, QUERY_VEC_ID)
+    dense_top = cosine_topk(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") != QUERY_VEC_ID
+        ),
+        query,
+        RRF_DEPTH,
+    )
+    w_dense = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    dense_rank = dense_top.select(
+        "vec_id", F.row_number().over(w_dense).alias("dense_rank")
+    )
+
+    fused = sparse_rank.join(
+        dense_rank,
+        sparse_rank["doc_id"] == dense_rank["vec_id"],
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+        "sparse_rank",
+        "dense_rank",
+        (rrf_term("sparse_rank") + rrf_term("dense_rank")).alias("_fused"),
+    )
+    return (
+        fused.orderBy(F.desc("_fused"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "sparse_rank",
+            "dense_rank",
+            F.col("_fused").cast("double").alias("rrf_score"),
+        )
+    )
+
+
+HYBRID_RETRIEVAL_RRF_ORACLE_SQL = """
+WITH tk AS (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents),
+pd AS (SELECT doc_id, count(*) AS dl,
+              sum(CASE WHEN token = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+              sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf_join,
+              sum(CASE WHEN token = 'scan' THEN 1 ELSE 0 END) AS tf_scan
+       FROM tk GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+              sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+              sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+              sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan
+       FROM pd),
+sc AS (SELECT doc_id,
+              (CASE WHEN tf_hash > 0 THEN CAST(round(
+                   round(ln((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5)
+                            / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0), 9)
+                   * (CAST(tf_hash AS DOUBLE) * 2.2)
+                   / (CAST(tf_hash AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9)
+                   AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+              + (CASE WHEN tf_join > 0 THEN CAST(round(
+                   round(ln((CAST(n_docs AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5)
+                            / (CAST(df_join AS DOUBLE) + 0.5) + 1.0), 9)
+                   * (CAST(tf_join AS DOUBLE) * 2.2)
+                   / (CAST(tf_join AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9)
+                   AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+              + (CASE WHEN tf_scan > 0 THEN CAST(round(
+                   round(ln((CAST(n_docs AS DOUBLE) - CAST(df_scan AS DOUBLE) + 0.5)
+                            / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0), 9)
+                   * (CAST(tf_scan AS DOUBLE) * 2.2)
+                   / (CAST(tf_scan AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9)
+                   AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+                  AS total
+       FROM pd, st),
+sparse AS (
+    SELECT doc_id, row_number() OVER (ORDER BY total DESC, doc_id ASC)
+               AS sparse_rank
+    FROM sc WHERE total > 0
+    ORDER BY total DESC, doc_id ASC LIMIT 20),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+dsc AS (
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
+    FROM embeddings, q WHERE vec_id <> 0),
+dense AS (
+    SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+               AS dense_rank
+    FROM dsc
+    ORDER BY sim DESC, vec_id ASC LIMIT 20),
+fused AS (
+    SELECT COALESCE(s.doc_id, d.vec_id) AS doc_id,
+           s.sparse_rank, d.dense_rank,
+           COALESCE(CAST(round(1.0 / (60.0 + CAST(s.sparse_rank AS DOUBLE)), 9)
+                         AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9)))
+           + COALESCE(CAST(round(1.0 / (60.0 + CAST(d.dense_rank AS DOUBLE)), 9)
+                           AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9)))
+               AS fused
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.vec_id)
+SELECT doc_id, sparse_rank, dense_rank, CAST(fused AS DOUBLE) AS rrf_score
+FROM fused
+ORDER BY fused DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+SQ8_DENOM = 127.0 * 127.0  # 16129.0, the two per-vector scale divisors
+
+
+def embedding_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN (SQ8): per-vector symmetric
+    quantization to int8 codes (code_j = round(127·x_j / max|x|), so
+    codes ∈ [-127, 127] by construction), then symmetric top-10 scoring
+    against the quantized query — the 4×-compression serving tier every
+    vector store offers between raw float32 and PQ
+    (``embedding_knn_ivfpq``): 1 byte/dim, no codebook to train, ~1%
+    recall loss.
+
+    Scale shape: quantization is a map-only projection (array lambdas in
+    whole-stage codegen — no UDF, no shuffle); at 100 TB the quantized
+    corpus is written once and served at a quarter of the scan bytes.
+    Scoring is the same map + ``TakeOrderedAndProject`` as brute-force
+    kNN, but the inner loop is an INTEGER dot product.  The query row is
+    quantized with the same expressions and broadcast (1-row cross
+    join).
+
+    Oracle discipline: the int×int dot product accumulates exactly in
+    BIGINT — no float reduction order anywhere in the hot loop.  The
+    only float steps are the per-vector max|x| (order-independent fold)
+    and ONE final rescale ``round(maxabs_a · maxabs_q · dot / 127², 6)``
+    with the operation order mirrored in the SQL, so Spark and DuckDB
+    agree bit-for-bit.  Zero vectors (max|x| = 0) are excluded on both
+    sides (their cosine is undefined)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+            ).alias("maxabs"),
+        )
+        .filter(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            "maxabs",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(
+                    x.cast("double") * F.lit(127.0) / F.col("maxabs"), 0
+                ).cast("int"),
+            ).alias("codes"),
+        )
+    )
+    q = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("maxabs").alias("q_maxabs"), F.col("codes").alias("q_codes")
+    )
+    scored = coded.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(
+        F.broadcast(q)
+    )
+    dot_int = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("q_codes"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = F.round(
+        F.col("maxabs")
+        * F.col("q_maxabs")
+        * dot_int.cast("double")
+        / F.lit(SQ8_DENOM),
+        6,
+    )
+    return (
+        scored.select("vec_id", sim.alias("sim_sq8"))
+        .orderBy(F.desc("sim_sq8"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+EMBEDDING_SQ8_KNN_ORACLE_SQL = """
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS maxabs
+    FROM embeddings),
+coded AS (
+    SELECT vec_id, maxabs,
+           list_transform(v, x -> CAST(round(x * 127.0 / maxabs, 0) AS INT))
+               AS codes
+    FROM base WHERE maxabs > 0),
+q AS (SELECT maxabs AS q_maxabs, codes AS q_codes
+      FROM coded WHERE vec_id = 0)
+SELECT c.vec_id,
+       round(c.maxabs * q.q_maxabs
+             * CAST(list_sum(list_transform(range(0, 64),
+                   j -> CAST(c.codes[j+1] AS BIGINT)
+                        * CAST(q.q_codes[j+1] AS BIGINT))) AS DOUBLE)
+             / 16129.0, 6) AS sim_sq8
+FROM coded c, q
+WHERE c.vec_id <> 0
+ORDER BY sim_sq8 DESC, c.vec_id ASC
+LIMIT 10
+"""

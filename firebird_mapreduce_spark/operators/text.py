@@ -350,11 +350,14 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval: top-10 documents for a fixed 3-term query
-    (k1 = 1.2, b = 0.75) — the classic sparse-retrieval scorer sitting
-    between ``tfidf_top_terms`` (corpus statistics) and
-    ``inverted_index`` (posting lists) in a search/RAG data pipeline.
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring core shared by ``bm25_topk`` and the hybrid
+    retrieval fusion (``similarity.hybrid_retrieval_rrf``): every
+    document containing at least one query term, with its exact
+    DECIMAL(18,9) 3-term score (k1 = 1.2, b = 0.75) — the classic
+    sparse-retrieval scorer sitting between ``tfidf_top_terms``
+    (corpus statistics) and ``inverted_index`` (posting lists) in a
+    search/RAG data pipeline.
 
     One-pass dataflow: because the query is a small FIXED term set, the
     per-term term frequencies are conditional aggregates in the SAME
@@ -415,8 +418,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total = contrib(terms[0]) + contrib(terms[1]) + contrib(terms[2])
     scored = joined.select("doc_id", total.alias("_total"))
+    return scored.filter(F.col("_total") > 0)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: BM25 top-10 for the fixed 3-term query — the
+    ``bm25_scored`` core cut with ``TakeOrderedAndProject`` on the exact
+    decimal score (tiebreak doc_id)."""
     return (
-        scored.filter(F.col("_total") > 0)
+        bm25_scored(spark, sf_dir)
         .orderBy(F.desc("_total"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.col("_total").cast("double").alias("score"))

@@ -50,10 +50,12 @@ def test_driver_window_covers_every_query():
     Queries whose RESULTS or LIFECYCLE changed this round (the in-loop
     drift columns, the streaming report sink, the compaction cadence)
     must sit IN the window — their older rows certify a different
-    computation.  The pending list is EMPTY again (net-new
-    registrations capped to window slots); the mechanism stays so any
-    future overflow is visible, never silent.  (The driver checks only
-    the first 50 registered queries per round.)"""
+    computation.  Two r10 LATE registrations (hybrid_retrieval_rrf,
+    embedding_sq8_knn) landed after the window was pinned: they sit in
+    the pending list VISIBLY, are hash-checked by the local parity gate
+    every test run, and take r11 window slots for their first driver
+    rows.  (The driver checks only the first 50 registered queries per
+    round.)"""
     import json
 
     queries = list(entrymod.queries())
@@ -69,7 +71,9 @@ def test_driver_window_covers_every_query():
         *({k for k, v in r.items() if v.get("hash_match")} for r in rounds)
     )
     pending = set(entrymod._PENDING_NEXT_WINDOW)
-    assert pending == set(), "r10 contract: zero registrations left pending"
+    assert pending == {"hybrid_retrieval_rrf", "embedding_sq8_knn"}, (
+        "r10 contract: exactly the two late registrations pending"
+    )
     assert pending.isdisjoint(window), "pending query already in window"
     for changed in (
         "dedup_semantic_incremental",

@@ -1567,3 +1567,60 @@ def test_drift_trigger_evaluated_inside_loops(spark):
     flag = S._drift_trigger_frame(baseline, drifted, 1.5).collect()[0]
     assert flag["refit_recommended"], flag
     assert flag["drift_ratio"] > 1.5, flag
+
+
+def test_sq8_codes_bounded_and_recall_vs_exact(spark):
+    """SQ8 contract: codes ∈ [-127, 127] by construction (|x| <= max|x|)
+    and the quantized top-10 keeps >= 8/10 of the exact cosine top-10 —
+    the ~1% recall loss the 4x compression buys (measured 9-10/10 at
+    sf0.001/0.01/0.1; pinned with headroom)."""
+    from firebird_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    coded = emb.select(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+        ).alias("maxabs"),
+        F.col("embedding"),
+    ).filter(F.col("maxabs") > 0)
+    bad = coded.select(
+        F.exists(
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    x.cast("double") * F.lit(127.0) / F.col("maxabs"), 0
+                ).cast("int"),
+            ),
+            lambda c: (c > 127) | (c < -127),
+        ).alias("oob")
+    ).filter("oob")
+    assert bad.count() == 0
+    exact = {r["vec_id"] for r in S.embedding_knn(spark, SF_SMOKE).collect()}
+    sq8 = {r["vec_id"] for r in S.embedding_sq8_knn(spark, SF_SMOKE).collect()}
+    assert len(sq8) == 10 and 0 not in sq8
+    assert len(exact & sq8) >= 8
+
+
+def test_hybrid_rrf_fuses_both_arms(spark):
+    """RRF contract: the fused list contains rank-1 of BOTH arms (each
+    scores 1/61, beating any single-arm rank >= 2), any doc present in
+    both arms outranks every single-arm doc it ties or beats per-arm,
+    and the fused ordering is by the exact 2-term decimal sum."""
+    rows = S.hybrid_retrieval_rrf(spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    by_doc = {r["doc_id"]: r for r in rows}
+    sparse_r1 = [d for d, r in by_doc.items() if r["sparse_rank"] == 1]
+    dense_r1 = [d for d, r in by_doc.items() if r["dense_rank"] == 1]
+    assert sparse_r1 and dense_r1, "rank-1 of each arm must survive fusion"
+    both = [r for r in rows if r["sparse_rank"] and r["dense_rank"]]
+    single = [r for r in rows if not (r["sparse_rank"] and r["dense_rank"])]
+    # at sf0.01 the corpus plants docs scoring in both arms; any such doc
+    # sums two terms and must outrank every single-arm doc in the output
+    if both and single:
+        assert min(b["rrf_score"] for b in both) > max(
+            s["rrf_score"] for s in single
+        )
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

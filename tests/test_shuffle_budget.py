@@ -95,6 +95,13 @@ BUDGETS = {
     "batch_session_window": 1,
     "funnel_conversion": 5,  # 3 stage groupBys + duplicated v/c subtrees
     "retention_cohorts": 4,  # cohort agg + activity distinct + grid count-distinct
+    # the BM25 per-doc groupBy subtree (statically duplicated like
+    # bm25_topk's); the dense arm, rank windows (20-row frames) and the
+    # fusion join all broadcast / single-partition — excluded by policy
+    "hybrid_retrieval_rrf": 2,
+    # map-only quantization + integer-dot top-k: ZERO exchanges, the
+    # whole query is one codegen scan + TakeOrderedAndProject
+    "embedding_sq8_knn": 0,
 }
 
 
