@@ -851,7 +851,15 @@ def _ensure_folded_state(
             lambda w: w.bucketBy(n_buckets, *key_cols).sortBy(*key_cols),
         )
         (
+            # repartition to the bucket spec (same murmur3-pmod hash as
+            # bucket assignment) so each append adds AT MOST ONE file
+            # per bucket — without it a P-partition delta writes up to
+            # P×n_buckets files and a single fold blows straight past
+            # the compaction threshold, degenerating the cadence to
+            # compact-every-ingest.  The exchange is delta-sized (the
+            # batch), never the state.
             build_delta()
+            .repartition(n_buckets, *key_cols)
             .write.mode("append")
             .bucketBy(n_buckets, *key_cols)
             .sortBy(*key_cols)

@@ -1149,9 +1149,13 @@ def _strinc_apply_batch(
     )
     rep = spark.read.parquet(bdir).drop("ingest")
     kept = bdf.join(rep.filter(F.col("kept")).select("doc_id"), "doc_id")
+    # repartition to the bucket spec: each append adds <= 1 file per
+    # bucket (the _ensure_folded_state discipline), so the compaction
+    # threshold tracks INGEST COUNT, not the delta's partitioning
     (
         kept.select(F.md5("text").alias("h"))
         .distinct()
+        .repartition(8, "h")
         .write.mode("append")
         .bucketBy(8, "h")
         .sortBy("h")
@@ -1161,6 +1165,7 @@ def _strinc_apply_batch(
         banded_signatures(kept, k, bands)
         .select("band", "sig")
         .distinct()
+        .repartition(8, "band", "sig")
         .write.mode("append")
         .bucketBy(8, "band", "sig")
         .sortBy("band", "sig")
@@ -1251,7 +1256,10 @@ def stream_dedup_incremental_query(
             os.path.join(warehouse_path(spark), tbl), ignore_errors=True
         )
         (
-            base.write.bucketBy(8, *keys)
+            # seed at one file per bucket so replay-0 fragmentation
+            # starts at 1 and the compaction threshold measures ingests
+            base.repartition(8, *keys)
+            .write.bucketBy(8, *keys)
             .sortBy(*keys)
             .saveAsTable(tbl)
         )
@@ -1387,7 +1395,13 @@ def _strmm_apply_batch(
     for tbl, delta in zip(tbls, deltas):
         keys = _strmm_tables(tag, k, bands)[tbl]
         (
-            delta.write.mode("append")
+            # bucket-spec repartition: <= 1 file per bucket per append
+            # (the _ensure_folded_state discipline) — without it the
+            # map-only media deltas inherit the checkpoint's
+            # partitioning and one fold writes P×8 files, pushing the
+            # media state past the compaction threshold EVERY trigger
+            delta.repartition(8, *keys)
+            .write.mode("append")
             .bucketBy(8, *keys)
             .sortBy(*keys)
             .saveAsTable(tbl)
@@ -1454,7 +1468,10 @@ def stream_ingest_multimodal_query(
         shutil.rmtree(
             os.path.join(warehouse_path(spark), tbl), ignore_errors=True
         )
-        base.write.bucketBy(8, *keys).sortBy(*keys).saveAsTable(tbl)
+        # seed at one file per bucket (see the strinc seeder note)
+        base.repartition(8, *keys).write.bucketBy(8, *keys).sortBy(
+            *keys
+        ).saveAsTable(tbl)
     report_dir = os.path.join(warehouse_path(spark), f"strmm_report_{tag}")
     shutil.rmtree(report_dir, ignore_errors=True)  # fresh sink per replay
 
