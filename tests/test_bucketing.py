@@ -601,3 +601,61 @@ def test_maybe_compact_threshold_paths(spark):
     assert os.path.exists(marker), "cadence pass must not touch the marker"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     os.unlink(marker)
+
+
+def test_state_append_adds_at_most_one_file_per_bucket(spark):
+    """The r10 append discipline: a fold delta is repartitioned to the
+    bucket spec before the bucketed write, so an append adds AT MOST
+    ONE file per bucket REGARDLESS of the delta's upstream
+    partitioning.  Without it a P-partition delta appends up to
+    P×n_buckets files and ONE fold blows past the compaction
+    threshold — the regression this guard exists to catch.  The delta
+    here is deliberately 32-way partitioned upstream (the worst case a
+    localCheckpoint-backed streaming micro-batch produces)."""
+    import os
+    import shutil
+
+    from firebird_mapreduce_spark.operators.dedup import (
+        _ensure_folded_state,
+    )
+    from firebird_mapreduce_spark.operators.layout import (
+        bucket_fragmentation,
+    )
+    from firebird_mapreduce_spark.operators.relational import warehouse_path
+
+    prefix, tag = "appendguard_h_", "t10"
+    tbl = f"{prefix}{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(
+        os.path.join(warehouse_path(spark), tbl), ignore_errors=True
+    )
+    marker = os.path.join(warehouse_path(spark), f"_{tbl}_folded")
+    if os.path.exists(marker):
+        os.unlink(marker)
+
+    def rows(lo: int, hi: int):
+        # 32-way upstream partitioning, the adversarial case
+        return (
+            spark.range(lo, hi)
+            .repartition(32)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+        )
+
+    out = _ensure_folded_state(
+        spark,
+        prefix,
+        tag,
+        8,
+        ["h"],
+        # base pinned to one file per bucket so the fragmentation
+        # number below isolates what the DELTA added
+        lambda: rows(0, 500).repartition(8, "h"),
+        lambda: rows(500, 1000),
+    )
+    assert out.count() == 1000
+    frag = bucket_fragmentation(spark, tbl)
+    assert frag <= 2, (
+        f"32-partition delta fragmented the state: {frag} files in some "
+        "bucket after base (1 wave) + one delta — the bucket-spec "
+        "repartition in _ensure_folded_state is not co-locating"
+    )
