@@ -53,24 +53,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER IS LOAD-BEARING: the round driver's correctness gate checks the
     first 50 registered queries.  ``_DRIVER_WINDOW`` below pins positions
-    1-50 for ROUND 10: the 17 queries whose newest driver evidence is
-    r6-era LEAD (VERDICT r9 item 5 — after this round the evidence floor
-    advances to r7), then the 5 queries whose results or lifecycle
-    changed this round (``dedup_semantic_incremental`` and
-    ``embedding_knn_ivfpq_incremental`` gained the in-loop drift
-    columns; ``stream_dedup_incremental`` moved its report to a
-    per-batch sink; ``dedup_incremental_tworound`` and
-    ``ingest_tworound_multimodal`` fold under the threshold-driven
-    compaction cadence), then the 1 r10 addition
-    (``stream_ingest_multimodal`` — first driver row, zero deferral),
-    then 27 re-checks of the oldest remaining (r7-era) evidence.  The
-    21 r7-era queries left un-re-checked are the ones with the
-    strongest collateral — an oracle-twin or near-twin already
+    1-50 for ROUND 11: the two r10 LATE registrations LEAD
+    (``hybrid_retrieval_rrf``, ``embedding_sq8_knn`` — the only
+    registered queries with zero driver rows; VERDICT r10 item 1), then
+    the queries whose results or lifecycle changed this round (the
+    three unified-crawl queries gained the SEMANTIC tier;
+    ``stream_dedup_incremental``'s fold appends repartition-first),
+    then the r11 additions (first driver rows, zero deferral), then
+    the FULL remaining r7-era cohort (21 queries — the evidence floor
+    advances to r8), then re-checks of the oldest remaining (r8-era)
+    evidence.  The r8-era queries left un-re-checked are the ones with
+    the strongest collateral — an oracle-twin or near-twin already
     re-checked; named in the window comment.  The union
-    r7 ∪ r8 ∪ r9 ∪ this window gives EVERY registered query a driver row
-    no older than r7, and every oracle-backed query a hash row in that
-    union (tests/test_docs_consistency.py asserts the invariant).  The
-    full registry stays under the local gate regardless
+    r8 ∪ r9 ∪ r10 ∪ this window gives EVERY registered query a driver
+    row no older than r8, and every oracle-backed query a hash row in
+    that union (tests/test_docs_consistency.py asserts the invariant).
+    The full registry stays under the local gate regardless
     (tests/test_oracle_parity.py + tools/check_correctness.py).
     """
     registry = {
@@ -385,18 +383,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discipline and cut over via ONE atomic versioned-table commit,
         # and the batch re-encodes in-distribution (ratio ~1.08)
         "pq_index_refit": S.pq_index_refit,
-        # r9: the daily-crawl integration — ONE multimodal batch runs
-        # every tier's incremental screen (exact hash, LSH bands, image
-        # phash, audio fingerprint) against each tier's persisted state
+        # r9 (semantic tier r11): the daily-crawl integration — ONE
+        # multimodal batch runs every tier's incremental screen (exact
+        # hash, LSH bands, SemDeDup embedding screen, image phash,
+        # audio fingerprint) against each tier's persisted state
         # tables in one pass, unified per-doc disposition with pinned
-        # precedence exact > near > image > audio > kept
+        # precedence exact > near > semantic > image > audio > kept,
+        # plus the delivery-level in-loop drift columns
         "ingest_screen_multimodal": P.ingest_screen_multimodal,
-        # r9 (late): the unified crawl LOOP — two consecutive
-        # multimodal deliveries with the per-tier state FOLDED between
-        # them across all six bucketed state tables (compacted after
-        # the fold); ingest 2's planted repeats of ingest-1 keeps prove
-        # the text fold (exact), the image fold and the audio fold in
-        # one oracle-backed report
+        # r9 (late; semantic tier r11): the unified crawl LOOP — two
+        # consecutive multimodal deliveries with the per-tier state
+        # FOLDED between them across all nine bucketed state tables
+        # (compacted after the fold); ingest 2's planted repeats of
+        # ingest-1 keeps prove the text fold (exact), the semantic
+        # fold (verbatim + near-copy embeddings), the image fold and
+        # the audio fold in one oracle-backed report with per-ingest
+        # drift columns
         "ingest_tworound_multimodal": P.ingest_tworound_multimodal,
         # r9 (late): the incremental-dedup loop as a STRUCTURED
         # STREAMING job — foreachBatch over a two-file document stream,
@@ -405,11 +407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fires; dedup_incremental_tworound's semantics (and oracle)
         # verbatim, continuous edition
         "stream_dedup_incremental": SJ.stream_dedup_incremental_query,
-        # r10: the unified multimodal crawl as a STRUCTURED STREAMING
-        # job — foreachBatch over two multimodal deliveries, all four
-        # tiers' screens per trigger against the six bucketed state
-        # tables, all-tier folds between triggers, per-batch report
-        # sink (pre-fold pin + retry no-op, no driver collect);
+        # r10 (semantic tier r11): the unified multimodal crawl as a
+        # STRUCTURED STREAMING job — foreachBatch over two multimodal
+        # deliveries, all FIVE tiers' screens per trigger against the
+        # nine bucketed state tables, all-tier folds between triggers,
+        # in-loop drift columns per trigger, per-batch report sink
+        # (pre-fold pin + retry no-op, no driver collect);
         # ingest_tworound_multimodal's semantics (and oracle) verbatim
         "stream_ingest_multimodal": SJ.stream_ingest_multimodal_query,
         # r10: hybrid retrieval — BM25 sparse top-20 (bm25_topk's scored
@@ -423,148 +426,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BIGINT integer dot product, one rounded final rescale; the
         # serving tier between raw float32 kNN and IVFPQ
         "embedding_sq8_knn": S.embedding_sq8_knn,
+        # r11: hybrid RRF with the dense arm SERVED from the persisted
+        # SQ8 code table — top-40 integer-dot candidates + exact rerank
+        # to 20, bit-equal to the brute arm (containment pinned), same
+        # fusion spine shared verbatim
+        "hybrid_retrieval_rrf_ann": S.hybrid_retrieval_rrf_ann,
+        # r11: the SQ8 serving tier's maintenance loop — map-only batch
+        # quantization folded into the bucketed code table (<= 1
+        # file/bucket), sampled ingest-2 queries probe the folded state
+        "embedding_sq8_knn_incremental": S.embedding_sq8_knn_incremental,
     }
     ordered = {name: registry[name] for name in _DRIVER_WINDOW}
     ordered.update((k, v) for k, v in registry.items() if k not in ordered)
     return ordered
 
 
-# Positions 1-50 of the registry for ROUND 10 (see queries() docstring).
+# Positions 1-50 of the registry for ROUND 11 (see queries() docstring).
 # Groups:
-# (a) the 17 r6-era leftovers LEAD, as VERDICT r9 item 5 prescribed —
-#     after this round NO registered query's newest driver row is older
-#     than r7 (the evidence floor advances one round again);
+# (a) the two r10 LATE registrations LEAD — the only registered queries
+#     with zero driver rows (they sat in _PENDING_NEXT_WINDOW under the
+#     local parity gate; VERDICT r10 item 1: first driver rows, now);
 # (b) queries whose RESULTS or LIFECYCLE changed this round, so their
-#     older rows are stale: dedup_semantic_incremental and
-#     embedding_knn_ivfpq_incremental (in-loop drift trigger — two new
-#     columns, new oracle CTEs), stream_dedup_incremental (per-batch
-#     report sink + retry guard replaced the driver-side collect),
-#     dedup_incremental_tworound and ingest_tworound_multimodal (folds
-#     now under the threshold-driven compaction cadence — rows
-#     identical, table lifecycle changed);
-# (c) the r10 addition — first driver row, zero deferral;
-# (d) re-checks of the oldest remaining evidence (r7-era).  The 21 left
-#     at r7 evidence, chosen for the strongest collateral:
-#       group_count — numbercount_10m re-checked here (the same
-#         count-by-key operator at the reference's published scale);
-#         mapreduce_group_count r9-green;
-#       group_sum_avg — conditional_agg re-checked here; rollup_revenue
-#         and group_min r9-green over the same grouped-agg path;
-#       percentile_stats / stats_moments — approx_percentile_stats and
-#         conditional_agg re-checked here: the same aggregate family,
-#         exact-vs-approx and moment spellings;
-#       dedup_exact_hash — distinct_dedup re-checked here (the same
-#         md5-groupBy path); dedup_incremental in group (a) probes the
-#         same hash state;
-#       dedup_minhash_lsh — dedup_cluster_cc re-checked here builds on
-#         the same minhash_pairs; dedup_incremental (group a) probes
-#         the same banded signatures;
-#       dedup_simhash — dedup_simhash64 r9-green: the 64-bit edition of
-#         the same operator;
-#       embedding_kmeans — the exact-k-means chain underlies
-#         dedup_semantic_incremental in group (b) end-to-end;
-#       embedding_knn — embedding_knn_ivf re-checked here (the brute
-#         scorer IS the IVF rerank);
-#       triangle_count — connected_components re-checked here over the
-#         same edge loader; recursive_cte_reachability r9-green;
-#       tumbling_window_count — sliding_window_count in group (a) (the
-#         2-bucket explode of the same machinery);
-#         stream_tumbling_window r9-green;
-#       topk_orders — global_sort_rank re-checked here; tpch_q3_topk /
-#         tpch_q18_topk r9-green over the same top-k pattern;
-#       reduce_side_join — left_outer_join and semi_anti_join r9-green
-#         over the same shuffle-join family;
-#       scan_project — text_quality / token_count r9-green are
-#         filter+project over the same table with pushdown pinned;
-#       frame_sample — image_features re-checked here (same decode +
-#         frame path); image_decode in group (a);
-#       vector_stats — embedding_knn_ivf re-checked here over the same
-#         embedding array arithmetic;
-#       deterministic_split — stratified_sample re-checked here (same
-#         hash-split discipline); split_leakage_check r9-green;
-#       revenue_share_window — window_rank and window_range_interval
-#         re-checked here, window_moving_avg in group (a) — the same
-#         Window-frame machinery;
-#       inverted_index — tfidf_top_terms re-checked here (the inverted
-#         index is its first half); bm25_topk r9-green;
-#       pack_training_chunks — curation_pipeline_full re-checked here
-#         runs the packing stage inside the funnel;
-#       quality_topk_per_lang — text_quality r9-green (same quality
-#         expressions); lang_mix_downsample / lateral_topk_per_nation
-#         r9-green (same grouped top-k shape).
-# Result: every registered query has a driver row in r7 ∪ r8 ∪ r9 ∪ this
-# window, every oracle-backed one a hash row in that union, and every
-# operator added this round gets first-row evidence
+#     older rows certify a different computation: the three unified-
+#     crawl queries gained the SEMANTIC tier (new is_semantic_dup +
+#     drift columns, five screens, eight/nine state tables);
+#     stream_dedup_incremental's fold appends now repartition-first
+#     (rows identical, one delta exchange fewer per trigger);
+# (c) the r11 additions — first driver rows, zero deferral;
+# (d) the 21 r7-era queries (the whole remaining r7 cohort) — after
+#     this round NO registered query's newest driver row is older than
+#     r8 (the evidence floor advances one round again);
+# (e) re-checks of the oldest remaining (r8-era) evidence, chosen for
+#     machinery NOT otherwise re-checked this window.  The r8-era
+#     queries left at r8 evidence, with their collateral:
+#       filter_predicate / flatmap_tokenize — scan_project re-checked
+#         here (same pushdown scan); word_count r10-green;
+#       above_avg_balance — group_sum_avg re-checked here (same
+#         grouped-agg path); conditional_agg r10-green;
+#       argmax_order_per_cust — group_min r9-green (min-struct argmax);
+#         window_rank r10-green;
+#       window_lag_lead — revenue_share_window re-checked here;
+#         window_moving_avg / window_rank / window_range_interval
+#         r10-green over the same Window machinery;
+#       pivot_events in, cube_revenue out — grouping_sets_revenue and
+#         rollup r9/r10-green cover the lattice; pivot is its own op;
+#       heavy_hitters_mixed — heavy_hitters_tokens r10-green (same
+#         Misra-Gries path, easier keyspace);
+#       lateral_topk_per_nation / quality_filter_c4 / profile_events —
+#         quality_topk_per_lang re-checked here (grouped top-k);
+#         curation funnels r10-green run the same rule gate;
+#       salted_group_count / skewed_rank_events — skew_join_events
+#         re-checked here (the skew family's join member);
+#       sssp_syn18k — sssp_fixpoint re-checked here (same relaxation
+#         loop; syn18k additionally benched every round);
+#       connected_components_star — connected_components r10-green;
+#       tpch_revenue_by_nation — tpch_q5_sql r9-green (same query, SQL
+#         spelling); the Q1/Q3/Q18 flagships r9/r10-green;
+#       unigram_logprob / bigram_topk — bigram_logprob r10-green (the
+#         interpolated generalization);
+#       binary_meta — binary_file_meta r10-green (DataSource twin);
+#       dedup_exact_bucketed in (state-table layout underlies every
+#         fold); dedup_incremental_bucketed out — dedup_incremental
+#         r10-green + the tworound loop r10-green probe the same state;
+#       fuzzy_match_names — fuzzy_match_names_k2 r10-green;
+#       embedding_knn_ivf_fitted / embedding_lsh_ann_multi /
+#         embedding_neardup_topk — embedding_knn_ivf / embedding_lsh_ann
+#         re-checked here; multiprobe r9-green; the banding machinery
+#         underlies the semantic screens re-checked in group (b);
+#         (ivf_fitted and lsh_ann_multi ceded their (e) slots to the
+#         two r11 additions — first-row evidence outranks a re-check);
+#       dedup_audio_fingerprint_incremental — dedup_audio_fingerprint
+#         re-checked here; the unified crawl (group b) runs the audio
+#         screen + fold verbatim;
+#       stream_dedup / stream_running_count / stream_session_timeout /
+#         stream_static_join — stream_session_window and
+#         stream_stream_join re-checked here; the foreachBatch loops in
+#         group (b) are the heavier stateful paths;
+#       json_extract_events in; variant_extract_events r9-green;
+#       zorder3_key_events — zorder_key_events / zorder4 r9-green.
+# Result: every registered query has a driver row in r8 ∪ r9 ∪ r10 ∪
+# this window, every oracle-backed one a hash row in that union, and
+# every operator added this round gets first-row evidence
 # (tests/test_docs_consistency.py asserts the invariant).
 _DRIVER_WINDOW = [
-    # (a) the r6-era leftovers lead
-    "audio_decode",
-    "batch_session_window",
-    "bigram_logprob",
-    "binary_file_meta",
-    "cogroup_customer_orders",
-    "dedup_incremental",
-    "dedup_semantic",
-    "doc_length_stats",
-    "heavy_hitters_tokens",
-    "image_decode",
-    "lang_id",
-    "sliding_window_count",
-    "string_agg_nations",
-    "try_arithmetic",
-    "unpivot_lineitem",
-    "window_moving_avg",
-    "word_count",
+    # (a) the r10 late registrations — first driver rows
+    "hybrid_retrieval_rrf",
+    "embedding_sq8_knn",
     # (b) changed this round — old rows stale
-    "dedup_semantic_incremental",
-    "embedding_knn_ivfpq_incremental",
-    "stream_dedup_incremental",
-    "dedup_incremental_tworound",
+    "ingest_screen_multimodal",
     "ingest_tworound_multimodal",
-    # (c) the r10 addition — first driver row
     "stream_ingest_multimodal",
-    # (d) oldest-evidence re-checks (newest driver row is r7-era)
-    "approx_percentile_stats",
-    "asof_purchase_prior_click",
-    "conditional_agg",
-    "connected_components",
-    "contamination_check",
-    "curation_pipeline_full",
-    "dedup_cluster_cc",
-    "dedup_images_phash",
-    "dedup_images_phash_incremental",
-    "dedup_ngram_jaccard",
-    "distinct_dedup",
-    "embedding_knn_ivf",
-    "embedding_lsh_ann",
-    "fuzzy_match_names_k2",
-    "global_sort_rank",
-    "grouped_agg_udaf",
-    "grouping_sets_revenue",
-    "image_features",
-    "numbercount_10m",
-    "pii_redact",
-    "range_join_sessionize",
-    "stratified_sample",
-    "text_repetition",
-    "tfidf_top_terms",
-    "timeseries_gapfill",
-    "window_range_interval",
-    "window_rank",
+    "stream_dedup_incremental",
+    # (c) the r11 additions — first driver rows, zero deferral
+    "hybrid_retrieval_rrf_ann",
+    "embedding_sq8_knn_incremental",
+    # (d) the full remaining r7-era cohort — floor advances to r8
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "deterministic_split",
+    "embedding_kmeans",
+    "embedding_knn",
+    "frame_sample",
+    "group_count",
+    "group_sum_avg",
+    "inverted_index",
+    "pack_training_chunks",
+    "percentile_stats",
+    "quality_topk_per_lang",
+    "reduce_side_join",
+    "revenue_share_window",
+    "scan_project",
+    "stats_moments",
+    "topk_orders",
+    "triangle_count",
+    "tumbling_window_count",
+    "vector_stats",
+    # (e) oldest-evidence re-checks (newest driver row is r8-era)
+    "approx_distinct_users",
+    "broadcast_join",
+    "bucketed_join_orders",
+    "bucketed_theta_join",
+    "dedup_audio_fingerprint",
+    "dedup_exact_bucketed",
+    "embedding_kmeans_exact",
+    "embedding_knn_ivfpq",
+    "full_outer_join",
+    "json_extract_events",
+    "merge_upsert_orders",
+    "pagerank_nations",
+    "pivot_events",
+    "semantic_index_refit",
+    "set_ops_customers",
+    "skew_join_events",
+    "sssp_fixpoint",
+    "stream_custom_source",
+    "stream_running_count",
+    "stream_session_window",
+    "stream_stream_join",
 ]
 
 
 # Queries registered AFTER the current window was pinned at its 50-slot
 # capacity (the driver hash-checks only positions 1-50 per round); each
 # is covered by the LOCAL parity gate (tests/test_oracle_parity.py,
-# tools/check_correctness.py) until its rotation slot.  Two r10 late
-# registrations (hybrid retrieval fusion, SQ8 ANN) landed after the
-# window was pinned — they take r11 window slots for their first driver
-# rows; the mechanism stays so overflow is visible, never silent.
-_PENDING_NEXT_WINDOW: list[str] = [
-    "hybrid_retrieval_rrf",
-    "embedding_sq8_knn",
-]
+# tools/check_correctness.py) until its rotation slot.  EMPTY for r11:
+# the two r10 late registrations rotated into window positions 1-2, and
+# every r11 addition was registered while window capacity remained (new
+# registrations displace group-(e) re-checks, never wait).  The
+# mechanism stays so any future overflow is visible, never silent.
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 # Char-trigram language-ID oracle, generated from the SAME profile table
@@ -2937,6 +2948,15 @@ def oracle_sql() -> dict[str, str]:
         # r10: SQ8 — same quantization spelling (round(x·127/max|x|)),
         # exact BIGINT code dot product, one mirrored final rescale
         "embedding_sq8_knn": S.EMBEDDING_SQ8_KNN_ORACLE_SQL,
+        # r11: the ANN-served RRF's oracle IS the brute oracle — the
+        # SQ8 top-40 candidate cut + exact rerank is bit-equal to the
+        # brute dense arm whenever exact-top-20 ⊆ sq8-top-40
+        # (containment pinned in test_llm_ops.py), which is exactly
+        # the recall regression a rows-only check would hide
+        "hybrid_retrieval_rrf_ann": S.HYBRID_RETRIEVAL_RRF_ORACLE_SQL,
+        # r11: SQ8 maintenance loop — shared _INC batch SQL, the fold
+        # as pure SQL (state = corpus ∪ b1), per-query top-10 QUALIFY
+        "embedding_sq8_knn_incremental": S.SQ8_KNN_INCREMENTAL_ORACLE_SQL,
     }
     # the streaming twins share their batch loops' oracles VERBATIM —
     # same semantics (and therefore the same hash), different execution

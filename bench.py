@@ -50,9 +50,7 @@ HEADLINE = [
     "numbercount_10m",  # the reference's own benchmark workload (10M ints, 100 keys)
     "group_sum_avg",
     "group_count",
-    "filter_predicate",
     "reduce_side_join",
-    "broadcast_join",
     "semi_anti_join",
     "range_join_sessionize",
     "asof_purchase_prior_click",
@@ -70,10 +68,8 @@ HEADLINE = [
     # Q3 (broadcast-dim filter -> fact join -> TakeOrderedAndProject)
     "tpch_q1_pricing",
     "tpch_q3_topk",
-    "tpch_q18_topk",
     "embedding_knn",
     "embedding_neardup_topk",
-    "inverted_index",
     "pack_training_chunks",
     "embedding_lsh_ann_multi",
     "skew_join_events",
@@ -88,10 +84,6 @@ HEADLINE = [
     # SCALE.md).  Registered with an oracle late in r4; takes a
     # driver-window slot at the r5 rotation.
     "bucketed_join_orders",
-    # r5: zero-exchange dedup over the content-hash-bucketed layout —
-    # run 0 pays the one-time bucketed write, runs 1+ show the amortized
-    # cost vs dedup_exact_hash's per-pass shuffle (SCALE.md table)
-    "dedup_exact_bucketed",
     # unigram-LM quality scoring: two corpus scans (model train + score),
     # broadcast vocab model, exact-decimal per-doc log-prob sums
     "unigram_logprob",
@@ -151,9 +143,6 @@ HEADLINE = [
     # fit (256 clusters over the exploded exact-decimal form), runs 1+
     # the serving path: probe + 8-byte-code ADC + top-C exact rerank
     "embedding_knn_ivfpq",
-    # r7: the six-stage curation funnel (quality -> exact dedup ->
-    # near-dedup -> decontamination -> mix) as one query
-    "curation_pipeline_full",
     # r8: the PQ maintenance loop — run 0 pays the fold writes, runs 1+
     # are the steady batch-probe cost against folded state
     "embedding_knn_ivfpq_incremental",
@@ -186,28 +175,34 @@ HEADLINE = [
     # steady state above)
     "stream_ingest_multimodal",
     # r10 (late): hybrid sparse⊕dense retrieval — both arms top-k cuts,
-    # so the cost is BM25's one per-doc shuffle + a brute cosine map.
-    # Its sibling registration embedding_sq8_knn is NOT benched: the
-    # 2000-char capture budget admits one new slot and no current entry
-    # met the retirement policy's stability bar this window (every
-    # sub-second candidate swung >1.2 across r7-r9 with host load);
-    # its cost twin embedding_knn (same map + top-k shape, 4x the scan
-    # bytes) is already timed, and sq8 stays oracle-checked like every
-    # registered query.
+    # so the cost is BM25's one per-doc shuffle + a brute cosine map
     "hybrid_retrieval_rrf",
+    # r11: int8 scalar-quantized ANN — map-only codegen quantization +
+    # BIGINT dot + TakeOrderedAndProject (the slot the r10 HEADLINE
+    # deadlock deferred; freed by the swing-normalized retirements)
+    "embedding_sq8_knn",
 ]
 
-# Bench-set ROTATION POLICY (r9, VERDICT r8 item 5): the stdout line has
-# a hard 2000-char driver-capture budget, so the set cannot only grow.
-# An entry RETIRES when all three hold: (a) its query code is unchanged
+# Bench-set ROTATION POLICY (r9, VERDICT r8 item 5; stability bar
+# SWING-NORMALIZED r11, VERDICT r10 item 3): the stdout line has a hard
+# 2000-char driver-capture budget, so the set cannot only grow.  An
+# entry RETIRES when all three hold: (a) its query code is unchanged
 # for 3 consecutive rounds, (b) its driver-bench number was stable over
-# those rounds (max/min <= 1.2 across BENCH_r{N-2..N}), and (c) a named
-# family representative stays in the set.  Retirees remain REGISTERED
-# and oracle-checked — queries()/oracle_sql() are unaffected; only the
-# timing slot is released — and re-enter the set the round their code
-# next changes.  test_docs_consistency asserts retirees resolve in the
-# registry, never overlap HEADLINE, and that the surviving set fits the
-# capture budget at >= 2-dp display precision.
+# those rounds NET OF HOST SWING — for each round transition, the
+# entry's ratio DIVIDED BY the control-set ratio (see ``CONTROLS``)
+# must sit in [1/1.2, 1.2] — and (c) a named family representative
+# stays in the set.  The raw-ratio bar deadlocked in r9/r10: the whole
+# window inflated 1.03× then 1.17× under shared-host load, so every
+# sub-second entry "swung" >1.2 while the code was untouched (the
+# control query dpp_join_events itself moved 0.18 → 0.311 s local with
+# zero code change); normalizing by the same round's control ratio
+# measures the entry against the machine it actually ran on.  Retirees
+# remain REGISTERED and oracle-checked — queries()/oracle_sql() are
+# unaffected; only the timing slot is released — and re-enter the set
+# the round their code next changes.  test_docs_consistency asserts
+# retirees resolve in the registry, never overlap HEADLINE, and that
+# the surviving set fits the capture budget at >= 2-dp display
+# precision.
 RETIRED = {
     # r6->r8 stability checked against the driver benches (±10%)
     "audio_decode": "image_decode + dedup_audio_fingerprint cover the codec path",
@@ -219,6 +214,16 @@ RETIRED = {
     "heavy_hitters_tokens": "heavy_hitters_mixed is the forced-compression case",
     "quality_filter_c4": "both curation funnels run the same rule gate",
     "skewed_rank_events": "skew_join_events covers the skew family",
+    # r11 — first review under the swing-normalized bar: each retiree's
+    # r8->r9 and r9->r10 driver ratios, divided by dpp_join_events'
+    # control ratios (0.945, 1.032), sit in [1/1.2, 1.2]; code
+    # unchanged >= 3 rounds; reps named per entry
+    "broadcast_join": "reduce_side_join covers the join family; the hint path is plan-pinned in test_plans.py",
+    "filter_predicate": "tpch_q1_pricing covers the scan-dominated filter+agg shape; scan_project is oracle-checked",
+    "inverted_index": "tfidf_top_terms runs the inverted index as its first half",
+    "dedup_exact_bucketed": "bucketed_join_orders times the bucketed layout; dedup_exact_hash times the dedup",
+    "curation_pipeline_full": "curation_pipeline_multimodal supersets it (same six stages + image screen)",
+    "tpch_q18_topk": "tpch_q3_topk covers the TakeOrderedAndProject join shape; q18's group-filter is oracle-checked",
 }
 
 # The re-entry half of the rotation policy, made MECHANICAL (r10 —
@@ -239,6 +244,40 @@ RETIRED_SOURCE_MD5 = {
     "heavy_hitters_tokens": "450a42d559fa8771a54e6ee8c606311a",
     "quality_filter_c4": "ed98c0a2f688520a8169d30dbf3d15bc",
     "skewed_rank_events": "797c9ddcab6d8547382e87a096dc09c8",
+    "broadcast_join": "9d1d8213c14fe19919f8e50a643a69fd",
+    "filter_predicate": "87d49d50abfde4aad24dfdec065efd19",
+    "inverted_index": "8645deb78a127308da9b0252112b0754",
+    "dedup_exact_bucketed": "9253aa80872507515c221e22eb707963",
+    "curation_pipeline_full": "d646ef09241c5fd9209dce11320e89ea",
+    "tpch_q18_topk": "59f794e77c402ea402c5d4b412fd733b",
+}
+
+# Designated UNCHANGED control queries (r11, VERDICT r10 item 3): their
+# pinned reference times (min-of-5 at sf0.1, local[32], from
+# BENCH_r10_local.json — the r10 like-for-like window) let any reader
+# of a bench artifact separate host swing from code regression
+# MECHANICALLY: the artifact records each control's current/reference
+# ratio and their median as ``swing_estimate``; an entry whose ratio
+# tracks the swing estimate moved with the machine, not the code.
+# Three controls spanning the cost range (sub-second DPP join,
+# ~1 s scan-heavy aggregate, ~1.4 s decode+band join) so one control's
+# own noise cannot masquerade as window-wide swing.  A control's CODE
+# must stay untouched; if it ever changes, re-pin its reference here in
+# the same commit (test_docs_consistency pins the source hashes).
+CONTROLS = {
+    "dpp_join_events": 0.311,
+    "tpch_q1_pricing": 0.998,
+    "dedup_audio_fingerprint": 1.404,
+}
+
+# The controls' pinned source hashes — the same mechanical re-entry
+# discipline as RETIRED_SOURCE_MD5: a control whose code changes
+# invalidates its pinned reference time, so the build fails until the
+# reference is re-pinned (tests/test_docs_consistency.py).
+CONTROL_SOURCE_MD5 = {
+    "dpp_join_events": "53901f92c46b51b6b3d6145eb5bf2194",
+    "tpch_q1_pricing": "6e89460252f3258312deaea8896a42a0",
+    "dedup_audio_fingerprint": "b8dd77562cbc3681bb8d44f336ca39da",
 }
 
 
@@ -258,6 +297,14 @@ def stale_retirees(hashes: dict[str, str] | None = None) -> list[str]:
     policy these MUST re-enter HEADLINE.  ``hashes`` overrides the
     recorded table so tests can exercise the detection branch."""
     table = RETIRED_SOURCE_MD5 if hashes is None else hashes
+    return sorted(n for n, h in table.items() if query_source_md5(n) != h)
+
+
+def stale_controls(hashes: dict[str, str] | None = None) -> list[str]:
+    """Control queries whose source changed since their reference time
+    was pinned — the pin is invalid until re-measured and re-recorded
+    (tests/test_docs_consistency.py fails the build on any hit)."""
+    table = CONTROL_SOURCE_MD5 if hashes is None else hashes
     return sorted(n for n, h in table.items() if query_source_md5(n) != h)
 
 
@@ -295,6 +342,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # host-swing adjudication (r11): each control's current/reference
+    # ratio plus their median — recorded IN the artifact so a judge can
+    # separate load from regression without re-running anything.  Only
+    # meaningful at the reference SF (the pins are sf0.1 numbers).
+    controls = {
+        name: {
+            "ref": ref,
+            "min": timings.get(name),
+            "ratio": round(timings[name] / ref, 3) if name in timings else None,
+        }
+        for name, ref in CONTROLS.items()
+    }
+    ratios = sorted(
+        c["ratio"] for c in controls.values() if c["ratio"] is not None
+    )
+    swing = round(statistics.median(ratios), 3) if ratios else None
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -310,6 +373,8 @@ def main() -> None:
                 "queries_median": medians,
                 "queries_runs": per_run,
                 "runs_per_query": runs,
+                "controls": controls,
+                "swing_estimate": swing,
                 "sf": sf_val,
             },
             fh,
@@ -318,31 +383,37 @@ def main() -> None:
         fh.write("\n")
     # ONE compact line, ≤2000 chars including the newline (the driver's
     # stdout capture window) — sanity-checked in tests/test_docs_consistency
-    print(summary_line(total, timings, runs, os.path.basename(detail_path), sf_val))
+    print(
+        summary_line(
+            total, timings, runs, os.path.basename(detail_path), sf_val, swing
+        )
+    )
     spark.stop()
 
 
-def summary_line(total, timings, runs, detail, sf_val) -> str:
+def summary_line(total, timings, runs, detail, sf_val, swing=None) -> str:
     """The compact stdout JSON line.  Falls back to 2-dp then 1-dp
     per-query values if the 3-dp spelling would overflow the driver's
     2000-char capture (68 worst-case-width entries need the 1-dp rung;
     full 3-dp values plus per-run arrays always live in the detail
-    JSON, so the stdout line only ever loses display precision)."""
+    JSON, so the stdout line only ever loses display precision).
+    ``swing`` is the control-set median current/reference ratio — ~12
+    chars that make the whole line adjudicable under host load."""
     import json as _json
 
     def render(vals):
-        return _json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": vals,
-                "runs_per_query": runs,
-                "detail": detail,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": vals,
+            "runs_per_query": runs,
+            "detail": detail,
+            "sf": sf_val,
+        }
+        if swing is not None:
+            payload["swing"] = swing
+        return _json.dumps(payload, separators=(",", ":"))
 
     line = render(timings)
     for dp in (2, 1):

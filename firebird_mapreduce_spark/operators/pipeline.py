@@ -1229,40 +1229,216 @@ def ingest_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("doc_id") + 600000).alias("doc_id"), "text")
 
 
+# The unified crawl's SEMANTIC-tier batch vectors (r11).  Every corpus
+# doc with an embedding (vec_id = doc_id by corpus construction)
+# contributes one batch vector per delivery, re-idded to the delivery's
+# doc_id space; the residue classes interlock with the text/media
+# classes so the semantic disposition is non-vacuous AND the precedence
+# shows in data (see ingest_screen_multimodal's docstring).  Perturb
+# against the ORIGINAL vec_id in an inner subquery, re-id outside — the
+# lateral-alias discipline of _INC_B1_SQL.  Arms:
+#   d%16==2 / d%8==5   near-copy of the corpus vector (+0.05 at one
+#                      dim; cosine ≈ 0.9988 → semantic dup vs day-0
+#                      state) — dim d%len for ingest 1, (d+1)%len for
+#                      ingest 2;
+#   d%8==3 (ingest 2)  near-copy of ingest 1's NEGATED vector —
+#                      semantic dup IFF ingest-1 doc d was kept and
+#                      folded (d>=256: no audio asset, text new → kept;
+#                      d<256: audio-rejected → never folded — the
+#                      cross-tier fold coupling a stale-state
+#                      implementation gets wrong);
+#   d%8==6 (ingest 2)  ingest 1's negated vector VERBATIM — semantic
+#                      dup IFF folded, surfacing as a boolean under the
+#                      'exact' disposition (same doc repeats its text);
+#   else               genuinely new — NEGATED corpus vector in ingest
+#                      1 (max natural cosine ≈ 0.47 on this corpus, so
+#                      it survives and folds), HALF-FLIPPED (sign-flip
+#                      dims >= len/2: cosine ≈ 0 to both x and -x) in
+#                      ingest 2 so round-2 freshness never collides
+#                      with round-1 folds.
+INGEST_EMB1_SQL = """
+    SELECT vec_id + 600000 AS vec_id, embedding FROM (
+        SELECT vec_id,
+               CASE WHEN vec_id % 16 = 2 OR vec_id % 8 = 5 THEN
+                   list_transform(range(0, len(embedding)), j ->
+                       CASE WHEN j = vec_id % len(embedding)
+                            THEN CAST(embedding[j+1] AS DOUBLE) + 0.05
+                            ELSE CAST(embedding[j+1] AS DOUBLE) END)
+               ELSE list_transform(embedding, x -> -CAST(x AS DOUBLE)) END
+                   AS embedding
+        FROM embeddings)
+"""
+INGEST_EMB2_SQL = """
+    SELECT vec_id + 700000 AS vec_id, embedding FROM (
+        SELECT vec_id,
+               CASE WHEN vec_id % 16 = 2 OR vec_id % 8 = 5 THEN
+                   list_transform(range(0, len(embedding)), j ->
+                       CASE WHEN j = (vec_id + 1) % len(embedding)
+                            THEN CAST(embedding[j+1] AS DOUBLE) + 0.05
+                            ELSE CAST(embedding[j+1] AS DOUBLE) END)
+               WHEN vec_id % 8 = 3 THEN
+                   list_transform(range(0, len(embedding)), j ->
+                       CASE WHEN j = vec_id % len(embedding)
+                            THEN -CAST(embedding[j+1] AS DOUBLE) + 0.05
+                            ELSE -CAST(embedding[j+1] AS DOUBLE) END)
+               WHEN vec_id % 8 = 6 THEN
+                   list_transform(embedding, x -> -CAST(x AS DOUBLE))
+               ELSE
+                   list_transform(range(0, len(embedding)), j ->
+                       CASE WHEN j < len(embedding) // 2
+                            THEN CAST(embedding[j+1] AS DOUBLE)
+                            ELSE -CAST(embedding[j+1] AS DOUBLE) END)
+               END AS embedding
+        FROM embeddings)
+"""
+
+
+def ingest_embedding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest 1's batch vectors (see ``INGEST_EMB1_SQL`` — must stay
+    expression-for-expression equivalent)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = F.size("embedding")
+    p0 = F.col("vec_id") % d
+    pert0 = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == p0, x.cast("double") + F.lit(0.05)).otherwise(
+            x.cast("double")
+        ),
+    )
+    neg = F.transform(F.col("embedding"), lambda x: -x.cast("double"))
+    sem_class = (F.col("vec_id") % 16 == 2) | (F.col("vec_id") % 8 == 5)
+    return emb.select(
+        "vec_id", F.when(sem_class, pert0).otherwise(neg).alias("embedding")
+    ).select((F.col("vec_id") + 600000).alias("vec_id"), "embedding")
+
+
+def ingest2_embedding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest 2's batch vectors (see ``INGEST_EMB2_SQL`` — must stay
+    expression-for-expression equivalent)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = F.size("embedding")
+    p1 = (F.col("vec_id") + 1) % d
+    p0 = F.col("vec_id") % d
+    pert1 = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == p1, x.cast("double") + F.lit(0.05)).otherwise(
+            x.cast("double")
+        ),
+    )
+    negpert = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == p0, -x.cast("double") + F.lit(0.05)).otherwise(
+            -x.cast("double")
+        ),
+    )
+    neg = F.transform(F.col("embedding"), lambda x: -x.cast("double"))
+    half = (d / 2).cast("int")
+    halfflip = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i < half, x.cast("double")).otherwise(
+            -x.cast("double")
+        ),
+    )
+    sem_class = (F.col("vec_id") % 16 == 2) | (F.col("vec_id") % 8 == 5)
+    return emb.select(
+        "vec_id",
+        F.when(sem_class, pert1)
+        .when(F.col("vec_id") % 8 == 3, negpert)
+        .when(F.col("vec_id") % 8 == 6, neg)
+        .otherwise(halfflip)
+        .alias("embedding"),
+    ).select((F.col("vec_id") + 700000).alias("vec_id"), "embedding")
+
+
+def _crawl_semantic_parts(
+    bvecs: DataFrame,
+    cent: DataFrame,
+    state_bands: DataFrame,
+    state_vecs: DataFrame,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One delivery's SEMANTIC screen parts: (assign, band_keys,
+    sem_rep) — exact-decimal assign-only enrollment against the
+    persisted centroids (broadcast, no refit), salted SRP banding keys,
+    and the membership screen against the given band/vector state
+    reduced to the crawl's boolean (doc_id, semantic_hit).  All
+    machinery is ``dedup_semantic_incremental``'s, shared verbatim;
+    vec_id == the delivery's doc_id by fixture construction."""
+    from .similarity import (
+        NEARDUP_TABLES,
+        _assign_to_centroids,
+        _quantized_components,
+        _semantic_screen,
+        _sig_keys,
+        _with_srp_sigs,
+    )
+
+    assign = _assign_to_centroids(
+        _quantized_components(bvecs), cent
+    ).localCheckpoint(eager=True)
+    keys = _sig_keys(
+        _with_srp_sigs(bvecs, NEARDUP_TABLES).join(
+            assign.select("vec_id", "cluster"), "vec_id"
+        ),
+        "cluster",
+        NEARDUP_TABLES,
+    )
+    rep = _semantic_screen(
+        keys, assign, state_bands, state_vecs, bvecs, threshold
+    ).select(
+        F.col("vec_id").alias("doc_id"), (~F.col("kept")).alias("semantic_hit")
+    )
+    return assign, keys, rep
+
+
 def ingest_screen_multimodal(
     spark: SparkSession, sf_dir: str, k: int = 16, bands: int = 4
 ) -> DataFrame:
-    """The DAILY-CRAWL integration query (VERDICT r8 item 4): ONE batch
-    of multimodal documents runs EVERY tier's incremental screen in one
-    pass — exact text hash, MinHash-LSH text near-dup, image perceptual
-    hash, audio energy fingerprint — against each tier's PERSISTED
-    corpus state tables (literally the same bucketed tables the
-    standalone incremental queries maintain: ``corpus_hash_`` /
-    ``corpus_bands_`` from ``dedup_incremental_bucketed``,
-    ``_phash_state_tables``, ``_afp_state_tables``), and reports ONE
-    per-doc disposition with pinned precedence
-    exact > near > image > audio > kept.
+    """The DAILY-CRAWL integration query (VERDICT r8 item 4; SEMANTIC
+    tier added r11 — VERDICT r10 item 2): ONE batch of multimodal
+    documents runs EVERY tier's incremental screen in one pass — exact
+    text hash, MinHash-LSH text near-dup, SemDeDup embedding screen,
+    image perceptual hash, audio energy fingerprint — against each
+    tier's PERSISTED corpus state tables (literally the same bucketed
+    tables the standalone incremental queries maintain:
+    ``corpus_hash_`` / ``corpus_bands_`` from
+    ``dedup_incremental_bucketed``, ``semv_bands_`` / ``semv_vecs_`` /
+    ``semv_score_`` + the persisted k-means centroids from
+    ``dedup_semantic_incremental``, ``_phash_state_tables``,
+    ``_afp_state_tables``), and reports ONE per-doc disposition with
+    pinned precedence exact > near > semantic > image > audio > kept.
 
-    The batch (``ingest_batch_docs`` + the two ingest fixtures): per
-    corpus doc d, text by d%4 (exact copy / near copy / new), an image
+    The batch (``ingest_batch_docs`` + ``ingest_embedding_batch`` + the
+    two media fixtures): per corpus doc d, text by d%4 (exact copy /
+    near copy / new), an embedding for every doc with a corpus vector
+    (near-copy for d%16==2 and d%8==5, else negated-new), an image
     asset for d < 256 (near-copy of the corpus family for d%8 in (0,2),
     else new) and an audio clip (near-copy for d%8 in (1,3), else new).
     The residue classes interlock so every disposition is non-vacuously
     populated AND the precedence shows in data: d%8 == 0 docs are
     exact-text AND image-dup (report 'exact' — is_image_dup stays true
     in the booleans), d%8 == 1 near-text AND audio-dup ('near'),
-    d%8 == 2 image-only ('image'), d%8 == 3 audio-only ('audio'),
-    d%8 in (6,7) nothing ('kept').
+    d%16 == 2 semantic AND image-dup ('semantic' — the new rung's
+    precedence over media), d%16 == 10 image-only ('image'),
+    d%8 == 5 near-text AND semantic ('near' — text outranks the
+    embedding tier), d%8 == 3 audio-only ('audio'), d%8 in (6,7)
+    nothing ('kept').
 
-    Output: (doc_id, is_exact_dup, is_near_dup, is_image_dup,
-    is_audio_dup, disposition) for every batch doc.  The oracle replays
-    all four screens relationally in one statement.
+    Output: (doc_id, is_exact_dup, is_near_dup, is_semantic_dup,
+    is_image_dup, is_audio_dup, disposition, drift_ratio,
+    refit_recommended) for every batch doc — the last two are the
+    delivery-level IN-LOOP drift trigger (``_drift_trigger_frame``
+    against the STORED corpus enrollment table; VERDICT r10 item 6: the
+    crawl itself surfaces embedding drift).  The oracle replays all
+    five screens AND the trigger relationally in one statement.
 
     At 100 TB this is the production ingest: every screen is a
     batch×state membership probe against pre-bucketed state (corpus
     sides exchange-free — the ``dedup_incremental_bucketed`` plan,
-    twice more for the media tiers), media decodes are map-only over
-    the batch's own files, and the final disposition join is
+    three times more for the semantic and media tiers), the semantic
+    enrollment is a broadcast-centroid join (no refit, no corpus scan),
+    media decodes are map-only over the batch's own files, the drift
+    trigger reads stored dist2 only, and the final disposition join is
     batch-sized — total exchanges O(batch) regardless of corpus size
     (pinned in test_bucketing.py)."""
     from .dedup import _text_state_tables
@@ -1272,6 +1448,8 @@ def ingest_screen_multimodal(
         _ingest_image_batch_fixture_dir,
         _phash_state_tables,
     )
+    from .similarity import SEMANTIC_THRESHOLD, _semantic_state_tables
+    from .similarity import _drift_trigger_frame
 
     batch = ingest_batch_docs(spark, sf_dir)
     corpus_hashes, corpus_bands = _text_state_tables(spark, sf_dir, k, bands)
@@ -1281,6 +1459,14 @@ def ingest_screen_multimodal(
     aud_fps = _media_batch_fps(
         spark, _ingest_audio_batch_fixture_dir(spark, sf_dir), "wav"
     )
+    _, _, cent, sem_bands, sem_vecs, sem_score = _semantic_state_tables(
+        spark, sf_dir
+    )
+    b1v = ingest_embedding_batch(spark, sf_dir)
+    a1, _, sem_rep = _crawl_semantic_parts(
+        b1v, cent, sem_bands, sem_vecs, SEMANTIC_THRESHOLD
+    )
+    drift = _drift_trigger_frame(sem_score, a1, 1.5)
     return _multimodal_screen(
         batch,
         (corpus_hashes, corpus_bands),
@@ -1291,7 +1477,8 @@ def ingest_screen_multimodal(
         k,
         bands,
         600000,
-    )
+        sem_rep=sem_rep,
+    ).crossJoin(drift)
 
 
 def _media_batch_fps(spark: SparkSession, fixture_dir: str, suffix: str):
@@ -1324,14 +1511,22 @@ def _multimodal_screen(
     k: int,
     bands: int,
     id_base: int,
+    sem_rep: DataFrame | None = None,
 ) -> DataFrame:
-    """One multimodal batch through all four incremental screens
+    """One multimodal batch through all FIVE incremental screens
     against GIVEN state-table pairs — shared by the single-ingest
-    screen (day-0 states) and the tworound loop (folded states), so
-    the two cannot drift.  Returns (doc_id, is_exact_dup, is_near_dup,
-    is_image_dup, is_audio_dup, disposition) with the pinned precedence
-    exact > near > image > audio > kept; media asset ids are base doc
-    ids, re-keyed by ``id_base`` to the batch's doc ids."""
+    screen (day-0 states), the tworound loop (folded states) and the
+    streaming crawl, so the three cannot drift.  Returns (doc_id,
+    is_exact_dup, is_near_dup, is_semantic_dup, is_image_dup,
+    is_audio_dup, disposition) with the pinned precedence
+    exact > near > semantic > image > audio > kept (SemDeDup's
+    cheap-screens-first ordering: the embedding tier outranks the
+    media tiers because a semantic text dup should read as a text-level
+    rejection even when its attachments also match).  ``sem_rep`` is
+    the semantic tier's (doc_id, semantic_hit) frame from
+    ``_crawl_semantic_parts`` — docs without an embedding simply have
+    no row and coalesce to False; media asset ids are base doc ids,
+    re-keyed by ``id_base`` to the batch's doc ids."""
     from .dedup import _screen_batch
     from .multimodal import _hash_incremental_screen
 
@@ -1351,11 +1546,17 @@ def _multimodal_screen(
     joined = text_rep.join(img_rep, "doc_id", "left").join(
         aud_rep, "doc_id", "left"
     )
+    if sem_rep is not None:
+        joined = joined.join(sem_rep, "doc_id", "left")
+        is_sem = F.coalesce(F.col("semantic_hit"), F.lit(False))
+    else:
+        is_sem = F.lit(False)
     is_img = F.coalesce(F.col("image_hit"), F.lit(False))
     is_aud = F.coalesce(F.col("audio_hit"), F.lit(False))
     disposition = (
         F.when(F.col("is_exact_dup"), "exact")
         .when(F.col("is_near_dup"), "near")
+        .when(is_sem, "semantic")
         .when(is_img, "image")
         .when(is_aud, "audio")
         .otherwise("kept")
@@ -1364,6 +1565,7 @@ def _multimodal_screen(
         "doc_id",
         "is_exact_dup",
         "is_near_dup",
+        is_sem.alias("is_semantic_dup"),
         is_img.alias("is_image_dup"),
         is_aud.alias("is_audio_dup"),
         disposition.alias("disposition"),
@@ -1372,14 +1574,21 @@ def _multimodal_screen(
 
 def ingest_screen_oracle_sql(minhash_ctes: str) -> str:
     """DuckDB twin of ``ingest_screen_multimodal``: the text screens are
-    the ``dedup_incremental`` oracle over ``INGEST_DOCS_SQL``; the media
-    tiers re-derive the corpus state families AND the ingest batch's
-    assets relationally through the SHARED derive/hit CTE builders (the
-    same spellings the tworound oracle composes), and the final select
-    applies the precedence CASE."""
+    the ``dedup_incremental`` oracle over ``INGEST_DOCS_SQL``; the
+    SEMANTIC tier replays the exact-k-means chain, enrollment, SRP
+    banding, membership screen and drift trigger through the SHARED
+    ``crawl_semantic_ctes_pre`` builder (the same sub-spellings as the
+    ``dedup_semantic_incremental`` oracle); the media tiers re-derive
+    the corpus state families AND the ingest batch's assets relationally
+    through the SHARED derive/hit CTE builders (the same spellings the
+    tworound oracle composes), and the final select applies the
+    precedence CASE plus the delivery-level drift columns."""
     from .multimodal import _AFP_BASE, _PHASH_BASE
+    from .similarity import crawl_semantic_ctes_pre, crawl_semantic_drift_cte
 
     banding = minhash_ctes.format(docs=INGEST_DOCS_SQL)
+    semantic = crawl_semantic_ctes_pre(INGEST_EMB1_SQL)
+    sdrift = crawl_semantic_drift_cte("sxfit1", "sxbat1")
     return f"""
         WITH {banding},
         corpus_banded AS (
@@ -1414,22 +1623,28 @@ def ingest_screen_oracle_sql(minhash_ctes: str) -> str:
         {_img_derive_ctes()},
         {_aud_derive_ctes()},
         ihit AS ({_media_hit_cte("i", "s.side = 'c'", "b")}),
-        ahit AS ({_media_hit_cte("a", "s.side = 'c'", "b")})
+        ahit AS ({_media_hit_cte("a", "s.side = 'c'", "b")}){semantic},
+        sxdrift1 AS ({sdrift})
         SELECT nd.doc_id,
                (ch.h IS NOT NULL) AS is_exact_dup,
                (nr.doc_id IS NOT NULL) AS is_near_dup,
+               (sm.vec_id IS NOT NULL) AS is_semantic_dup,
                (ih.base IS NOT NULL) AS is_image_dup,
                (ah.base IS NOT NULL) AS is_audio_dup,
                CASE WHEN ch.h IS NOT NULL THEN 'exact'
                     WHEN nr.doc_id IS NOT NULL THEN 'near'
+                    WHEN sm.vec_id IS NOT NULL THEN 'semantic'
                     WHEN ih.base IS NOT NULL THEN 'image'
                     WHEN ah.base IS NOT NULL THEN 'audio'
-                    ELSE 'kept' END AS disposition
+                    ELSE 'kept' END AS disposition,
+               d.drift_ratio, d.refit_recommended
         FROM new_docs nd
         LEFT JOIN corpus_h ch ON nd.h = ch.h
         LEFT JOIN near nr ON nd.doc_id = nr.doc_id
+        LEFT JOIN sxm1 sm ON sm.vec_id = nd.doc_id
         LEFT JOIN ihit ih ON ih.base + 600000 = nd.doc_id
         LEFT JOIN ahit ah ON ah.base + 600000 = nd.doc_id
+        CROSS JOIN sxdrift1 d
     """
 
 
@@ -1490,42 +1705,55 @@ def ingest_tworound_multimodal(
 ) -> DataFrame:
     """The unified crawl LOOP — ``ingest_screen_multimodal`` is day 1's
     screen; this query runs TWO consecutive multimodal deliveries with
-    the per-tier state FOLDED between them, all six state tables, one
-    pass each:
+    the per-tier state FOLDED between them, all NINE state tables
+    (text hash + bands, semantic bands + vectors + scores, image hash +
+    bands, audio hash + bands), one pass each:
 
       ingest 1  the same multimodal batch as the unified screen runs
-                through all four screens against the day-0 states
-                (``_multimodal_screen``, shared function);
-      fold      the KEPT docs' state rows — text md5 + band sigs, image
-                hashes + band keys, audio fingerprints + band keys —
-                APPEND into this query's own six bucketed state tables
-                (``_ensure_folded_state(compact=True)``: O(kept)
-                appends under the crash-guard marker, then compaction
-                restores one file per bucket; separate tables because
-                the shared day-0 ones must stay corpus-only for the
-                sibling queries' oracles).  A doc's media folds IFF the
-                DOC was kept — a rejected doc contributes nothing to
-                any tier;
+                through all FIVE screens against the day-0 states
+                (``_multimodal_screen`` + ``_crawl_semantic_parts``,
+                shared functions);
+      fold      the KEPT docs' state rows — text md5 + band sigs,
+                semantic SRP band keys + vectors + stored enrollments,
+                image hashes + band keys, audio fingerprints + band
+                keys — APPEND into this query's own bucketed state
+                tables (``_ensure_folded_state(compact=True)``:
+                O(kept) appends under the crash-guard marker, then
+                compaction restores one file per bucket; separate
+                tables because the shared day-0 ones must stay
+                corpus-only for the sibling queries' oracles).  A doc's
+                vector/media rows fold IFF the DOC was kept — a
+                rejected doc contributes nothing to any tier;
       ingest 2  the second delivery probes the FOLDED states: d%8 == 6
                 docs repeat their ingest-1 text exactly (exact-dup IFF
                 the fold happened — their ingest-1 twins are
-                deterministically kept) and carry a one-window
-                re-record of their ingest-1 clip (audio-dup IFF folded
-                — the booleans prove BOTH folds on one doc while the
-                disposition shows exact > audio precedence); d%8 == 7
+                deterministically kept), carry a one-window re-record
+                of their ingest-1 clip (audio-dup IFF folded) AND
+                their ingest-1 embedding verbatim (semantic-dup IFF
+                folded — three fold proofs on one doc while the
+                disposition shows exact-first precedence); d%8 == 7
                 docs carry a one-block retouch of their ingest-1 image
-                (image-dup IFF folded); everything else is fresh and
-                stays kept.
+                (image-dup IFF folded); d%8 == 3 docs carry a
+                near-copy of their ingest-1 EMBEDDING — semantic-dup
+                IFF their ingest-1 twin was kept, which depends on the
+                AUDIO screen (d < 256 audio-rejected → never folded;
+                d >= 256 kept → folded): the cross-tier coupling a
+                stale-state implementation gets wrong; everything else
+                is fresh (half-flipped vectors) and stays kept.
 
-    Output: (ingest, doc_id, is_exact_dup, is_near_dup, is_image_dup,
-    is_audio_dup, disposition) for both deliveries.  The oracle replays
-    both screens AND all three modality folds as pure SQL (state2 =
-    day-0 ∪ ingest-1 keeps), so the fold semantics are hash-verified
-    across every tier at once — the tworound contract at integration
-    width.
+    Output: (ingest, doc_id, is_exact_dup, is_near_dup,
+    is_semantic_dup, is_image_dup, is_audio_dup, disposition,
+    drift_ratio, refit_recommended) for both deliveries — the drift
+    columns are the per-ingest IN-LOOP trigger against that ingest's
+    score state (day-0 corpus enrollments for ingest 1; corpus ∪
+    ingest-1 survivors' stored enrollments for ingest 2).  The oracle
+    replays both screens AND all four modality folds as pure SQL
+    (state2 = day-0 ∪ ingest-1 keeps), so the fold semantics are
+    hash-verified across every tier at once — the tworound contract at
+    integration width.
 
     At 100 TB this is the production crawl's day-over-day shape: each
-    day screens O(batch) against six pre-bucketed states, folds
+    day screens O(batch) against nine pre-bucketed states, folds
     O(kept) rows, compacts back to one file per bucket, and never
     touches corpus-sized data — the full loop the per-tier queries
     demonstrate piecewise, in one declared query."""
@@ -1544,6 +1772,13 @@ def ingest_tworound_multimodal(
         _phash_state_tables,
     )
     from .relational import corpus_tag
+    from .similarity import (
+        N_CENTROIDS,
+        SEMANTIC_THRESHOLD,
+        _drift_trigger_frame,
+        _name_tag,
+        _semantic_state_tables,
+    )
 
     tag = corpus_tag(sf_dir, "documents")
     b1 = ingest_batch_docs(spark, sf_dir)
@@ -1552,17 +1787,32 @@ def ingest_tworound_multimodal(
     th, tb = _text_state_tables(spark, sf_dir, k, bands)
     ih, ib = _phash_state_tables(spark, sf_dir)
     ah, ab = _afp_state_tables(spark, sf_dir)
+    corpus, _, cent, semb, semv, sems = _semantic_state_tables(spark, sf_dir)
     img1 = _media_batch_fps(
         spark, _ingest_image_batch_fixture_dir(spark, sf_dir), "png"
     )
     aud1 = _media_batch_fps(
         spark, _ingest_audio_batch_fixture_dir(spark, sf_dir), "wav"
     )
+    b1v = ingest_embedding_batch(spark, sf_dir)
+    a1, keys1, sem_rep1 = _crawl_semantic_parts(
+        b1v, cent, semb, semv, SEMANTIC_THRESHOLD
+    )
     r1 = _multimodal_screen(
-        b1, (th, tb), (ih, ib), (ah, ab), img1, aud1, k, bands, 600000
+        b1,
+        (th, tb),
+        (ih, ib),
+        (ah, ab),
+        img1,
+        aud1,
+        k,
+        bands,
+        600000,
+        sem_rep=sem_rep1,
     ).localCheckpoint(eager=True)
     kept1_ids = r1.filter(F.col("disposition") == "kept").select("doc_id")
     kept1_docs = b1.join(kept1_ids, "doc_id")
+    kept1_vids = kept1_ids.select(F.col("doc_id").alias("vec_id"))
     kept1_bases = kept1_ids.select(
         (F.col("doc_id") - 600000).alias("asset_id")
     )
@@ -1581,11 +1831,16 @@ def ingest_tworound_multimodal(
     img1_kept = rekey(img1)
     aud1_kept = rekey(aud1)
 
-    # the six folded states: base = a copy of the day-0 table (pay-once
-    # state reused, no re-decode), delta = the keeps' rows, compacted
+    # the folded states: base = a copy of the day-0 table (pay-once
+    # state reused, no re-decode), delta = the keeps' rows, compacted.
+    # PREFIX GENERATION mmr2_ (r11): the fold contents depend on which
+    # docs the SCREEN keeps, and the five-tier screen keeps a different
+    # set than r10's four-tier one — a warehouse holding r10's mmr_
+    # tables must not satisfy the idempotence guard (the all-parameters
+    # keying discipline applied to the screen version)
     fh = _ensure_folded_state(
         spark,
-        f"mmr_hash_{k}x{bands}_",
+        f"mmr2_hash_{k}x{bands}_",
         tag,
         8,
         ["h"],
@@ -1595,7 +1850,7 @@ def ingest_tworound_multimodal(
     )
     fb = _ensure_folded_state(
         spark,
-        f"mmr_bands_{k}x{bands}_",
+        f"mmr2_bands_{k}x{bands}_",
         tag,
         8,
         ["band", "sig"],
@@ -1606,20 +1861,55 @@ def ingest_tworound_multimodal(
         compact=True,
     )
     fih = _ensure_folded_state(
-        spark, "mmr_imgh_", tag, 8, ["asset_id"],
+        spark, "mmr2_imgh_", tag, 8, ["asset_id"],
         lambda: ih, lambda: img1_kept, compact=True,
     )
     fib = _ensure_folded_state(
-        spark, "mmr_imgb_", tag, 8, ["band", "bval"],
+        spark, "mmr2_imgb_", tag, 8, ["band", "bval"],
         lambda: ib, lambda: _phash_band_keys(img1_kept), compact=True,
     )
     fah = _ensure_folded_state(
-        spark, "mmr_audh_", tag, 8, ["asset_id"],
+        spark, "mmr2_audh_", tag, 8, ["asset_id"],
         lambda: ah, lambda: aud1_kept, compact=True,
     )
     fab = _ensure_folded_state(
-        spark, "mmr_audb_", tag, 8, ["band", "bval"],
+        spark, "mmr2_audb_", tag, 8, ["band", "bval"],
         lambda: ab, lambda: _phash_band_keys(aud1_kept), compact=True,
+    )
+    # the semantic tier's three folded states (bands / vectors / stored
+    # enrollments) — the dedup_semantic_incremental fold discipline with
+    # the crawl's OWN tables; the prefix carries every parameter that
+    # determines the folded contents (the all-parameters keying rule)
+    sem_tag = f"{N_CENTROIDS}x3x{_name_tag(SEMANTIC_THRESHOLD)}"
+    fsemb = _ensure_folded_state(
+        spark,
+        f"mmr2_semb_{sem_tag}_",
+        tag,
+        8,
+        ["blk", "tbl", "sig"],
+        lambda: semb,
+        lambda: keys1.join(kept1_vids, "vec_id"),
+        compact=True,
+    )
+    fsemv = _ensure_folded_state(
+        spark,
+        f"mmr2_semv_{sem_tag}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: corpus,
+        lambda: b1v.join(kept1_vids, "vec_id"),
+        compact=True,
+    )
+    fsems = _ensure_folded_state(
+        spark,
+        f"mmr2_sems_{sem_tag}_",
+        tag,
+        8,
+        ["vec_id"],
+        lambda: sems,
+        lambda: a1.join(kept1_vids, "vec_id"),
+        compact=True,
     )
     img2 = _media_batch_fps(
         spark, _ingest2_image_batch_fixture_dir(spark, sf_dir), "png"
@@ -1627,11 +1917,29 @@ def ingest_tworound_multimodal(
     aud2 = _media_batch_fps(
         spark, _ingest2_audio_batch_fixture_dir(spark, sf_dir), "wav"
     )
-    r2 = _multimodal_screen(
-        b2, (fh, fb), (fih, fib), (fah, fab), img2, aud2, k, bands, 700000
+    b2v = ingest2_embedding_batch(spark, sf_dir)
+    a2, _, sem_rep2 = _crawl_semantic_parts(
+        b2v, cent, fsemb, fsemv, SEMANTIC_THRESHOLD
     )
-    return r1.select(F.lit(1).alias("ingest"), "*").unionByName(
-        r2.select(F.lit(2).alias("ingest"), "*")
+    r2 = _multimodal_screen(
+        b2,
+        (fh, fb),
+        (fih, fib),
+        (fah, fab),
+        img2,
+        aud2,
+        k,
+        bands,
+        700000,
+        sem_rep=sem_rep2,
+    )
+    # the post-fold drift evaluation, per ingest against ITS score state
+    d1 = _drift_trigger_frame(sems, a1, 1.5)
+    d2 = _drift_trigger_frame(fsems, a2, 1.5)
+    return (
+        r1.select(F.lit(1).alias("ingest"), "*")
+        .crossJoin(d1)
+        .unionByName(r2.select(F.lit(2).alias("ingest"), "*").crossJoin(d2))
     )
 
 
@@ -1738,17 +2046,29 @@ def _media_hit_cte(tbl: str, state_pred: str, batch_side: str) -> str:
 
 def ingest_tworound_oracle_sql(minhash_ctes: str) -> str:
     """DuckDB replica of ``ingest_tworound_multimodal``: the banding
-    block over corpus ∪ both deliveries, ingest 1's four screens (the
-    unified-screen oracle), the fold as pure SQL — text hash/band state
-    2 = day-0 ∪ keeps, media state 2 = corpus families ∪ the keeps' b1
-    assets — and ingest 2's four screens against the folded states,
-    with the precedence CASE on both reports."""
+    block over corpus ∪ both deliveries, ingest 1's five screens (the
+    unified-screen oracle plus the SHARED semantic CTE builders), the
+    fold as pure SQL — text hash/band state 2 = day-0 ∪ keeps, semantic
+    band/vector/score state 2 = corpus ∪ the keeps' b1 rows, media
+    state 2 = corpus families ∪ the keeps' b1 assets — and ingest 2's
+    five screens against the folded states, with the precedence CASE
+    and the per-ingest drift columns on both reports."""
     from .multimodal import _AFP_BASE, _PHASH_BASE
+    from .similarity import (
+        crawl_semantic_ctes_post,
+        crawl_semantic_ctes_pre,
+        crawl_semantic_drift_cte,
+    )
 
     banding = minhash_ctes.format(docs=INGEST_TWOROUND_DOCS_SQL)
+    sem_pre = crawl_semantic_ctes_pre(INGEST_EMB1_SQL)
+    sem_post = crawl_semantic_ctes_post(INGEST_EMB2_SQL, "kept1")
+    sdrift1 = crawl_semantic_drift_cte("sxfit1", "sxbat1")
+    sdrift2 = crawl_semantic_drift_cte("sxfit2", "sxbat2")
     kept_b1 = "s.side = 'b1' AND s.id + 600000 IN (SELECT doc_id FROM kept1)"
     disposition = """CASE WHEN is_exact_dup THEN 'exact'
                         WHEN is_near_dup THEN 'near'
+                        WHEN is_semantic_dup THEN 'semantic'
                         WHEN is_image_dup THEN 'image'
                         WHEN is_audio_dup THEN 'audio'
                         ELSE 'kept' END AS disposition"""
@@ -1801,21 +2121,24 @@ def ingest_tworound_oracle_sql(minhash_ctes: str) -> str:
         {_img_derive_ctes()},
         {_aud_derive_ctes()},
         ihit1 AS ({_media_hit_cte("i", "s.side = 'c'", "b1")}),
-        ahit1 AS ({_media_hit_cte("a", "s.side = 'c'", "b1")}),
+        ahit1 AS ({_media_hit_cte("a", "s.side = 'c'", "b1")}){sem_pre},
+        sxdrift1 AS ({sdrift1}),
         r1 AS (
             SELECT b.doc_id,
                    (ch.h IS NOT NULL) AS is_exact_dup,
                    (nr.doc_id IS NOT NULL) AS is_near_dup,
+                   (sm.vec_id IS NOT NULL) AS is_semantic_dup,
                    (ih.base IS NOT NULL) AS is_image_dup,
                    (ah.base IS NOT NULL) AS is_audio_dup
             FROM b1d b
             LEFT JOIN corpus_h ch ON b.h = ch.h
             LEFT JOIN near1 nr ON nr.doc_id = b.doc_id
+            LEFT JOIN sxm1 sm ON sm.vec_id = b.doc_id
             LEFT JOIN ihit1 ih ON ih.base + 600000 = b.doc_id
             LEFT JOIN ahit1 ah ON ah.base + 600000 = b.doc_id),
         kept1 AS (
             SELECT doc_id FROM r1
-            WHERE NOT (is_exact_dup OR is_near_dup
+            WHERE NOT (is_exact_dup OR is_near_dup OR is_semantic_dup
                        OR is_image_dup OR is_audio_dup)),
         h2 AS (
             SELECT h FROM corpus_h
@@ -1833,23 +2156,28 @@ def ingest_tworound_oracle_sql(minhash_ctes: str) -> str:
               ON n.b = c.b AND n.bsig = c.bsig
             WHERE n.doc_id >= 700000),
         ihit2 AS ({_media_hit_cte("i", f"s.side = 'c' OR ({kept_b1})", "b2")}),
-        ahit2 AS ({_media_hit_cte("a", f"s.side = 'c' OR ({kept_b1})", "b2")}),
+        ahit2 AS ({_media_hit_cte("a", f"s.side = 'c' OR ({kept_b1})", "b2")}){sem_post},
+        sxdrift2 AS ({sdrift2}),
         r2 AS (
             SELECT b.doc_id,
                    (ch.h IS NOT NULL) AS is_exact_dup,
                    (nr.doc_id IS NOT NULL) AS is_near_dup,
+                   (sm.vec_id IS NOT NULL) AS is_semantic_dup,
                    (ih.base IS NOT NULL) AS is_image_dup,
                    (ah.base IS NOT NULL) AS is_audio_dup
             FROM b2d b
             LEFT JOIN h2 ch ON b.h = ch.h
             LEFT JOIN near2 nr ON nr.doc_id = b.doc_id
+            LEFT JOIN sxm2 sm ON sm.vec_id = b.doc_id
             LEFT JOIN ihit2 ih ON ih.base + 700000 = b.doc_id
             LEFT JOIN ahit2 ah ON ah.base + 700000 = b.doc_id)
         SELECT 1 AS ingest, doc_id, is_exact_dup, is_near_dup,
-               is_image_dup, is_audio_dup, {disposition}
-        FROM r1
+               is_semantic_dup, is_image_dup, is_audio_dup, {disposition},
+               d.drift_ratio, d.refit_recommended
+        FROM r1 CROSS JOIN sxdrift1 d
         UNION ALL
         SELECT 2, doc_id, is_exact_dup, is_near_dup,
-               is_image_dup, is_audio_dup, {disposition}
-        FROM r2
+               is_semantic_dup, is_image_dup, is_audio_dup, {disposition},
+               d.drift_ratio, d.refit_recommended
+        FROM r2 CROSS JOIN sxdrift2 d
     """

@@ -1149,13 +1149,17 @@ def _strinc_apply_batch(
     )
     rep = spark.read.parquet(bdir).drop("ingest")
     kept = bdf.join(rep.filter(F.col("kept")).select("doc_id"), "doc_id")
-    # repartition to the bucket spec: each append adds <= 1 file per
-    # bucket (the _ensure_folded_state discipline), so the compaction
-    # threshold tracks INGEST COUNT, not the delta's partitioning
+    # repartition to the bucket spec FIRST, then dedupe: each append adds
+    # <= 1 file per bucket (the _ensure_folded_state discipline), so the
+    # compaction threshold tracks INGEST COUNT, not the delta's
+    # partitioning — and the dropDuplicates REUSES the repartition's
+    # hash clustering (ADVICE r10: distinct-then-repartition shuffled
+    # the delta twice per trigger on the same key; repartition-first
+    # saves one delta-sized exchange, rows identical)
     (
         kept.select(F.md5("text").alias("h"))
-        .distinct()
         .repartition(8, "h")
+        .dropDuplicates(["h"])
         .write.mode("append")
         .bucketBy(8, "h")
         .sortBy("h")
@@ -1164,8 +1168,8 @@ def _strinc_apply_batch(
     (
         banded_signatures(kept, k, bands)
         .select("band", "sig")
-        .distinct()
         .repartition(8, "band", "sig")
+        .dropDuplicates(["band", "sig"])
         .write.mode("append")
         .bucketBy(8, "band", "sig")
         .sortBy("band", "sig")
@@ -1296,9 +1300,20 @@ def stream_dedup_incremental_query(
 
 
 def _strmm_tables(tag: str, k: int, bands: int) -> dict[str, tuple[str, ...]]:
-    """The streaming multimodal loop's six state tables: name → bucket
-    keys.  One spelling for the seeder, the per-batch fold, and the
-    relation-cache refresh, so the set cannot drift."""
+    """The streaming multimodal loop's NINE state tables: name → bucket
+    keys (text hash + bands, image hash + bands, audio hash + bands,
+    semantic SRP bands + vectors + stored enrollments).  One spelling
+    for the seeder, the per-batch fold, and the relation-cache refresh,
+    so the set cannot drift.  The semantic names carry the tier's own
+    parameters (centroids × iterations × threshold — the
+    all-parameters keying discipline), not the text (k, bands)."""
+    from ..operators.similarity import (
+        N_CENTROIDS,
+        SEMANTIC_THRESHOLD,
+        _name_tag,
+    )
+
+    sem = f"{N_CENTROIDS}x3x{_name_tag(SEMANTIC_THRESHOLD)}"
     return {
         f"strmm_hash_{k}x{bands}_{tag}": ("h",),
         f"strmm_bands_{k}x{bands}_{tag}": ("band", "sig"),
@@ -1306,6 +1321,9 @@ def _strmm_tables(tag: str, k: int, bands: int) -> dict[str, tuple[str, ...]]:
         f"strmm_imgb_{tag}": ("band", "bval"),
         f"strmm_audh_{tag}": ("asset_id",),
         f"strmm_audb_{tag}": ("band", "bval"),
+        f"strmm_semb_{sem}_{tag}": ("blk", "tbl", "sig"),
+        f"strmm_semv_{sem}_{tag}": ("vec_id",),
+        f"strmm_sems_{sem}_{tag}": ("vec_id",),
     }
 
 
@@ -1322,13 +1340,15 @@ def _strmm_apply_batch(
     """One micro-batch of the continuous MULTIMODAL crawl: infer which
     delivery this is from the batch's own id range (never from
     batch_id — a restarted stream renumbers batches, the id range is
-    content), load that delivery's media fingerprints, run all four
-    incremental screens against the six state tables AS OF NOW
-    (``_multimodal_screen``, the same shared function both batch
-    spellings use), COMMIT the per-batch report, then fold the KEPT
-    docs' rows into every tier's state.  Same retry contract as
-    ``_strinc_apply_batch``: a committed report makes the whole batch
-    a no-op."""
+    content), load that delivery's media fingerprints and batch
+    vectors, run all FIVE incremental screens against the nine state
+    tables AS OF NOW (``_multimodal_screen`` +
+    ``_crawl_semantic_parts``, the same shared functions both batch
+    spellings use), evaluate the IN-LOOP drift trigger against the
+    score state as of this trigger, COMMIT the per-batch report, then
+    fold the KEPT docs' rows into every tier's state.  Same retry
+    contract as ``_strinc_apply_batch``: a committed report makes the
+    whole batch a no-op."""
     from ..operators.dedup import banded_signatures
     from ..operators.multimodal import (
         _ingest2_audio_batch_fixture_dir,
@@ -1337,7 +1357,18 @@ def _strmm_apply_batch(
         _ingest_image_batch_fixture_dir,
         _phash_band_keys,
     )
-    from ..operators.pipeline import _media_batch_fps, _multimodal_screen
+    from ..operators.pipeline import (
+        _crawl_semantic_parts,
+        _media_batch_fps,
+        _multimodal_screen,
+        ingest2_embedding_batch,
+        ingest_embedding_batch,
+    )
+    from ..operators.similarity import (
+        SEMANTIC_THRESHOLD,
+        _drift_trigger_frame,
+        _semantic_state_tables,
+    )
 
     bdir = os.path.join(report_dir, f"batch_{batch_id:05d}")
     if os.path.exists(os.path.join(bdir, "_SUCCESS")):
@@ -1349,16 +1380,36 @@ def _strmm_apply_batch(
     if id_base == 600000:
         img_dir = _ingest_image_batch_fixture_dir(spark, sf_dir)
         aud_dir = _ingest_audio_batch_fixture_dir(spark, sf_dir)
+        bvecs = ingest_embedding_batch(spark, sf_dir)
     else:
         img_dir = _ingest2_image_batch_fixture_dir(spark, sf_dir)
         aud_dir = _ingest2_audio_batch_fixture_dir(spark, sf_dir)
+        bvecs = ingest2_embedding_batch(spark, sf_dir)
     img_fps = _media_batch_fps(spark, img_dir, "png")
     aud_fps = _media_batch_fps(spark, aud_dir, "wav")
     tbls = list(_strmm_tables(tag, k, bands))
-    th, tb, ih, ib, ah, ab = (spark.table(t) for t in tbls)
-    rep = _multimodal_screen(
-        bdf, (th, tb), (ih, ib), (ah, ab), img_fps, aud_fps, k, bands, id_base
+    th, tb, ih, ib, ah, ab, sb, sv, ss = (spark.table(t) for t in tbls)
+    # the persisted centroid table is a pay-once shared artifact (the
+    # seeder built it); the STATE the screen probes is the loop's own
+    cent = _semantic_state_tables(spark, sf_dir)[2]
+    assign, keys, sem_rep = _crawl_semantic_parts(
+        bvecs, cent, sb, sv, SEMANTIC_THRESHOLD
     )
+    # the in-loop drift trigger: this delivery's enrollment vs the
+    # STORED score state as of this trigger (two 1-row aggregates)
+    drift = _drift_trigger_frame(ss, assign, 1.5)
+    rep = _multimodal_screen(
+        bdf,
+        (th, tb),
+        (ih, ib),
+        (ah, ab),
+        img_fps,
+        aud_fps,
+        k,
+        bands,
+        id_base,
+        sem_rep=sem_rep,
+    ).crossJoin(drift)
     # COMMIT the report before any fold mutates state (the strinc
     # discipline: pre-fold pin + retry guard + no driver collect)
     (
@@ -1369,6 +1420,7 @@ def _strmm_apply_batch(
     rep = spark.read.parquet(bdir).drop("ingest")
     kept_ids = rep.filter(F.col("disposition") == "kept").select("doc_id")
     kept_docs = bdf.join(kept_ids, "doc_id")
+    kept_vids = kept_ids.select(F.col("doc_id").alias("vec_id"))
     kept_bases = kept_ids.select((F.col("doc_id") - id_base).alias("asset_id"))
 
     def rekey(fps: DataFrame) -> DataFrame:
@@ -1382,33 +1434,44 @@ def _strmm_apply_batch(
         )
 
     img_kept, aud_kept = rekey(img_fps), rekey(aud_fps)
+    # (delta, dedup?) per state table — the text deltas dedupe AFTER the
+    # bucket-spec repartition so the dropDuplicates reuses the hash
+    # clustering (one delta exchange per trigger, the _strinc_apply_batch
+    # discipline); the media/semantic deltas are already key-unique
     deltas = (
-        kept_docs.select(F.md5("text").alias("h")).distinct(),
-        banded_signatures(kept_docs, k, bands).select("band", "sig").distinct(),
-        img_kept,
-        _phash_band_keys(img_kept),
-        aud_kept,
-        _phash_band_keys(aud_kept),
+        (kept_docs.select(F.md5("text").alias("h")), True),
+        (banded_signatures(kept_docs, k, bands).select("band", "sig"), True),
+        (img_kept, False),
+        (_phash_band_keys(img_kept), False),
+        (aud_kept, False),
+        (_phash_band_keys(aud_kept), False),
+        (keys.join(kept_vids, "vec_id"), False),
+        (bvecs.join(kept_vids, "vec_id"), False),
+        (assign.join(kept_vids, "vec_id"), False),
     )
     from ..operators.layout import maybe_compact_bucketed_table
 
-    for tbl, delta in zip(tbls, deltas):
-        keys = _strmm_tables(tag, k, bands)[tbl]
+    for tbl, (delta, dedup) in zip(tbls, deltas):
+        keys_t = _strmm_tables(tag, k, bands)[tbl]
         (
             # bucket-spec repartition: <= 1 file per bucket per append
             # (the _ensure_folded_state discipline) — without it the
             # map-only media deltas inherit the checkpoint's
             # partitioning and one fold writes P×8 files, pushing the
             # media state past the compaction threshold EVERY trigger
-            delta.repartition(8, *keys)
+            (
+                delta.repartition(8, *keys_t).dropDuplicates(list(keys_t))
+                if dedup
+                else delta.repartition(8, *keys_t)
+            )
             .write.mode("append")
-            .bucketBy(8, *keys)
-            .sortBy(*keys)
+            .bucketBy(8, *keys_t)
+            .sortBy(*keys_t)
             .saveAsTable(tbl)
         )
         # threshold-driven compaction cadence + outer-session relation
         # cache refresh (crash window covered by the per-replay reseed)
-        maybe_compact_bucketed_table(spark, tbl, 8, list(keys))
+        maybe_compact_bucketed_table(spark, tbl, 8, list(keys_t))
         spark.catalog.refreshTable(tbl)
 
 
@@ -1419,16 +1482,20 @@ def stream_ingest_multimodal_query(
     STRUCTURED STREAMING job — ``ingest_tworound_multimodal``'s exact
     semantics (and therefore its exact ORACLE) executed by
     ``foreachBatch`` over a two-delivery document stream: each
-    micro-batch runs all FOUR tiers' incremental screens (exact text
-    hash, MinHash-LSH bands, image perceptual hash, audio energy
-    fingerprint) against the six bucketed state tables AS OF ITS
-    TRIGGER, and its kept docs' rows — text md5 + band sigs, image
-    hashes + band keys, audio fingerprints + band keys — append back
-    before the next trigger fires.  Ingest 2's planted repeats of
-    ingest-1 keeps (d%8==6 text + audio re-record, d%8==7 image
-    retouch) flag as dups precisely because batch 1's all-tier fold
-    committed between triggers — the tworound contract at integration
-    width, continuous edition.
+    micro-batch runs all FIVE tiers' incremental screens (exact text
+    hash, MinHash-LSH bands, SemDeDup embedding screen, image
+    perceptual hash, audio energy fingerprint) against the nine
+    bucketed state tables AS OF ITS TRIGGER, evaluates the IN-LOOP
+    drift trigger against the stored score state (VERDICT r10 item 6 —
+    the streaming report rows carry drift_ratio/refit_recommended),
+    and its kept docs' rows — text md5 + band sigs, SRP band keys +
+    vectors + stored enrollments, image hashes + band keys, audio
+    fingerprints + band keys — append back before the next trigger
+    fires.  Ingest 2's planted repeats of ingest-1 keeps (d%8==6 text
+    + audio re-record + embedding verbatim, d%8==7 image retouch,
+    d%8==3 d>=256 embedding near-copy) flag as dups precisely because
+    batch 1's all-tier fold committed between triggers — the tworound
+    contract at integration width, continuous edition.
 
     Streaming mechanics inherited from ``stream_dedup_incremental``:
     per-batch report COMMITTED to a parquet sink before the fold
@@ -1455,12 +1522,19 @@ def stream_ingest_multimodal_query(
     )
     from ..operators.pipeline import ingest2_batch_docs, ingest_batch_docs
     from ..operators.relational import corpus_tag, warehouse_path
+    from ..operators.similarity import _semantic_state_tables
 
     tag = corpus_tag(sf_dir, "documents")
+    # the semantic builder also ensures the shared centroid table the
+    # per-batch enrollment reads (pay-once, outside the stream)
+    _, _, _, semb0, semv0, sems0 = _semantic_state_tables(spark, sf_dir)
     day0 = (
         *_text_state_tables(spark, sf_dir, k, bands),
         *_phash_state_tables(spark, sf_dir),
         *_afp_state_tables(spark, sf_dir),
+        semb0,
+        semv0,
+        sems0,
     )
     tbls = _strmm_tables(tag, k, bands)
     for (tbl, keys), base in zip(tbls.items(), day0):
@@ -1510,7 +1584,10 @@ def stream_ingest_multimodal_query(
         "doc_id",
         "is_exact_dup",
         "is_near_dup",
+        "is_semantic_dup",
         "is_image_dup",
         "is_audio_dup",
         "disposition",
+        "drift_ratio",
+        "refit_recommended",
     )

@@ -493,13 +493,19 @@ def test_compact_bucketed_table_one_file_per_bucket(spark):
 
 
 def test_ingest_screen_exchanges_batch_side_only(spark):
-    """The unified multimodal ingest screen (r9): all SIX corpus state
-    tables (text hash/bands, image hash/bands, audio hash/bands) are
-    consumed through bucketed scans with no corpus-side Exchange under
-    the at-scale no-broadcast strategy; the exchange count is pinned
-    exactly — every one of them is batch-sized (probe sides, candidate
-    distincts, report joins), so total shuffle traffic is O(batch)
-    regardless of corpus size."""
+    """The unified multimodal ingest screen (r9; semantic tier r11):
+    the corpus state tables (text hash/bands, image hash/bands, audio
+    hash/bands, semantic bands/vectors) are consumed through EIGHT
+    bucketed scans with no corpus-side Exchange under the at-scale
+    no-broadcast strategy (the semantic score table and the centroid
+    table also appear, but only under 1-row drift/rerank aggregates
+    where the planner rightly skips bucketed reading); the exchange
+    count is pinned exactly — every one is batch-sized (probe sides,
+    candidate distincts, report joins, the semantic screen's
+    batch-side sig/rerank shuffles) or a 1-row drift aggregate, so
+    total shuffle traffic is O(batch) regardless of corpus size.  (The
+    enrollment's own exchanges sit behind the eager localCheckpoint —
+    also batch-sized: a broadcast-centroid join + one batch groupBy.)"""
     from firebird_mapreduce_spark.operators.pipeline import (
         ingest_screen_multimodal,
     )
@@ -510,9 +516,9 @@ def test_ingest_screen_exchanges_batch_side_only(spark):
     try:
         df = ingest_screen_multimodal(spark, SF_SMOKE)
         plan = plan_string(df, "formatted")
-        assert plan.count("Bucketed: true") == 6, plan
+        assert plan.count("Bucketed: true") == 8, plan
         n = count_exchanges(df)
-        assert n == 18, f"exchanges={n} (expected 18)\n{plan}"
+        assert n == 26, f"exchanges={n} (expected 26)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)

@@ -42,20 +42,18 @@ def test_every_query_named_in_coverage():
 
 
 def test_driver_window_covers_every_query():
-    """Round-10 invariant — the evidence floor ADVANCES to r7 (VERDICT
-    r9 item 5: the seventeen r6-era leftovers lead this window, so r6
-    rows are no longer needed by any query): (1) every REGISTERED query
-    has a driver row in r7 ∪ r8 ∪ r9 ∪ this round's 50-query window;
-    (2) every ORACLE-BACKED query has a hash row in that union.
-    Queries whose RESULTS or LIFECYCLE changed this round (the in-loop
-    drift columns, the streaming report sink, the compaction cadence)
-    must sit IN the window — their older rows certify a different
-    computation.  Two r10 LATE registrations (hybrid_retrieval_rrf,
-    embedding_sq8_knn) landed after the window was pinned: they sit in
-    the pending list VISIBLY, are hash-checked by the local parity gate
-    every test run, and take r11 window slots for their first driver
-    rows.  (The driver checks only the first 50 registered queries per
-    round.)"""
+    """Round-11 invariant — the evidence floor ADVANCES to r8 (VERDICT
+    r10 item 1: the full remaining r7-era cohort sits in this window, so
+    r7 rows are no longer needed by any query): (1) every REGISTERED
+    query has a driver row in r8 ∪ r9 ∪ r10 ∪ this round's 50-query
+    window; (2) every ORACLE-BACKED query has a hash row in that union.
+    The two r10 late registrations rotated into window positions 1-2
+    for their FIRST driver rows, emptying the pending list.  Queries
+    whose RESULTS or LIFECYCLE changed this round (the semantic tier in
+    the three unified-crawl queries; stream_dedup_incremental's
+    repartition-first fold appends) must sit IN the window — their
+    older rows certify a different computation.  (The driver checks
+    only the first 50 registered queries per round.)"""
     import json
 
     queries = list(entrymod.queries())
@@ -64,33 +62,35 @@ def test_driver_window_covers_every_query():
     assert window == entrymod._DRIVER_WINDOW
     assert len(set(window)) == 50
     rounds = [
-        json.load(open(f"/root/repo/CORRECTNESS_r0{n}.json")) for n in (7, 8, 9)
+        json.load(open(f"/root/repo/CORRECTNESS_r{n:02d}.json"))
+        for n in (8, 9, 10)
     ]
     driver_rows = set().union(*rounds)
     hash_green = set().union(
         *({k for k, v in r.items() if v.get("hash_match")} for r in rounds)
     )
-    pending = set(entrymod._PENDING_NEXT_WINDOW)
-    assert pending == {"hybrid_retrieval_rrf", "embedding_sq8_knn"}, (
-        "r10 contract: exactly the two late registrations pending"
+    assert entrymod._PENDING_NEXT_WINDOW == [], (
+        "r11 contract: the pending list is empty — additions displace "
+        "group-(e) re-checks instead of waiting"
     )
-    assert pending.isdisjoint(window), "pending query already in window"
+    assert window[:2] == ["hybrid_retrieval_rrf", "embedding_sq8_knn"], (
+        "the r10 late registrations must lead the r11 window "
+        "(their first driver rows)"
+    )
     for changed in (
-        "dedup_semantic_incremental",
-        "embedding_knn_ivfpq_incremental",
-        "stream_dedup_incremental",
-        "dedup_incremental_tworound",
+        "ingest_screen_multimodal",
         "ingest_tworound_multimodal",
         "stream_ingest_multimodal",
+        "stream_dedup_incremental",
     ):
-        assert changed in window, f"{changed} changed in r10 but not in window"
+        assert changed in window, f"{changed} changed in r11 but not in window"
     for name in queries:
-        assert name in driver_rows or name in window or name in pending, (
-            f"{name} has no driver row newer than r6"
+        assert name in driver_rows or name in window, (
+            f"{name} has no driver row newer than r7"
         )
         if name in oracles:
-            assert name in hash_green or name in window or name in pending, (
-                f"{name} is oracle-backed but has no r7+ hash-green "
+            assert name in hash_green or name in window, (
+                f"{name} is oracle-backed but has no r8+ hash-green "
                 "driver row"
             )
 
@@ -110,12 +110,13 @@ def test_bench_stdout_line_fits_driver_capture():
     """The driver records only the LAST 2000 chars of bench stdout and
     json-parses them; r5/r6 shipped ~6.7 KB lines that truncated
     (VERDICT r6 what's-wrong #1).  Worst-case render of the current
-    HEADLINE set must fit with margin."""
+    HEADLINE set (including the r11 swing field) must fit with
+    margin."""
     import bench
 
     worst = {name: 999.999 for name in bench.HEADLINE}
     line = bench.summary_line(
-        99999.999, worst, 5, "BENCH_local_latest.json", 0.1
+        99999.999, worst, 5, "BENCH_local_latest.json", 0.1, 99.999
     )
     assert len(line) + 1 <= 2000, f"bench stdout line {len(line)} chars"
     import json
@@ -123,6 +124,33 @@ def test_bench_stdout_line_fits_driver_capture():
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_wall"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["swing"] == 99.999
+
+
+def test_bench_controls_pinned_and_current():
+    """The r11 swing-adjudication controls (VERDICT r10 item 3): every
+    control is a registered, oracle-backed, HEADLINE-resident query
+    with a pinned positive reference time and a pinned source hash; no
+    control's code has changed since its reference was pinned (a change
+    invalidates the pin — re-measure and re-pin in the same commit);
+    and the detection actually detects (a planted wrong hash surfaces
+    exactly that query)."""
+    import bench
+
+    queries = entrymod.queries()
+    oracles = set(entrymod.oracle_sql())
+    assert set(bench.CONTROL_SOURCE_MD5) == set(bench.CONTROLS)
+    for name, ref in bench.CONTROLS.items():
+        assert name in queries and name in oracles, f"control {name} unknown"
+        assert name in bench.HEADLINE, f"control {name} must be timed"
+        assert name not in bench.RETIRED, f"control {name} retired"
+        assert ref > 0
+    assert bench.stale_controls() == [], (
+        "a control's code changed without re-pinning its reference"
+    )
+    victim = sorted(bench.CONTROLS)[0]
+    planted = dict(bench.CONTROL_SOURCE_MD5, **{victim: "0" * 32})
+    assert bench.stale_controls(planted) == [victim]
 
 
 def test_bench_rotation_policy_capacity_and_registry():

@@ -1411,10 +1411,14 @@ def test_ingest_screen_dispositions_and_precedence(spark):
     d < 256): d%8==0 docs are exact-text AND image-dup and report
     'exact' (exact > image pinned IN DATA, not just in the CASE order);
     d%8==1 docs are audio-dups reporting 'near' where the text screen
-    fired (near > audio); d%8==2 / 3 are the media tiers' own
-    dispositions (new text, so only the media screen can fire); d%8 in
+    fired (near > audio); d%16==2 docs are SEMANTIC near-copies AND
+    image-dups and report 'semantic' (the r11 tier's precedence over
+    media, in data); d%16==10 is the image tier's own disposition;
+    d%8==3 the audio tier's; d%8==5 near-text AND (mostly) semantic —
+    'near' with the semantic boolean proving text > embedding; d%8 in
     (6,7) pass every screen.  Every disposition class must be
-    non-vacuously populated."""
+    non-vacuously populated, and the delivery-level drift columns are
+    one constant quiet pair."""
     from firebird_mapreduce_spark.operators.pipeline import (
         ingest_screen_multimodal,
     )
@@ -1426,46 +1430,89 @@ def test_ingest_screen_dispositions_and_precedence(spark):
     media = {d: r for d, r in rows.items() if d < 256}
     assert media, "no media-carrying batch docs at this SF"
     seen = {r["disposition"] for r in rows.values()}
-    assert seen == {"exact", "near", "image", "audio", "kept"}, seen
+    assert seen == {"exact", "near", "semantic", "image", "audio", "kept"}, (
+        seen
+    )
+    # the precedence CASE holds row-for-row: disposition is the FIRST
+    # true boolean in exact > near > semantic > image > audio order
+    for d, r in rows.items():
+        expected = next(
+            (
+                name
+                for name, flag in (
+                    ("exact", r["is_exact_dup"]),
+                    ("near", r["is_near_dup"]),
+                    ("semantic", r["is_semantic_dup"]),
+                    ("image", r["is_image_dup"]),
+                    ("audio", r["is_audio_dup"]),
+                )
+                if flag
+            ),
+            "kept",
+        )
+        assert r["disposition"] == expected, (d, r)
     near_and_audio = 0
+    sem2 = []
+    sem5 = []
     for d, r in media.items():
         if d % 8 == 0:
             assert r["is_exact_dup"] and r["is_image_dup"]
-            assert r["disposition"] == "exact", (d, r)
         elif d % 8 == 1:
             assert r["is_audio_dup"] and not r["is_exact_dup"]
-            assert r["disposition"] in ("near", "audio"), (d, r)
             near_and_audio += int(r["is_near_dup"])
-        elif d % 8 == 2:
-            assert r["is_image_dup"] and not r["is_exact_dup"]
-            assert not r["is_near_dup"], (d, r)
-            assert r["disposition"] == "image", (d, r)
+        elif d % 16 == 2:
+            # semantic near-copy + image dup; the SRP banding (the
+            # semantics, ~93% recall at cosine 0.99) may miss a few —
+            # flagged docs show semantic > image IN DATA
+            assert r["is_image_dup"], (d, r)
+            assert not r["is_exact_dup"] and not r["is_near_dup"], (d, r)
+            sem2.append(r["is_semantic_dup"])
+        elif d % 16 == 10:
+            # negated vector: genuinely new, never semantic
+            assert r["is_image_dup"] and not r["is_semantic_dup"], (d, r)
         elif d % 8 == 3:
             assert r["is_audio_dup"] and not r["is_image_dup"]
-            assert r["disposition"] == "audio", (d, r)
+        elif d % 8 == 5:
+            assert not r["is_exact_dup"], (d, r)
+            sem5.append(r["is_semantic_dup"])
         elif d % 8 in (6, 7):
             assert r["disposition"] == "kept", (d, r)
     assert near_and_audio > 0, "near > audio precedence never exercised"
-    # non-media batch docs can only be text dispositions
+    assert sum(sem2) >= 0.75 * len(sem2) > 0, "semantic tier under-recalling"
+    assert sum(sem5) >= 0.75 * len(sem5) > 0, "near>semantic never exercised"
+    # non-media batch docs can only be text or semantic dispositions
     assert all(
         not (r["is_image_dup"] or r["is_audio_dup"])
         for d, r in rows.items()
         if d >= 256
     )
+    # the in-loop drift trigger: one constant, quiet pair per delivery
+    drift = {
+        (r["drift_ratio"], r["refit_recommended"]) for r in rows.values()
+    }
+    assert len(drift) == 1, drift
+    ratio, flag = next(iter(drift))
+    assert not flag and 0.5 < ratio < 1.5, drift
 
 
 def test_ingest_tworound_fold_proofs_all_tiers(spark):
     """The unified crawl loop's fold contracts (base docs d < 256):
     every d%8==6 ingest-2 doc repeats its DETERMINISTICALLY-KEPT
-    ingest-1 twin's text and re-records its clip, so it must flag
-    is_exact_dup AND is_audio_dup — two folds proven on one doc, with
-    disposition 'exact' showing the precedence; every d%8==7 doc
-    carries a retouch of its kept twin's image — is_image_dup; fresh
-    docs (d%8 in (0..5) with new text/media in delivery 2) stay kept.
-    The six folded state tables hold day-0 rows + the keeps' delta and
-    stay within the compaction threshold per bucket — the r10 cadence
-    contract (a 2-wave fold sits under the threshold and skips the
-    rewrite; see test_maybe_compact_threshold_paths for both sides)."""
+    ingest-1 twin's text, re-records its clip AND repeats its embedding
+    verbatim, so it must flag is_exact_dup AND is_audio_dup AND
+    is_semantic_dup — THREE folds proven on one doc, with disposition
+    'exact' showing the precedence; every d%8==7 doc carries a retouch
+    of its kept twin's image — is_image_dup, 'image'; d%16==2 and
+    d%8==5 docs carry fresh perturbed near-copies of CORPUS vectors —
+    'semantic' against the corpus part of the folded state; d%8==3
+    docs carry a near-copy of their ingest-1 twin's EMBEDDING, and the
+    twin's fate depends on the AUDIO screen: d < 256 twins were
+    audio-rejected (never folded) so the probe finds nothing — 'kept';
+    d >= 256 twins were kept and folded — 'semantic' (the cross-tier
+    coupling a stale-state implementation gets wrong); everything else
+    is fresh half-flipped and stays kept.  The NINE folded state
+    tables hold day-0 rows + the keeps' delta and stay within the
+    compaction threshold per bucket — the r10 cadence contract."""
     from firebird_mapreduce_spark.operators.layout import (
         bucket_fragmentation,
     )
@@ -1473,6 +1520,11 @@ def test_ingest_tworound_fold_proofs_all_tiers(spark):
         ingest_tworound_multimodal,
     )
     from firebird_mapreduce_spark.operators.relational import corpus_tag
+    from firebird_mapreduce_spark.operators.similarity import (
+        N_CENTROIDS,
+        SEMANTIC_THRESHOLD,
+        _name_tag,
+    )
 
     out = ingest_tworound_multimodal(spark, SF_SMOKE).collect()
     r1 = {r["doc_id"] - 600000: r for r in out if r["ingest"] == 1}
@@ -1480,32 +1532,69 @@ def test_ingest_tworound_fold_proofs_all_tiers(spark):
     assert set(r1) == set(r2)
     media = [d for d in r2 if d < 256]
     assert media, "no media-carrying docs at this SF"
+    sem_corpus = []
     for d in media:
         if d % 8 == 6:
+            # the embedding repeats VERBATIM (cosine 1.0 → identical
+            # SRP signatures in every table — the semantic fold proof
+            # is deterministic, unlike the perturbed classes)
             assert r1[d]["disposition"] == "kept", (d, r1[d])
             assert r2[d]["is_exact_dup"] and r2[d]["is_audio_dup"], r2[d]
+            assert r2[d]["is_semantic_dup"], r2[d]
             assert r2[d]["disposition"] == "exact", r2[d]
         elif d % 8 == 7:
             assert r1[d]["disposition"] == "kept", (d, r1[d])
             assert r2[d]["is_image_dup"], r2[d]
             assert not r2[d]["is_exact_dup"], r2[d]
             assert r2[d]["disposition"] == "image", r2[d]
-        else:
-            # fresh text + fresh media in delivery 2: no tier can fire
+        elif d % 16 == 2 or d % 8 == 5:
+            # perturbed corpus near-copies: semantic against the
+            # corpus rows of the folded state (banding-recall
+            # tolerance as in the screen test), fresh y-text
+            assert r2[d]["disposition"] in ("semantic", "kept"), (d, r2[d])
+            sem_corpus.append(r2[d]["is_semantic_dup"])
+        elif d % 8 == 3:
+            # twin was audio-rejected (d < 256) => its vector never
+            # folded => the near-copy probe finds nothing
+            assert r1[d]["disposition"] == "audio", (d, r1[d])
             assert r2[d]["disposition"] == "kept", (d, r2[d])
-    # non-media docs: only the text fold can reach them
+        else:
+            # fresh text + fresh media + half-flipped vector: no tier
+            assert r2[d]["disposition"] == "kept", (d, r2[d])
+    # non-media docs: the text and semantic folds can still reach them
+    sem_folded = []
     for d, r in r2.items():
         if d >= 256:
-            expected = "exact" if d % 8 == 6 else "kept"
-            assert r["disposition"] == expected, (d, r)
+            if d % 8 == 6:
+                assert r["disposition"] == "exact", (d, r)
+            elif d % 8 == 3:
+                # the ingest-1 twin WAS kept out here (no audio asset
+                # past 256) and folded — the semantic FOLD proof; its
+                # absence (a stale state) would leave every one kept
+                sem_folded.append(r["is_semantic_dup"])
+                assert r["disposition"] in ("semantic", "kept"), (d, r)
+            elif d % 16 == 2 or d % 8 == 5:
+                sem_corpus.append(r["is_semantic_dup"])
+                assert r["disposition"] in ("semantic", "kept"), (d, r)
+            else:
+                assert r["disposition"] == "kept", (d, r)
+    assert sum(sem_corpus) >= 0.75 * len(sem_corpus) > 0
+    assert sum(sem_folded) >= 0.75 * len(sem_folded) > 0, (
+        "the semantic fold proof failed — ingest-2 near-copies of "
+        "folded ingest-1 vectors were not flagged"
+    )
     tag = corpus_tag(SF_SMOKE, "documents")
+    sem = f"{N_CENTROIDS}x3x{_name_tag(SEMANTIC_THRESHOLD)}"
     for t in (
-        f"mmr_hash_16x4_{tag}",
-        f"mmr_bands_16x4_{tag}",
-        f"mmr_imgh_{tag}",
-        f"mmr_imgb_{tag}",
-        f"mmr_audh_{tag}",
-        f"mmr_audb_{tag}",
+        f"mmr2_hash_16x4_{tag}",
+        f"mmr2_bands_16x4_{tag}",
+        f"mmr2_imgh_{tag}",
+        f"mmr2_imgb_{tag}",
+        f"mmr2_audh_{tag}",
+        f"mmr2_audb_{tag}",
+        f"mmr2_semb_{sem}_{tag}",
+        f"mmr2_semv_{sem}_{tag}",
+        f"mmr2_sems_{sem}_{tag}",
     ):
         frag = bucket_fragmentation(spark, t)
         assert 0 < frag <= 4, f"{t}: fragmentation {frag} past threshold"
@@ -1624,3 +1713,81 @@ def test_hybrid_rrf_fuses_both_arms(spark):
         )
     scores = [r["rrf_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_ann_bit_equal_via_candidate_containment(spark):
+    """The ANN-served RRF's correctness argument (r11), both halves:
+    (a) CONTAINMENT — the exact dense top-RRF_DEPTH ids are all inside
+    the SQ8 top-RRF_ANN_CAND candidate cut (recall@20-in-40 = 1.0 on
+    this corpus: the sq8 misses sit within rank 12 per
+    tools/measure_sq8.py), which is the precondition under which the
+    exact rerank makes the served arm bit-equal to the brute arm; and
+    (b) the consequence — ``hybrid_retrieval_rrf_ann`` returns EXACTLY
+    ``hybrid_retrieval_rrf``'s rows, so the brute oracle legitimately
+    serves as the ANN spelling's oracle (rows-only would hide exactly
+    a containment regression)."""
+    from firebird_mapreduce_spark.sources import load_table
+
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        emb = load_table(spark, sf_dir, "embeddings")
+        query = S._query_vector(spark, sf_dir, S.QUERY_VEC_ID)
+        exact20 = {
+            r["vec_id"]
+            for r in S.cosine_topk(
+                emb.filter(F.col("vec_id") != S.QUERY_VEC_ID),
+                query,
+                S.RRF_DEPTH,
+            ).collect()
+        }
+        cand40 = {
+            r["vec_id"]
+            for r in S.sq8_score_topk(
+                S.ensure_sq8_codes_table(spark, sf_dir),
+                S.QUERY_VEC_ID,
+                S.RRF_ANN_CAND,
+            ).collect()
+        }
+        missing = exact20 - cand40
+        assert not missing, f"{sf_dir}: exact-top-20 ids {missing} not in sq8-top-40"
+        brute = sorted(map(tuple, S.hybrid_retrieval_rrf(spark, sf_dir).collect()))
+        served = sorted(
+            map(tuple, S.hybrid_retrieval_rrf_ann(spark, sf_dir).collect())
+        )
+        assert brute == served, f"{sf_dir}: served fusion diverged from brute"
+
+
+def test_sq8_incremental_fold_and_serving(spark):
+    """The SQ8 maintenance loop (r11): odd sampled ingest-2 queries are
+    near-copies of ingest-1's NEGATED survivors, so their top-1 must be
+    the ingest-1 parent (+200000) — findable ONLY because the fold
+    appended b1's codes into the bucketed state (a stale corpus-only
+    state ranks nothing above ~0.47 cosine for them); even queries'
+    top-1 stays in their near-copy family (the corpus source or its b1
+    twin — both at cosine ~0.998).  State accounting: corpus rows + b1
+    rows exactly once, and the fold's append left at most the
+    compaction threshold's files per bucket."""
+    from firebird_mapreduce_spark.operators.layout import bucket_fragmentation
+    from firebird_mapreduce_spark.operators.relational import corpus_tag
+    from firebird_mapreduce_spark.sources import load_table
+
+    out = S.embedding_sq8_knn_incremental(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["sim_sq8"], r["vec_id"]))
+    assert by_q and all(len(v) == 10 for v in by_q.values())
+    for q_id, v in by_q.items():
+        top1 = max(v)[1]
+        base = q_id - 400000
+        if base % 2 == 1:
+            assert top1 == base + 200000, (
+                f"odd query {q_id}: top-1 {top1} is not its folded "
+                "ingest-1 parent — the fold proof failed"
+            )
+        else:
+            assert top1 in (base, base + 200000), (q_id, top1)
+    n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
+    tag = corpus_tag(SF_SMOKE, "embeddings")
+    state = spark.table(f"sq8inc_codes_{tag}")
+    assert state.count() == 2 * n_corpus, "state != corpus ∪ b1"
+    frag = bucket_fragmentation(spark, f"sq8inc_codes_{tag}")
+    assert 0 < frag <= 4, f"sq8inc fold fragmentation {frag}"

@@ -1280,11 +1280,13 @@ def test_stream_ingest_multimodal_equals_batch_twin(spark):
     ``ingest_tworound_multimodal`` ROW-FOR-ROW (same semantics, same
     oracle — the execution engine is the only difference), which
     certifies the cross-trigger ALL-TIER fold: ingest 2's planted
-    repeats of ingest-1 keeps flag on the text, image AND audio tiers
-    only because batch 1's six state appends were visible to batch 2's
-    screens (relation-cache refresh across all six tables), and the
-    delivery→media-fixture pairing inferred from the batch's id range
-    picked the right assets per trigger."""
+    repeats of ingest-1 keeps flag on the text, semantic, image AND
+    audio tiers only because batch 1's nine state appends were visible
+    to batch 2's screens (relation-cache refresh across all nine
+    tables), the delivery→media-fixture/embedding pairing inferred
+    from the batch's id range picked the right assets per trigger, and
+    the per-trigger drift columns came from the score state as of each
+    trigger."""
     from firebird_mapreduce_spark.operators.pipeline import (
         ingest_tworound_multimodal,
     )
@@ -1297,14 +1299,21 @@ def test_stream_ingest_multimodal_equals_batch_twin(spark):
     streamed = rows(stream_ingest_multimodal_query(spark, SF_SMOKE))
     batch = rows(ingest_tworound_multimodal(spark, SF_SMOKE))
     assert streamed == batch
+    # row: (ingest, doc_id, exact, near, semantic, image, audio,
+    #       disposition, drift_ratio, refit_recommended)
     by = {(r[0], r[1]): r for r in streamed}
     media2 = [d for d in range(256) if (2, d + 700000) in by]
     assert media2, "no media-carrying ingest-2 docs at this SF"
-    # all three folds non-vacuous in the streamed result
-    assert any(by[(2, d + 700000)][2] and by[(2, d + 700000)][5]
+    # all four folds non-vacuous in the streamed result
+    assert any(by[(2, d + 700000)][2] and by[(2, d + 700000)][6]
                for d in media2 if d % 8 == 6), "text+audio fold not proven"
     assert any(by[(2, d + 700000)][4]
+               for d in media2 if d % 8 == 6), "semantic fold not proven"
+    assert any(by[(2, d + 700000)][5]
                for d in media2 if d % 8 == 7), "image fold not proven"
+    # drift surfaced through the stream: one quiet pair per trigger
+    drift = {(r[0], r[8], r[9]) for r in streamed}
+    assert len(drift) == 2 and all(not f for _, _, f in drift), drift
 
 
 def test_strinc_long_crawl_fragmentation_bounded(spark):

@@ -19,63 +19,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+# the measured path IS the registered query's core (sq8_topk shared
+# verbatim — ADVICE r10: a duplicated spelling here could let the recall
+# evidence drift from what embedding_sq8_knn actually serves)
 from firebird_mapreduce_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
-    SQ8_DENOM,
+    sq8_topk,
 )
 from firebird_mapreduce_spark.session import get_session  # noqa: E402
 from firebird_mapreduce_spark.sources import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBES = (0, 7, 42, 123, 999)
-
-
-def sq8_topk(emb, query_id: int, k: int):
-    coded = (
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.aggregate(
-                F.col("embedding"),
-                F.lit(0.0),
-                lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
-            ).alias("maxabs"),
-        )
-        .filter(F.col("maxabs") > 0)
-        .select(
-            "vec_id",
-            "maxabs",
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.round(
-                    x.cast("double") * F.lit(127.0) / F.col("maxabs"), 0
-                ).cast("int"),
-            ).alias("codes"),
-        )
-    )
-    q = coded.filter(F.col("vec_id") == query_id).select(
-        F.col("maxabs").alias("q_maxabs"), F.col("codes").alias("q_codes")
-    )
-    scored = coded.filter(F.col("vec_id") != query_id).crossJoin(F.broadcast(q))
-    dot_int = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("q_codes"),
-            lambda a, b: a.cast("long") * b.cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    sim = F.round(
-        F.col("maxabs") * F.col("q_maxabs") * dot_int.cast("double")
-        / F.lit(SQ8_DENOM),
-        6,
-    )
-    return (
-        scored.select("vec_id", sim.alias("sim_sq8"))
-        .orderBy(F.desc("sim_sq8"), F.asc("vec_id"))
-        .limit(k)
-    )
 
 
 def main():
