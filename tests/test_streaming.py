@@ -1316,15 +1316,20 @@ def test_stream_ingest_multimodal_equals_batch_twin(spark):
     assert len(drift) == 2 and all(not f for _, _, f in drift), drift
 
 
-def test_strinc_long_crawl_fragmentation_bounded(spark):
-    """A LONG-RUNNING crawl's state must not fragment without bound
-    (r10 — the cadence's reason to exist in the streaming loop): six
-    consecutive micro-batch folds through ``_strinc_apply_batch``, then
-    assert every state table's worst bucket holds at most the
-    compaction threshold's file count.  Without the in-loop
-    ``maybe_compact_bucketed_table`` each fold appends
-    tasks-per-delta × 1 files per bucket and the screen's per-bucket
-    open count grows with crawl age."""
+def test_strinc_long_crawl_cadence_and_fragmentation(spark):
+    """The LONG-CRAWL soak (r10 bound, r11 cadence — VERDICT r10 item
+    5): EIGHT consecutive micro-batch folds through
+    ``_strinc_apply_batch`` with deliveries wide enough to touch every
+    bucket each day, tracking the hash table's worst-bucket file count
+    after every fold.  Pins the whole cadence, not just the endpoint:
+    fragmentation climbs +1 per fold from the 1-file seed, never
+    exceeds threshold+1 (the one transient fold that trips the
+    rewrite), compaction fires EXACTLY when the threshold is crossed —
+    folds 4 and 8 for threshold 4, i.e. every ~threshold ingests — and
+    each compaction restores one file per bucket.  Without the in-loop
+    ``maybe_compact_bucketed_table`` the per-bucket open count grows
+    linearly with crawl age; with a broken append repartition it blows
+    past the threshold on day one."""
     import os
     import shutil
 
@@ -1353,24 +1358,43 @@ def test_strinc_long_crawl_fragmentation_bounded(spark):
         shutil.rmtree(
             os.path.join(warehouse_path(spark), tbl), ignore_errors=True
         )
-        base.write.bucketBy(8, *keys).sortBy(*keys).saveAsTable(tbl)
-    for day in range(6):
+        # seed at one file per bucket (the stream seeder discipline)
+        base.repartition(8, *keys).write.bucketBy(8, *keys).sortBy(
+            *keys
+        ).saveAsTable(tbl)
+    days = 8
+    frag_curve = []
+    for day in range(days):
+        # 40 fresh docs/day → 40 distinct hashes → every one of the 8
+        # buckets receives rows, so the append adds exactly one file
+        # to every bucket and the cadence is deterministic
         batch = spark.createDataFrame(
             [
-                (1000 + day * 10 + j, f"day {day} doc {j} " + "tok " * 20)
-                for j in range(3)
+                (1000 + day * 100 + j, f"day {day} doc {j} " + "tok " * 20)
+                for j in range(40)
             ],
             "doc_id bigint, text string",
         )
         _strinc_apply_batch(spark, batch, day, report_dir, htbl, btbl, 16, 4)
-    for tbl in (htbl, btbl):
-        frag = bucket_fragmentation(spark, tbl)
-        assert 0 < frag <= 4, (
-            f"{tbl}: fragmentation {frag} after 6 folds — cadence broken"
-        )
-    # all six reports committed, each batch-sized
+        frag_curve.append(bucket_fragmentation(spark, htbl))
+    # threshold 4: 1-file seed → 2,3,4 (skip: not past threshold),
+    # 5 → rewrite → 1; then 2,3,4, 5 → rewrite → 1
+    assert frag_curve == [2, 3, 4, 1, 2, 3, 4, 1], frag_curve
+    assert max(frag_curve) <= 5, "transient fragmentation past threshold+1"
+    compactions = sum(
+        1
+        for prev, cur in zip([1] + frag_curve, frag_curve)
+        if cur < prev
+    )
+    assert compactions == days // 4, (
+        f"{compactions} compactions in {days} folds — cadence is not "
+        "every ~threshold ingests"
+    )
+    frag_b = bucket_fragmentation(spark, btbl)
+    assert 0 < frag_b <= 5, f"{btbl}: fragmentation {frag_b}"
+    # all eight reports committed, each batch-sized
     n_rep = spark.read.parquet(os.path.join(report_dir, "batch_*")).count()
-    assert n_rep == 18
+    assert n_rep == days * 40
     for tbl in (htbl, btbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(report_dir, ignore_errors=True)
