@@ -181,6 +181,14 @@ HEADLINE = [
     # BIGINT dot + TakeOrderedAndProject (the slot the r10 HEADLINE
     # deadlock deferred; freed by the swing-normalized retirements)
     "embedding_sq8_knn",
+    # r11: the ANN-served RRF — run 0 pays the one-time sq8 code-table
+    # write, runs 1+ are the served shape: quantized candidate scan +
+    # 40-row exact rerank + the BM25 arm (vs the brute sibling above)
+    "hybrid_retrieval_rrf_ann",
+    # r11: the SQ8 maintenance loop — run 0 pays the code-table +
+    # folded-state writes, runs 1+ are the steady serve: 20 sampled
+    # probes' integer-dot top-10 against the folded codes
+    "embedding_sq8_knn_incremental",
 ]
 
 # Bench-set ROTATION POLICY (r9, VERDICT r8 item 5; stability bar

@@ -102,6 +102,14 @@ BUDGETS = {
     # map-only quantization + integer-dot top-k: ZERO exchanges, the
     # whole query is one codegen scan + TakeOrderedAndProject
     "embedding_sq8_knn": 0,
+    # r11: same two as the brute spelling (the duplicated BM25 subtree)
+    # — the SQ8 candidate cut, the 40-row rerank join and the fusion
+    # add NO hash exchange (bucketed code-table scan + broadcasts)
+    "hybrid_retrieval_rrf_ann": 2,
+    # r11: ONE exchange — the per-query top-k window on q_id over the
+    # sampled probes' scored rows; fold append exchanges are delta-
+    # sized and sit behind the state table, the probe side broadcasts
+    "embedding_sq8_knn_incremental": 1,
 }
 
 
