@@ -1773,11 +1773,10 @@ def ingest_tworound_multimodal(
     )
     from .relational import corpus_tag
     from .similarity import (
-        N_CENTROIDS,
         SEMANTIC_THRESHOLD,
         _drift_trigger_frame,
-        _name_tag,
         _semantic_state_tables,
+        semantic_param_tag,
     )
 
     tag = corpus_tag(sf_dir, "documents")
@@ -1879,8 +1878,9 @@ def ingest_tworound_multimodal(
     # the semantic tier's three folded states (bands / vectors / stored
     # enrollments) — the dedup_semantic_incremental fold discipline with
     # the crawl's OWN tables; the prefix carries every parameter that
-    # determines the folded contents (the all-parameters keying rule)
-    sem_tag = f"{N_CENTROIDS}x3x{_name_tag(SEMANTIC_THRESHOLD)}"
+    # determines the folded contents (the all-parameters keying rule,
+    # one shared spelling with the streaming loop's tables)
+    sem_tag = semantic_param_tag()
     fsemb = _ensure_folded_state(
         spark,
         f"mmr2_semb_{sem_tag}_",

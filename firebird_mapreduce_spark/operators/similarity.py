@@ -2158,6 +2158,20 @@ def _drift_trigger_frame(
     )
 
 
+def semantic_param_tag(
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    threshold: float = SEMANTIC_THRESHOLD,
+) -> str:
+    """The semantic tier's all-parameters table-name segment
+    (``{k}x{iterations}x{threshold}``) — ONE spelling for every
+    consumer of the tier's folded state (the tworound crawl's ``mmr2_``
+    tables, the streaming loop's ``strmm_sem*`` tables), so two
+    spellings can never drift and silently reuse state folded under
+    different parameters."""
+    return f"{k}x{iterations}x{_name_tag(threshold)}"
+
+
 def _semantic_state_tables(
     spark: SparkSession,
     sf_dir: str,

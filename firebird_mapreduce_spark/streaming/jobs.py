@@ -1307,13 +1307,9 @@ def _strmm_tables(tag: str, k: int, bands: int) -> dict[str, tuple[str, ...]]:
     so the set cannot drift.  The semantic names carry the tier's own
     parameters (centroids × iterations × threshold — the
     all-parameters keying discipline), not the text (k, bands)."""
-    from ..operators.similarity import (
-        N_CENTROIDS,
-        SEMANTIC_THRESHOLD,
-        _name_tag,
-    )
+    from ..operators.similarity import semantic_param_tag
 
-    sem = f"{N_CENTROIDS}x3x{_name_tag(SEMANTIC_THRESHOLD)}"
+    sem = semantic_param_tag()
     return {
         f"strmm_hash_{k}x{bands}_{tag}": ("h",),
         f"strmm_bands_{k}x{bands}_{tag}": ("band", "sig"),

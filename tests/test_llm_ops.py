@@ -1521,9 +1521,7 @@ def test_ingest_tworound_fold_proofs_all_tiers(spark):
     )
     from firebird_mapreduce_spark.operators.relational import corpus_tag
     from firebird_mapreduce_spark.operators.similarity import (
-        N_CENTROIDS,
-        SEMANTIC_THRESHOLD,
-        _name_tag,
+        semantic_param_tag,
     )
 
     out = ingest_tworound_multimodal(spark, SF_SMOKE).collect()
@@ -1584,7 +1582,7 @@ def test_ingest_tworound_fold_proofs_all_tiers(spark):
         "folded ingest-1 vectors were not flagged"
     )
     tag = corpus_tag(SF_SMOKE, "documents")
-    sem = f"{N_CENTROIDS}x3x{_name_tag(SEMANTIC_THRESHOLD)}"
+    sem = semantic_param_tag()
     for t in (
         f"mmr2_hash_16x4_{tag}",
         f"mmr2_bands_16x4_{tag}",
