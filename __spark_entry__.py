@@ -369,6 +369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verbatim) between text near-dedup and decontamination, with
         # per-language attrition for all seven stages (VERDICT r7 item 6)
         "curation_pipeline_multimodal": P.curation_pipeline_multimodal,
+        # r11: the NINE-stage funnel — the multimodal funnel plus the
+        # SemDeDup stage the unified crawl gained this round (4-doc
+        # vector families, assign-only enrollment, SRP banding,
+        # exact-cosine keep-min-id — dedup_semantic's machinery),
+        # inserted after text near-dedup, before the media screens
+        "curation_pipeline_semantic": P.curation_pipeline_semantic,
         # r8 (late): the audio tier's daily-crawl screen — corpus
         # fingerprints persist as the SAME two bucketed state tables as
         # the image tier, new clips probe by band membership via the
@@ -501,7 +507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       stream_dedup / stream_running_count / stream_session_timeout /
 #         stream_static_join — stream_session_window and
 #         stream_stream_join re-checked here; the foreachBatch loops in
-#         group (b) are the heavier stateful paths;
+#         group (b) are the heavier stateful paths (stream_running_count
+#         ceded its (e) slot to curation_pipeline_semantic — first-row
+#         evidence outranks a re-check; its applyInPandasWithState
+#         machinery is r8-green and stream_session_custom r9-green runs
+#         the same state-store path);
 #       json_extract_events in; variant_extract_events r9-green;
 #       zorder3_key_events — zorder_key_events / zorder4 r9-green.
 # Result: every registered query has a driver row in r8 ∪ r9 ∪ r10 ∪
@@ -520,6 +530,7 @@ _DRIVER_WINDOW = [
     # (c) the r11 additions — first driver rows, zero deferral
     "hybrid_retrieval_rrf_ann",
     "embedding_sq8_knn_incremental",
+    "curation_pipeline_semantic",
     # (d) the full remaining r7-era cohort — floor advances to r8
     "dedup_exact_hash",
     "dedup_minhash_lsh",
@@ -561,7 +572,6 @@ _DRIVER_WINDOW = [
     "skew_join_events",
     "sssp_fixpoint",
     "stream_custom_source",
-    "stream_running_count",
     "stream_session_window",
     "stream_stream_join",
 ]
@@ -2889,6 +2899,17 @@ def oracle_sql() -> dict[str, str]:
         # rule) one stage later — the eight-stage funnel
         "curation_pipeline_multimodal": P.curation_pipeline_full_oracle_sql(
             _MINHASH_CTES, image_stage=True, audio_stage=True
+        ),
+        # r11: the nine-stage funnel — the same builder with the
+        # semantic stage's family-vector derivation + the shared
+        # k-means/SRP/match CTE helpers spliced between nd and the
+        # image stage (MATERIALIZED: the chain would otherwise be
+        # re-inlined per downstream reference of `sem`)
+        "curation_pipeline_semantic": P.curation_pipeline_full_oracle_sql(
+            _MINHASH_CTES,
+            image_stage=True,
+            audio_stage=True,
+            semantic_stage=True,
         ),
         # r8 (late): the audio ingest screen — both clip families'
         # energies re-derived relationally, corpus-vs-batch band

@@ -151,8 +151,9 @@ HEADLINE = [
     # r8: drift -> refit -> swap; run 0 pays the v2 fit + both commits,
     # runs 1+ are the versioned-read + four enrollment scores
     "semantic_index_refit",
-    # r8: the seven-stage multimodal funnel (image screen included)
-    "curation_pipeline_multimodal",
+    # r11: the NINE-stage funnel (SemDeDup + image + audio screens) —
+    # supersets curation_pipeline_multimodal, which retires to it
+    "curation_pipeline_semantic",
     # r8: the audio ingest screen — run 0 pays the state writes, runs
     # 1+ are the batch-vs-state membership probe
     "dedup_audio_fingerprint_incremental",
@@ -230,7 +231,8 @@ RETIRED = {
     "filter_predicate": "tpch_q1_pricing covers the scan-dominated filter+agg shape; scan_project is oracle-checked",
     "inverted_index": "tfidf_top_terms runs the inverted index as its first half",
     "dedup_exact_bucketed": "bucketed_join_orders times the bucketed layout; dedup_exact_hash times the dedup",
-    "curation_pipeline_full": "curation_pipeline_multimodal supersets it (same six stages + image screen)",
+    "curation_pipeline_full": "curation_pipeline_semantic supersets it (same six stages + three screens)",
+    "curation_pipeline_multimodal": "curation_pipeline_semantic supersets it (same eight stages + the SemDeDup stage)",
     "tpch_q18_topk": "tpch_q3_topk covers the TakeOrderedAndProject join shape; q18's group-filter is oracle-checked",
 }
 
@@ -258,6 +260,7 @@ RETIRED_SOURCE_MD5 = {
     "dedup_exact_bucketed": "9253aa80872507515c221e22eb707963",
     "curation_pipeline_full": "d646ef09241c5fd9209dce11320e89ea",
     "tpch_q18_topk": "59f794e77c402ea402c5d4b412fd733b",
+    "curation_pipeline_multimodal": "fe37cb6ad75ac5dd722d1586c7e9ac01",
 }
 
 # Designated UNCHANGED control queries (r11, VERDICT r10 item 3): their

@@ -642,6 +642,103 @@ def curation_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation_funnel(spark, sf_dir, image_stage=True, audio_stage=True)
 
 
+def curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NINE-stage curation funnel (r11) — ``curation_pipeline_
+    multimodal`` plus the SEMANTIC near-dedup stage the unified crawl
+    gained this round, inserted where SemDeDup runs in production:
+    after text near-dedup (cheap screens first), before the media
+    screens.  corpus → quality → unique → neardup → SEMDEDUP →
+    imgdedup → auddedup → clean → final.
+
+    The stage: each surviving doc's embedding derives from its 4-doc
+    VECTOR FAMILY (the image fixture's family idiom on the vector
+    tier) — corpus vector ``doc_id - doc_id%4`` perturbed +0.05 at dim
+    ``(doc_id%4)·7``, so family members are mutual semantic near-dups
+    (cosine ≈ 0.9988) while cross-family cosines stay at the corpus's
+    natural ≤ 0.47 — and ``dedup_semantic``'s machinery (assign-only
+    enrollment against the persisted k-means centroids, salted SRP
+    banding within clusters, exact-cosine verify, keep-min-id) drops
+    any survivor whose vector near-dups a SMALLER survivor's.  Docs
+    whose family base has no corpus vector pass through (the media
+    stages' d < 256 idiom).  ~3/4 of vector-carrying survivors drop —
+    a non-vacuous stage, pinned in test_pipeline_ops.py.
+
+    Output: (lang, n_corpus, n_quality, n_unique, n_neardup,
+    n_semdedup, n_imgdedup, n_auddedup, n_clean, n_final, min_final,
+    max_final).  The oracle replays the stage through the SAME shared
+    CTE builders as the crawl's semantic tier (the k-means chain,
+    ``_sql_enroll``/``_sql_srp_sigs``/``_sql_semantic_match``) inside
+    the funnel's nested-CTE chain.
+
+    At 100 TB the stage adds one broadcast-centroid enrollment over
+    survivors, a banded self-join on (cluster, table, signature) —
+    never all-pairs — and an exact rerank of band collisions only:
+    the ``dedup_semantic`` plan riding inside the funnel, exactly as
+    the media stages ride their standalone operators' plans."""
+    return _curation_funnel(
+        spark, sf_dir, image_stage=True, audio_stage=True,
+        semantic_stage=True,
+    )
+
+
+def _semantic_stage_dropped(
+    spark: SparkSession, sf_dir: str, surviving: DataFrame
+) -> DataFrame:
+    """Doc ids dropped by the funnel's SEMANTIC near-dup stage: derive
+    each surviving doc's family vector, enroll assign-only against the
+    persisted raw-corpus centroids, band with salted SRP within
+    clusters, verify band collisions by exact cosine, and drop any
+    survivor matching a SMALLER survivor at sim >= the SemDeDup
+    threshold — ``dedup_semantic``'s candidate + verify rule restricted
+    to survivors (``_banded_candidate_pairs`` / ``_rerank_candidate_
+    pairs`` shared verbatim, the ``_modal_neardup_dropped`` discipline
+    on the vector tier)."""
+    from .similarity import (
+        N_CENTROIDS,
+        NEARDUP_TABLES,
+        SEMANTIC_THRESHOLD,
+        _assign_to_centroids,
+        _banded_candidate_pairs,
+        _quantized_components,
+        _rerank_candidate_pairs,
+        _with_srp_sigs,
+        ensure_centroid_table,
+        ensure_kmeans_exact_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign_c = ensure_kmeans_exact_table(
+        spark, sf_dir, "raw", emb, N_CENTROIDS, 3
+    )
+    cent = ensure_centroid_table(
+        spark, sf_dir, "raw", emb, assign_c, N_CENTROIDS, 3
+    )
+    fam = surviving.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("vec_id")
+    )
+    pdim = (F.col("doc_id") % 4) * 7
+    vecs = fam.join(emb, "vec_id").select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                i == pdim, x.cast("double") + F.lit(0.05)
+            ).otherwise(x.cast("double")),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=False)
+    assign = _assign_to_centroids(_quantized_components(vecs), cent)
+    tagged = _with_srp_sigs(vecs, NEARDUP_TABLES).join(
+        assign.select("vec_id", "cluster"), "vec_id"
+    )
+    cand = _banded_candidate_pairs(tagged, "cluster", NEARDUP_TABLES)
+    return (
+        _rerank_candidate_pairs(cand, vecs)
+        .filter(F.col("sim") >= F.lit(SEMANTIC_THRESHOLD))
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+
+
 def _modal_neardup_dropped(
     hashes: DataFrame, surviving: DataFrame
 ) -> DataFrame:
@@ -697,12 +794,13 @@ def _curation_funnel(
     sf_dir: str,
     image_stage: bool,
     audio_stage: bool = False,
+    semantic_stage: bool = False,
 ) -> DataFrame:
     """The shared funnel body — ``curation_pipeline_full`` with
-    ``image_stage`` / ``audio_stage`` optionally inserting the image and
-    audio near-dup screens between text near-dedup and decontamination
-    (one body so the declared funnels cannot drift on the text
-    stages)."""
+    ``semantic_stage`` / ``image_stage`` / ``audio_stage`` optionally
+    inserting the SemDeDup, image and audio near-dup screens between
+    text near-dedup and decontamination (one body so the declared
+    funnels cannot drift on the text stages)."""
     from .dedup import banded_signatures
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -761,6 +859,12 @@ def _curation_funnel(
     nd = uniq.join(nd_dropped, "doc_id", "left_anti").localCheckpoint(
         eager=False
     )
+    if semantic_stage:
+        sem = nd.join(
+            _semantic_stage_dropped(spark, sf_dir, nd), "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+    else:
+        sem = nd
     if image_stage:
         from ..sources.readers import read_binary_dir
         from .multimodal import _funnel_image_fixture_dir, phash_hashes
@@ -776,12 +880,12 @@ def _curation_funnel(
             )
         ).localCheckpoint(eager=False)  # banding keys AND the verify fetch
         # banding restricted to SURVIVING docs on both sides — the
-        # dedup_images_phash pair rule over the nd frame
-        img = nd.join(
-            _modal_neardup_dropped(img_hashes, nd), "doc_id", "left_anti"
+        # dedup_images_phash pair rule over the semantic survivors
+        img = sem.join(
+            _modal_neardup_dropped(img_hashes, sem), "doc_id", "left_anti"
         ).localCheckpoint(eager=False)
     else:
-        img = nd
+        img = sem
     if audio_stage:
         from ..sources.readers import read_binary_dir
         from .multimodal import _funnel_audio_fixture_dir, audio_fingerprints
@@ -854,6 +958,12 @@ def _curation_funnel(
         F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
         F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
     ]
+    if semantic_stage:
+        sem_cnt = sem.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_semdedup")
+        )
+        out = out.join(sem_cnt, "lang", "left")
+        cols.append(F.coalesce("n_semdedup", F.lit(0)).alias("n_semdedup"))
     if image_stage:
         img_cnt = img.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_imgdedup")
@@ -876,16 +986,24 @@ def _curation_funnel(
 
 
 def curation_pipeline_full_oracle_sql(
-    minhash_ctes: str, image_stage: bool = False, audio_stage: bool = False
+    minhash_ctes: str,
+    image_stage: bool = False,
+    audio_stage: bool = False,
+    semantic_stage: bool = False,
 ) -> str:
     """DuckDB twin of ``curation_pipeline_full`` (and, with the stage
-    flags, of ``curation_pipeline_multimodal``) — caller supplies the
-    shared MinHash banding CTE block (``_MINHASH_CTES`` in the driver
+    flags, of ``curation_pipeline_multimodal`` /
+    ``curation_pipeline_semantic``) — caller supplies the shared
+    MinHash banding CTE block (``_MINHASH_CTES`` in the driver
     registry, formatted over the unique survivors) so the banding rule
-    cannot drift from ``dedup_minhash_lsh``'s oracle; the image stage
-    re-derives every surviving doc's perceptual hash relationally from
-    the funnel fixture's ``_phash_grid`` arithmetic (salt "phf", base
-    doc = doc_id - doc_id%4, pert = doc_id%4), and the audio stage its
+    cannot drift from ``dedup_minhash_lsh``'s oracle; the SEMANTIC
+    stage replays the family-vector derivation (corpus vector
+    ``doc_id - doc_id%4`` perturbed +0.05 at dim ``(doc_id%4)·7``) and
+    ``dedup_semantic``'s rule through the SAME shared CTE builders as
+    the crawl's semantic tier; the image stage re-derives every
+    surviving doc's perceptual hash relationally from the funnel
+    fixture's ``_phash_grid`` arithmetic (salt "phf", base doc =
+    doc_id - doc_id%4, pert = doc_id%4), and the audio stage its
     energy fingerprint from the ``_afp_amplitudes`` arithmetic (salt
     "auf", same base/pert rule)."""
     from .multimodal import (
@@ -895,8 +1013,53 @@ def curation_pipeline_full_oracle_sql(
         _PHASH_BASE,
         _PHASH_THRESHOLD,
     )
+    from .similarity import (
+        SEMANTIC_THRESHOLD,
+        _kmeans_exact_cte_chain,
+        _sql_enroll,
+        _sql_final_centroids,
+        _sql_semantic_match,
+        _sql_srp_sigs,
+    )
 
     banding = minhash_ctes.format(docs="SELECT doc_id, text FROM uniqd")
+    if semantic_stage:
+        chain = _kmeans_exact_cte_chain(cte_prefix="sx", with_kw=False)
+        sem_ctes = f"""{chain.lstrip(",").lstrip()},
+        sxcf AS MATERIALIZED ({_sql_final_centroids("sxcomp", "sxa3")}),
+        fsvec AS MATERIALIZED (
+            SELECT n.doc_id AS vec_id,
+                   list_transform(range(0, len(e.embedding)), j ->
+                       CASE WHEN j = (n.doc_id % 4) * 7
+                            THEN CAST(e.embedding[j+1] AS DOUBLE) + 0.05
+                            ELSE CAST(e.embedding[j+1] AS DOUBLE) END)
+                       AS embedding
+            FROM nd n JOIN embeddings e
+              ON e.vec_id = n.doc_id - n.doc_id % 4),
+        fscomp AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                   round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+            FROM fsvec),
+        fsassign AS MATERIALIZED ({_sql_enroll("fscomp", "sxcf")}),
+        fssig AS MATERIALIZED ({_sql_srp_sigs("fsvec", "fsassign")}),
+        fscand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM fssig a JOIN fssig b
+              ON a.cluster = b.cluster AND a.tbl = b.tbl
+             AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        fsmatch AS MATERIALIZED ({_sql_semantic_match("fscand", "fsvec",
+                                         SEMANTIC_THRESHOLD)}),
+        sem AS MATERIALIZED (SELECT * FROM nd
+                WHERE doc_id NOT IN (SELECT vec_id FROM fsmatch)),"""
+        sem_cnt_cte = (
+            "semcnt AS (SELECT lang, count(*) AS n_semdedup "
+            "FROM sem GROUP BY lang),"
+        )
+        sem_join = "LEFT JOIN semcnt sc USING (lang)"
+        sem_col = "coalesce(sc.n_semdedup, 0) AS n_semdedup,"
+    else:
+        sem_ctes = "sem AS (SELECT * FROM nd),"
+        sem_cnt_cte = sem_join = sem_col = ""
     if image_stage:
         img_ctes = f"""figrid AS (
             SELECT n.doc_id, bx.i AS bx, by.i AS by,
@@ -910,7 +1073,7 @@ def curation_pipeline_full_oracle_sql(
                           WHEN n.doc_id % 4 = 3 AND bx.i = 5 AND by.i = 2
                               THEN 19
                           ELSE 0 END AS g
-            FROM nd n, range(0, 8) bx(i), range(0, 8) by(i)
+            FROM sem n, range(0, 8) bx(i), range(0, 8) by(i)
             WHERE n.doc_id < {_PHASH_BASE}),
         fihash AS (
             SELECT l.doc_id,
@@ -932,7 +1095,7 @@ def curation_pipeline_full_oracle_sql(
               ON a.band = b.band AND a.bval = b.bval
              AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_THRESHOLD}),
-        img AS (SELECT * FROM nd
+        img AS (SELECT * FROM sem
                 WHERE doc_id NOT IN (SELECT doc_id FROM fidrop)),"""
         img_cnt_cte = (
             "imgcnt AS (SELECT lang, count(*) AS n_imgdedup "
@@ -941,7 +1104,7 @@ def curation_pipeline_full_oracle_sql(
         img_join = "LEFT JOIN imgcnt ic USING (lang)"
         img_col = "coalesce(ic.n_imgdedup, 0) AS n_imgdedup,"
     else:
-        img_ctes = "img AS (SELECT * FROM nd),"
+        img_ctes = "img AS (SELECT * FROM sem),"
         img_cnt_cte = img_join = img_col = ""
     if audio_stage:
         aud_ctes = f"""fen AS (
@@ -1022,6 +1185,7 @@ def curation_pipeline_full_oracle_sql(
               ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
         nd AS (SELECT * FROM uniqd
                WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+        {sem_ctes}
         {img_ctes}
         {aud_ctes}
         pg AS (
@@ -1060,6 +1224,7 @@ def curation_pipeline_full_oracle_sql(
             FROM q GROUP BY lang),
         ucnt AS (SELECT lang, count(*) AS n_unique FROM uniqd GROUP BY lang),
         ndcnt AS (SELECT lang, count(*) AS n_neardup FROM nd GROUP BY lang),
+        {sem_cnt_cte}
         {img_cnt_cte}
         {aud_cnt_cte}
         funnel AS (
@@ -1072,6 +1237,7 @@ def curation_pipeline_full_oracle_sql(
         SELECT b.lang, b.n_corpus, b.n_quality,
                coalesce(u.n_unique, 0) AS n_unique,
                coalesce(nc.n_neardup, 0) AS n_neardup,
+               {sem_col}
                {img_col}
                {aud_col}
                coalesce(f.n_clean, 0) AS n_clean,
@@ -1080,6 +1246,7 @@ def curation_pipeline_full_oracle_sql(
         FROM base b
         LEFT JOIN ucnt u USING (lang)
         LEFT JOIN ndcnt nc USING (lang)
+        {sem_join}
         {img_join}
         {aud_join}
         LEFT JOIN funnel f USING (lang)
