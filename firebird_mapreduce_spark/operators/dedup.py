@@ -204,7 +204,75 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
-    """(doc_id, minhash array<string>[k]).
+    """(doc_id, minhash array<string>[k]) — one Arrow-batched map pass.
+
+    r11 optimization (guide §4.2: hand whole batches to native code): the
+    whole signature — tokenize, 3-shingle, ``k/4`` seeded md5s, per-slice
+    mins — runs inside one ``mapInPandas`` kernel per partition, replacing
+    the explode → md5 projection → 16-way groupBy-min pipeline
+    (``_minhash_signatures_sql``, kept below as the differential
+    spelling).  The JVM pipeline's cost was NOT the md5s (measured 0.66 s
+    at sf0.1) but the 16 ``min(substring)`` aggregate buffers over the
+    exploded shingle stream (2.7 s of its 3.1 s total); the kernel does
+    the same work with C-speed ``hashlib.md5`` and plain string compares,
+    measured **3.1× faster** (1.0 s vs 3.1 s min-of-3 at sf0.1) and
+    bit-identical (pinned in test_properties.py).  At scale the kernel is
+    strictly better: a pure map pass with NO exchange at all when the
+    input is already parallel (the conditional spread below only fires on
+    under-split local inputs), where the old shape always paid the
+    groupBy shuffle; only (doc_id, text) crosses the Python boundary.
+    """
+    n_md5 = k // 4
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        # self-contained closure: executors may not have the repo on
+        # sys.path (the operators.multimodal discipline)
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        seeds = [("%d|" % s).encode() for s in range(n_md5)]
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(doc_id)
+                toks = text.split(" ") if text is not None else []
+                if len(toks) < 3:
+                    # < 3 tokens ⇒ no shingles ⇒ an array of k NULLs
+                    # (NOT a NULL array) — the oracle's
+                    # list_min-over-empty contract
+                    sigs.append([None] * k)
+                    continue
+                mins = [None] * k
+                for i in range(len(toks) - 2):
+                    sh = " ".join(toks[i : i + 3]).encode()
+                    hm = "".join(md5(p + sh).hexdigest() for p in seeds)
+                    for j in range(k):
+                        v = hm[j * 8 : j * 8 + 8]
+                        m = mins[j]
+                        if m is None or v < m:
+                            mins[j] = v
+                sigs.append(mins)
+            yield pd.DataFrame({"doc_id": ids, "mh": sigs})
+
+    src = docs.select("doc_id", "text")
+    # scale-adaptive spread: a production input arrives in >= par scan
+    # splits and needs (and gets) NO exchange; only an under-split local
+    # input (one parquet file at bench SF) pays a tiny round-robin
+    # repartition so the kernel uses every core
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(gen, "doc_id bigint, mh array<string>")
+
+
+def _minhash_signatures_sql(docs: DataFrame, k: int = 16) -> DataFrame:
+    """The pure-JVM relational spelling of :func:`minhash_signatures` —
+    kept as the engine-side differential (test_properties.py pins the two
+    row-identical) and as documentation of the shape the DuckDB oracle
+    replays.
 
     Shape chosen for codegen, not elegance: md5 inside an array lambda runs
     on the *interpreted* expression path (higher-order functions never enter

@@ -697,9 +697,8 @@ def _semantic_stage_dropped(
         N_CENTROIDS,
         NEARDUP_TABLES,
         SEMANTIC_THRESHOLD,
-        _assign_to_centroids,
+        _assign_to_centroids_arrays,
         _banded_candidate_pairs,
-        _quantized_components,
         _rerank_candidate_pairs,
         _with_srp_sigs,
         ensure_centroid_table,
@@ -726,7 +725,7 @@ def _semantic_stage_dropped(
             ).otherwise(x.cast("double")),
         ).alias("embedding"),
     ).localCheckpoint(eager=False)
-    assign = _assign_to_centroids(_quantized_components(vecs), cent)
+    assign = _assign_to_centroids_arrays(vecs, cent)
     tagged = _with_srp_sigs(vecs, NEARDUP_TABLES).join(
         assign.select("vec_id", "cluster"), "vec_id"
     )
@@ -1533,16 +1532,15 @@ def _crawl_semantic_parts(
     vec_id == the delivery's doc_id by fixture construction."""
     from .similarity import (
         NEARDUP_TABLES,
-        _assign_to_centroids,
-        _quantized_components,
+        _assign_to_centroids_arrays,
         _semantic_screen,
         _sig_keys,
         _with_srp_sigs,
     )
 
-    assign = _assign_to_centroids(
-        _quantized_components(bvecs), cent
-    ).localCheckpoint(eager=True)
+    assign = _assign_to_centroids_arrays(bvecs, cent).localCheckpoint(
+        eager=True
+    )
     keys = _sig_keys(
         _with_srp_sigs(bvecs, NEARDUP_TABLES).join(
             assign.select("vec_id", "cluster"), "vec_id"

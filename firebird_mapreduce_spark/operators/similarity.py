@@ -2087,6 +2087,70 @@ def _assign_to_centroids(comp: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _assign_to_centroids_arrays(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """MAP-ONLY spelling of :func:`_assign_to_centroids` — value-identical
+    (pinned in test_llm_ops.py), zero exchanges (r11 optimization, guide
+    §2.4): the k·d centroid table pivots to ONE broadcast row holding all
+    k (cluster, cvec) arrays, and each vector scores every cluster with
+    the same exact-decimal term sum, taking the argmin as a struct-min
+    over the k scores — the ``_pq_scores_arrays`` array form generalized
+    to the full-dimension enrollment.
+
+    The exploded spelling shuffles |batch|·k·d rows through two
+    aggregations per call (measured 2.1 s per delivery at sf0.1 — for
+    2 000 vectors); this one is a single codegen-scan projection fed by a
+    broadcast, so per-delivery enrollment does no data movement at any
+    corpus size.  Exactness: each term is the identical
+    ``((v-m)²)::decimal(28,15)`` value; the fold accumulates at
+    DECIMAL(37,15) so every add lands on DECIMAL(38,15) exactly (38 is
+    never exceeded → no precision-loss rescale) and is cast back
+    losslessly (dist2 < 10²² by construction) — the same exact sum the
+    grouped ``F.sum`` computes, in fold order (decimal addition is
+    associative, so reduction order is immaterial).  The argmin struct
+    (dist2, cluster) compares identically to ``F.min(F.struct(...))``."""
+    carr = (
+        cent.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select(
+            F.struct(
+                "cluster", F.transform("dm", lambda s: s["m"]).alias("cvec")
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    qv = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6))
+    zero = F.lit(0).cast("decimal(37,15)")
+
+    def dist2(cvec):
+        terms = F.zip_with(
+            F.col("qv"),
+            cvec,
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(28,15)"),
+        )
+        return F.aggregate(
+            terms, zero, lambda acc, t: (acc + t).cast("decimal(37,15)")
+        ).cast("decimal(38,15)")
+
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                dist2(c["cvec"]).alias("dist2"), c["cluster"].alias("cluster")
+            ),
+        )
+    )
+    return (
+        vecs.select("vec_id", qv.alias("qv"))
+        .join(F.broadcast(carr))
+        .select("vec_id", best.alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.cluster").alias("cluster"),
+            F.col("s.dist2").alias("dist2"),
+        )
+    )
+
+
 def _semantic_screen(
     batch_keys: DataFrame,
     batch_assign: DataFrame,
@@ -2221,7 +2285,7 @@ def _semantic_state_tables(
         tag,
         8,
         ["vec_id"],
-        lambda: _assign_to_centroids(_quantized_components(emb), cent),
+        lambda: _assign_to_centroids_arrays(emb, cent),
     )
     return corpus, assign, cent, bands_tbl, vecs_tbl, score_tbl
 
@@ -2302,7 +2366,7 @@ def dedup_semantic_incremental(
         )
         return _sig_keys(tagged, "cluster", NEARDUP_TABLES)
 
-    a1 = _assign_to_centroids(_quantized_components(b1), cent).localCheckpoint(
+    a1 = _assign_to_centroids_arrays(b1, cent).localCheckpoint(
         eager=True
     )
     keys1 = _sig_keys(
@@ -2368,7 +2432,7 @@ def dedup_semantic_incremental(
         compact=True,
     )
 
-    a2 = _assign_to_centroids(_quantized_components(b2), cent)
+    a2 = _assign_to_centroids_arrays(b2, cent)
     keys2 = _sig_keys(
         _with_srp_sigs(b2, NEARDUP_TABLES).join(
             a2.select("vec_id", "cluster"), "vec_id"
@@ -2502,13 +2566,13 @@ def embedding_knn_ivfpq_incremental(
         8,
         ["cluster"],
         lambda: assign.select("vec_id", "cluster"),
-        lambda: _assign_to_centroids(_quantized_components(b1), cent).select(
+        lambda: _assign_to_centroids_arrays(b1, cent).select(
             "vec_id", "cluster"
         ),
         compact=True,
     )
     q = b2.filter(F.col("vec_id") % query_mod < 2)
-    q_cells = _assign_to_centroids(_quantized_components(q), cent).select(
+    q_cells = _assign_to_centroids_arrays(q, cent).select(
         F.col("vec_id").alias("q_id"), "cluster"
     )
     cand = q_cells.join(
@@ -2689,7 +2753,7 @@ def semantic_index_drift(
     _, b1, _ = incremental_embedding_batches(spark, sf_dir)
     assign = ensure_kmeans_exact_table(spark, sf_dir, "raw", emb, k, iterations)
     cent = ensure_centroid_table(spark, sf_dir, "raw", emb, assign, k, iterations)
-    a1 = _assign_to_centroids(_quantized_components(b1), cent)
+    a1 = _assign_to_centroids_arrays(b1, cent)
     # the fit-side baseline is RE-SCORED against the persisted FINAL
     # centroids (one corpus _assign_to_centroids pass), not read from the
     # fit table's dist2 — the fit table measured distances to the
@@ -2697,7 +2761,7 @@ def semantic_index_drift(
     # c_{it+1}; mixing the two generations gave an in-distribution batch
     # a drift_ratio != 1 by construction (a systematic bias in the
     # trigger).  Both means now reference the same centroid generation.
-    corpus_score = _assign_to_centroids(_quantized_components(emb), cent)
+    corpus_score = _assign_to_centroids_arrays(emb, cent)
     fit = corpus_score.agg(
         F.count(F.lit(1)).alias("n_fit"),
         F.avg(F.col("dist2").cast("double")).alias("fit_mean_dist2"),
@@ -2857,7 +2921,7 @@ def semantic_index_refit(
         vtab.commit(cent2)
 
     def score(frame: DataFrame, cent: DataFrame, version: int):
-        enrolled = _assign_to_centroids(_quantized_components(frame), cent)
+        enrolled = _assign_to_centroids_arrays(frame, cent)
         return enrolled.agg(
             F.count(F.lit(1)).alias("n"),
             F.round(

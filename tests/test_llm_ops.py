@@ -1789,3 +1789,44 @@ def test_sq8_incremental_fold_and_serving(spark):
     assert state.count() == 2 * n_corpus, "state != corpus ∪ b1"
     frag = bucket_fragmentation(spark, f"sq8inc_codes_{tag}")
     assert 0 < frag <= 4, f"sq8inc fold fragmentation {frag}"
+
+
+def test_assign_arrays_matches_exploded_spelling(spark):
+    """The r11 MAP-ONLY enrollment (``_assign_to_centroids_arrays``) must
+    be VALUE-IDENTICAL — cluster, exact decimal dist2, schema — to the
+    exploded groupBy spelling it replaced in every serving path (the
+    ``_pq_assign_arrays`` equality discipline on the full-dimension
+    assign): the decimal(37,15) fold accumulator must reproduce the
+    grouped F.sum bit-for-bit, and the struct argmin the grouped
+    min-struct tie-breaking."""
+    from firebird_mapreduce_spark.operators.pipeline import (
+        ingest_embedding_batch,
+    )
+    from firebird_mapreduce_spark.operators.similarity import (
+        _assign_to_centroids,
+        _assign_to_centroids_arrays,
+        _quantized_components,
+        _semantic_state_tables,
+    )
+
+    cent = _semantic_state_tables(spark, SF_SMOKE)[2]
+    for vecs in (
+        ingest_embedding_batch(spark, SF_SMOKE),
+        S.load_table(spark, SF_SMOKE, "embeddings").select(
+            "vec_id", "embedding"
+        ),
+    ):
+        old = _assign_to_centroids(_quantized_components(vecs), cent)
+        new = _assign_to_centroids_arrays(vecs, cent)
+        assert old.schema.simpleString() == new.schema.simpleString()
+        assert new.count() == old.count() > 0
+        mism = (
+            old.alias("o")
+            .join(new.alias("n"), "vec_id")
+            .filter(
+                (F.col("o.cluster") != F.col("n.cluster"))
+                | (~F.col("o.dist2").eqNullSafe(F.col("n.dist2")))
+            )
+            .count()
+        )
+        assert mism == 0

@@ -508,3 +508,36 @@ def test_count_min_sketch_is_partitioning_invariant(spark):
     many = sketch(events.repartition(13))
     assert bytes(one) == bytes(many)
     assert len(bytes(one)) > 100  # real sketch payload, not a stub
+
+
+def test_minhash_arrow_kernel_matches_sql_spelling(spark):
+    """The r11 Arrow minhash kernel must be ROW-IDENTICAL to the
+    relational explode → md5 → groupBy-min spelling it replaced (the
+    spelling the DuckDB oracle replays): same signatures hash-for-hash,
+    including the array-of-k-NULLs contract for < 3-token docs, and
+    invariant to the input's partitioning (the kernel is per-doc pure,
+    so the conditional spread must not change a single slice)."""
+    from firebird_mapreduce_spark.operators.dedup import (
+        _minhash_signatures_sql,
+        minhash_signatures,
+    )
+    from firebird_mapreduce_spark.operators.pipeline import ingest_batch_docs
+    from tests.conftest import SF_SMOKE
+
+    docs = ingest_batch_docs(spark, SF_SMOKE).unionByName(
+        spark.createDataFrame(
+            [(1, "one two"), (2, None), (3, "a b c d")],
+            "doc_id bigint, text string",
+        )
+    )
+    old = _minhash_signatures_sql(docs, 16)
+    for variant in (docs, docs.repartition(7)):
+        new = minhash_signatures(variant, 16)
+        assert new.count() == old.count()
+        mismatches = (
+            old.alias("o")
+            .join(new.alias("n"), "doc_id")
+            .filter(~F.col("o.mh").eqNullSafe(F.col("n.mh")))
+            .count()
+        )
+        assert mismatches == 0
