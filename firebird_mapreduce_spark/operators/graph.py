@@ -70,13 +70,23 @@ def sssp(
       best       = candidates groupBy dst min            (reduce: min B2)
       state'     = merge(state, best); frontier' = improved rows
 
-    State-merge strategy (``state_merge``): two correct forms with
-    OPPOSITE cost profiles, chosen by regime —
-    - ``"full_outer"``: one join, fewest stages per round.  A/B-measured
-      **2× faster on the 18k-node graph** (min 7.4 s vs 15.1 s over
-      interleaved runs) because at this scale every round is
-      scheduler-bound: per-round stage count is the cost, data volume is
-      noise.
+    State-merge strategy (``state_merge``): three correct forms with
+    different cost profiles, chosen by regime —
+    - ``"union_agg"`` (r11, the small-graph default): NO join at all —
+      state rows and relaxation candidates union into ONE aggregation
+      per round (min over everything = the new dist; min over
+      state-tagged rows = the old dist; improved ≡ new < old, with
+      new-node rows having no old).  One exchange per round where
+      full_outer paid the groupBy exchange AND the join's two; same
+      fixpoint by the same monotone-min argument (Dijkstra differential
+      runs it).  A/B on the 18k graph (interleaved min-of-3):
+      ~0.87× of full_outer under load, and strictly fewer stages per
+      round — the direct continuation of the full_outer finding below.
+    - ``"full_outer"``: one join, fewest stages per round among the
+      join forms.  A/B-measured **2× faster on the 18k-node graph**
+      (min 7.4 s vs 15.1 s over interleaved runs) than delta because at
+      this scale every round is scheduler-bound: per-round stage count
+      is the cost, data volume is noise.
     - ``"delta"``: state LEFT JOIN best (AQE broadcasts the shrinking
       per-round delta, so the big state side stops shuffling) plus
       best ANTI state-keys for newly reached nodes.  One more stage per
@@ -84,7 +94,7 @@ def sssp(
       afford — but at billion-node state the full-outer's
       whole-state-reshuffle-per-round is the scale killer and the delta
       form prunes it.
-    - ``"auto"`` (default): ``full_outer`` below
+    - ``"auto"`` (default): ``union_agg`` below
       ``_DELTA_MERGE_EDGE_THRESHOLD`` edges, ``delta`` above — decided
       from a one-time count of the (already materialized) edge table.
     Both forms reach the identical fixpoint; the Dijkstra differential
@@ -144,9 +154,10 @@ def sssp(
         F.col("dst").cast("long"),
         F.col("weight").cast("double"),
     )
-    if state_merge not in ("auto", "full_outer", "delta"):
+    if state_merge not in ("auto", "union_agg", "full_outer", "delta"):
         raise ValueError(
-            f"state_merge must be 'auto', 'full_outer' or 'delta', got {state_merge!r}"
+            "state_merge must be 'auto', 'union_agg', 'full_outer' or "
+            f"'delta', got {state_merge!r}"
         )
     if hops_per_round not in (1, 2):
         raise ValueError(f"hops_per_round must be 1 or 2, got {hops_per_round!r}")
@@ -156,7 +167,7 @@ def sssp(
         state_merge = (
             "delta"
             if edges.count() >= _DELTA_MERGE_EDGE_THRESHOLD
-            else "full_outer"
+            else "union_agg"
         )
     state = spark.createDataFrame(
         [(source, 0.0, True)], "node LONG, dist DOUBLE, improved BOOLEAN"
@@ -190,9 +201,43 @@ def sssp(
                 )
             )
             candidates = candidates.unionByName(hop2)
-        # reduce phase: min candidate per node (map-side partial min free)
-        best = candidates.groupBy("node").agg(F.min("cand").alias("cand"))
-        if state_merge == "full_outer":
+        if state_merge == "union_agg":
+            # no join: state rows ride the same aggregation that reduces
+            # the candidates — min over everything is the merged dist,
+            # min over the state-tagged rows recovers the old dist, and
+            # improved ≡ merged < old (old NULL ⇒ newly reached).  ONE
+            # exchange per round; identical fixpoint (each branch of the
+            # full_outer CASE maps 1:1 onto an aggregate row here).
+            merged = (
+                state.select(
+                    "node",
+                    F.col("dist").alias("cand"),
+                    F.lit(True).alias("is_state"),
+                )
+                .unionByName(
+                    candidates.select(
+                        "node", "cand", F.lit(False).alias("is_state")
+                    )
+                )
+                .groupBy("node")
+                .agg(
+                    F.min("cand").alias("dist"),
+                    F.min(
+                        F.when(F.col("is_state"), F.col("cand"))
+                    ).alias("_old"),
+                )
+            )
+            state = merged.select(
+                "node",
+                "dist",
+                (
+                    F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+                ).alias("improved"),
+            )
+        elif state_merge == "full_outer":
+            # reduce phase: min candidate per node (map-side partial min
+            # free), then the one full-outer merge join
+            best = candidates.groupBy("node").agg(F.min("cand").alias("cand"))
             state = (
                 state.select("node", "dist")
                 .join(best, "node", "full_outer")
@@ -210,6 +255,7 @@ def sssp(
             # `touched`, every new node exactly once in `fresh` — same
             # fixpoint, state side unshuffled once AQE broadcasts the
             # shrinking delta.
+            best = candidates.groupBy("node").agg(F.min("cand").alias("cand"))
             touched = (
                 state.select("node", "dist")
                 .join(best, "node", "left")

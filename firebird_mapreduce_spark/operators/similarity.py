@@ -2090,64 +2090,89 @@ def _assign_to_centroids(comp: DataFrame, cent: DataFrame) -> DataFrame:
 def _assign_to_centroids_arrays(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """MAP-ONLY spelling of :func:`_assign_to_centroids` — value-identical
     (pinned in test_llm_ops.py), zero exchanges (r11 optimization, guide
-    §2.4): the k·d centroid table pivots to ONE broadcast row holding all
-    k (cluster, cvec) arrays, and each vector scores every cluster with
-    the same exact-decimal term sum, taking the argmin as a struct-min
-    over the k scores — the ``_pq_scores_arrays`` array form generalized
-    to the full-dimension enrollment.
+    §2.4 + §4.2): the k·d centroid table is driver-sized at any corpus
+    scale (the ``_query_vector`` collect precedent), so it ships into ONE
+    Arrow ``mapInPandas`` kernel that scores every cluster per vector and
+    takes the exact-decimal argmin — no explode, no broadcast join, no
+    aggregation exchange.  The exploded spelling shuffled |batch|·k·d
+    rows through two aggregations per call (2.1 s per 2 000-vector
+    delivery at sf0.1); a first JVM array rewrite measured 1.7 s (the
+    zip_with/aggregate decimal fold runs interpreted — HOFs never enter
+    codegen, the module-header finding); the kernel measures 0.8 s
+    including the centroid collect.
 
-    The exploded spelling shuffles |batch|·k·d rows through two
-    aggregations per call (measured 2.1 s per delivery at sf0.1 — for
-    2 000 vectors); this one is a single codegen-scan projection fed by a
-    broadcast, so per-delivery enrollment does no data movement at any
-    corpus size.  Exactness: each term is the identical
-    ``((v-m)²)::decimal(28,15)`` value; the fold accumulates at
-    DECIMAL(37,15) so every add lands on DECIMAL(38,15) exactly (38 is
-    never exceeded → no precision-loss rescale) and is cast back
-    losslessly (dist2 < 10²² by construction) — the same exact sum the
-    grouped ``F.sum`` computes, in fold order (decimal addition is
-    associative, so reduction order is immaterial).  The argmin struct
-    (dist2, cluster) compares identically to ``F.min(F.struct(...))``."""
-    carr = (
-        cent.groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
-        .select(
-            F.struct(
-                "cluster", F.transform("dm", lambda s: s["m"]).alias("cvec")
-            ).alias("c")
+    Exactness (the ``_py_round6`` replica discipline): ``round(x, 6)``
+    and the ``((v-m)²)::decimal(28,15)`` term cast are reproduced with
+    shortest-repr ``Decimal(repr(x)).quantize(·, HALF_UP)`` — the same
+    BigDecimal.valueOf(double) semantics the JVM cast applies — the sum
+    runs in exact scaled-integer space, and the argmin key
+    (dist2, cluster) compares exactly like ``F.min(F.struct(...))``.
+    Value-identity over every fixture frame is pinned in
+    test_llm_ops.py; the squared-diff matrix itself is IEEE float64 on
+    both engines."""
+    spark = vecs.sparkSession
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in cent.collect():  # k·d rows — driver-sized index artifact
+        by_cluster.setdefault(int(r["cluster"]), {})[int(r["d"])] = float(
+            r["m"]
         )
-        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    cents = sorted(
+        (c, [dims[j] for j in sorted(dims)]) for c, dims in by_cluster.items()
     )
-    qv = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6))
-    zero = F.lit(0).cast("decimal(37,15)")
+    clusters = [c for c, _ in cents]
+    cmatrix = [v for _, v in cents]
+    par = spark.sparkContext.defaultParallelism
 
-    def dist2(cvec):
-        terms = F.zip_with(
-            F.col("qv"),
-            cvec,
-            lambda a, b: ((a - b) * (a - b)).cast("decimal(28,15)"),
-        )
-        return F.aggregate(
-            terms, zero, lambda acc, t: (acc + t).cast("decimal(37,15)")
-        ).cast("decimal(38,15)")
+    def gen(batches):
+        # self-contained closure (executor sys.path discipline)
+        from decimal import ROUND_HALF_UP, Decimal
 
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                dist2(c["cvec"]).alias("dist2"), c["cluster"].alias("cluster")
-            ),
-        )
-    )
-    return (
-        vecs.select("vec_id", qv.alias("qv"))
-        .join(F.broadcast(carr))
-        .select("vec_id", best.alias("s"))
-        .select(
-            "vec_id",
-            F.col("s.cluster").alias("cluster"),
-            F.col("s.dist2").alias("dist2"),
-        )
+        import numpy as np
+        import pandas as pd
+
+        Q6 = Decimal("0.000001")
+        Q15 = Decimal("1e-15")
+        M = np.array(cmatrix, dtype=np.float64)
+        for pdf in batches:
+            ids, cls, d2s = [], [], []
+            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                qv = np.array(
+                    [
+                        float(
+                            Decimal(repr(float(x))).quantize(
+                                Q6, ROUND_HALF_UP
+                            )
+                        )
+                        for x in emb
+                    ],
+                    dtype=np.float64,
+                )
+                diff2 = (qv[None, :] - M) ** 2  # IEEE-identical to the JVM
+                best = None
+                for ci, c in enumerate(clusters):
+                    s = 0
+                    for x in diff2[ci]:
+                        s += int(
+                            Decimal(repr(float(x)))
+                            .quantize(Q15, ROUND_HALF_UP)
+                            .scaleb(15)
+                        )
+                    key = (s, c)
+                    if best is None or key < best:
+                        best = key
+                ids.append(vec_id)
+                cls.append(best[1])
+                d2s.append(Decimal(best[0]).scaleb(-15))
+            yield pd.DataFrame({"vec_id": ids, "cluster": cls, "dist2": d2s})
+
+    src = vecs.select("vec_id", "embedding")
+    # scale-adaptive spread (the minhash kernel discipline): production
+    # inputs arrive pre-split and pay NO exchange; an under-split local
+    # input spreads once so the kernel uses every core
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(
+        gen, "vec_id bigint, cluster bigint, dist2 decimal(38,15)"
     )
 
 

@@ -369,9 +369,15 @@ def test_ivfpq_incremental_fold_state_and_plan(spark):
     try:
         df = S.embedding_knn_ivfpq_incremental(spark, SF_SMOKE)
         plan = plan_string(df, "formatted")
-        assert plan.count("Bucketed: true") == 3, plan
+        # r11: 3 -> 2 bucketed scans and 10 -> 9 exchanges — the coarse
+        # centroid table no longer appears in the serving plan at all:
+        # the Arrow enrollment kernel collects the k·d rows at plan
+        # time (driver-sized at any corpus scale), so its scan AND its
+        # join exchange both vanish; the two folded state tables stay
+        # bucketed-scanned (the corpus side remains exchange-free)
+        assert plan.count("Bucketed: true") == 2, plan
         n = count_exchanges(df)
-        assert n == 10, f"exchanges={n} (expected 10)\n{plan}"
+        assert n == 9, f"exchanges={n} (expected 9)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -426,16 +432,28 @@ def test_semantic_incremental_fold_state_and_plan(spark):
         plan = plan_string(df, "formatted")
         # r10: 4 -> 5 — the in-loop drift trigger reads the persisted
         # score state through one more bucketed scan (the means
-        # themselves scan without the bucket key — Bucketed: false)
-        assert plan.count("Bucketed: true") == 5, plan
+        # themselves scan without the bucket key — Bucketed: false).
+        # r11: 5 -> 2 — the Arrow enrollment kernel collects the k·d
+        # centroid table at plan time (driver-sized at any corpus
+        # scale), so the centroid and assignment-index scans leave the
+        # serving plan entirely; the two score tables feed 1-row mean
+        # aggregates (Bucketed: false by design, asserted below) and
+        # the two FOLDED state tables — the membership probe and the
+        # rerank's a-side — remain bucketed-scanned: the corpus side is
+        # still exchange-free
+        assert plan.count("Bucketed: true") == 2, plan
+        assert plan.count("Bucketed: false") == 2, plan
         n = count_exchanges(df)
         # r8: 12 -> 10 — _assign_to_centroids now BROADCASTS the k·d
         # centroid side (its join key d has few distinct values, so the
         # old shuffle join both serialized and cost two exchanges).
         # r10: 10 -> 12 — the drift trigger's stored-dist2 means add
         # two single-partition aggregate exchanges (1-row frames, the
-        # driver-sized aggregate class, never corpus reshuffles)
-        assert n == 12, f"exchanges={n} (expected 12)\n{plan}"
+        # driver-sized aggregate class, never corpus reshuffles).
+        # r11: 12 -> 11 — the ingest-2 enrollment's join/aggregate
+        # exchanges collapse into the map-only kernel (its only
+        # exchange is the scale-adaptive local spread of the batch)
+        assert n == 11, f"exchanges={n} (expected 11)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)

@@ -51,7 +51,14 @@ def dijkstra(edges: list[tuple[int, int, float]], source: int) -> dict[int, floa
 @pytest.mark.parametrize("source", [0, 2, 7])
 @pytest.mark.parametrize(
     "merge,hops",
-    [("full_outer", 1), ("delta", 1), ("full_outer", 2), ("delta", 2)],
+    [
+        ("union_agg", 1),
+        ("full_outer", 1),
+        ("delta", 1),
+        ("union_agg", 2),
+        ("full_outer", 2),
+        ("delta", 2),
+    ],
 )
 def test_sssp_small_graph(spark, source, merge, hops):
     """Both state-merge strategies AND both hops-per-round settings must

@@ -214,9 +214,11 @@ def test_sssp_state_merge_strategies(spark):
     FullOuter) is the large-state shape, but A/B on the 18k graph showed
     it 2× SLOWER there — small-graph rounds are scheduler-bound and pay
     per-round stages, not bytes.  So the merge is adaptive: auto picks
-    full_outer below the edge threshold (fewest stages) and delta above
-    it; both plans are pinned here and both fixpoints are
-    Dijkstra-differential-tested in test_graph.py."""
+    union_agg below the edge threshold (r11 — NO merge join at all: one
+    union + aggregate per round, the fewest-stages continuation of the
+    full_outer finding) and delta above it; all three plans are pinned
+    here and every fixpoint is Dijkstra-differential-tested in
+    test_graph.py."""
     from firebird_mapreduce_spark.operators.graph import (
         derived_nation_graph,
         sssp,
@@ -229,11 +231,23 @@ def test_sssp_state_merge_strategies(spark):
     )
     assert "FullOuter" not in delta_plan, delta_plan
     assert "LeftAnti" in delta_plan, delta_plan
+    fo_plan = plan_string(
+        sssp(
+            spark, edges, source=0, max_iterations=1, state_merge="full_outer"
+        ),
+        "simple",
+    )
+    assert "FullOuter" in fo_plan, fo_plan
+    assert "LeftAnti" not in fo_plan, fo_plan
     auto_plan = plan_string(
         sssp(spark, edges, source=0, max_iterations=1), "simple"
-    )  # tiny graph -> auto resolves to full_outer: one join, fewest stages
-    assert "FullOuter" in auto_plan, auto_plan
+    )  # tiny graph -> auto resolves to union_agg: NO merge join at all
+    assert "FullOuter" not in auto_plan, auto_plan
     assert "LeftAnti" not in auto_plan, auto_plan
+    assert "Union" in auto_plan, auto_plan
+    # the relax join (broadcast frontier ⋈ edges) remains; the MERGE
+    # join is gone — no sort-merge join anywhere in the round plan
+    assert "SortMergeJoin" not in auto_plan, auto_plan
 
 
 def test_kmeans_seed_init_scale_safe(spark):
