@@ -239,7 +239,10 @@ def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 ids.append(doc_id)
-                toks = text.split(" ") if text is not None else []
+                # single-space tokenization of LOWERCASED text — the
+                # engine-wide tokens() contract (split(lower(text), ' '));
+                # the SQL spelling and the DuckDB oracle both lowercase
+                toks = text.lower().split(" ") if text is not None else []
                 if len(toks) < 3:
                     # < 3 tokens ⇒ no shingles ⇒ an array of k NULLs
                     # (NOT a NULL array) — the oracle's

@@ -526,7 +526,15 @@ def test_minhash_arrow_kernel_matches_sql_spelling(spark):
 
     docs = ingest_batch_docs(spark, SF_SMOKE).unionByName(
         spark.createDataFrame(
-            [(1, "one two"), (2, None), (3, "a b c d")],
+            [
+                (1, "one two"),
+                (2, None),
+                (3, "a b c d"),
+                # uppercase doc: the kernel must lowercase before
+                # shingling (the tokens() contract) or its signatures
+                # diverge from the SQL/oracle spelling
+                (4, "The Quick Brown Fox JUMPS Over the LAZY dog"),
+            ],
             "doc_id bigint, text string",
         )
     )
