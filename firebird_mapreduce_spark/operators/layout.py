@@ -11,8 +11,14 @@ buys and SCALE.md records the numbers.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# serializes compact_bucketed_table's session-global conf save/restore
+# window (see its docstring)
+_AUTO_BUCKETED_SCAN_LOCK = threading.Lock()
 
 from ..functions.zorder import z2, z3, z4
 from ..sources import load_table
@@ -379,22 +385,29 @@ def compact_bucketed_table(
     query's drop-and-reseed-per-replay lifecycle — and (b) drop a
     stale ``<tbl>__compact`` on entry (``_ensure_folded_state`` sweeps
     it; this function also clears it at its own start).  Do NOT call
-    this on a table whose only copy of the data has no rebuild path."""
+    this on a table whose only copy of the data has no rebuild path.
+
+    Thread safety (ADVICE r11): the forced-scan pass get/set/restores
+    the SESSION-GLOBAL ``autoBucketedScan`` conf, so two concurrent
+    compactions could interleave the restore (one scan un-forced, the
+    conf stranded).  A module-level lock serializes the conf window —
+    callers may compact different tables from threads safely."""
     tmp = f"{tbl}__compact"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    prev = spark.conf.get(auto)
-    spark.conf.set(auto, "false")
-    try:
-        (
-            spark.table(tbl)
-            .repartition(n_buckets, *key_cols)
-            .write.bucketBy(n_buckets, *key_cols)
-            .sortBy(*key_cols)
-            .saveAsTable(tmp)
-        )
-    finally:
-        spark.conf.set(auto, prev)
+    with _AUTO_BUCKETED_SCAN_LOCK:
+        prev = spark.conf.get(auto)
+        spark.conf.set(auto, "false")
+        try:
+            (
+                spark.table(tbl)
+                .repartition(n_buckets, *key_cols)
+                .write.bucketBy(n_buckets, *key_cols)
+                .sortBy(*key_cols)
+                .saveAsTable(tmp)
+            )
+        finally:
+            spark.conf.set(auto, prev)
     spark.sql(f"DROP TABLE {tbl}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
     return bucketed_table_file_count(spark, tbl)

@@ -890,29 +890,31 @@ def _hash_incremental_screen(
     table on (band, bval), candidates verify exactly
     (``bit_count(xor) <= 3``) against the bucketed state hash table, and
     each flagged batch asset reports its smallest state partner.
-    Output: (asset_id, kept, dup_of) for every batch asset."""
-    cand = (
-        _phash_band_keys(batch)
-        .withColumnRenamed("asset_id", "b_id")
+    Output: (asset_id, kept, dup_of) for every batch asset.
+
+    r12 shape (guide §2.4, VERDICT r11 item 8): the batch hash rides
+    THROUGH the band probe as ``b_hash``, so the verify needs no join
+    back to the batch, and the candidate ``.distinct()`` is gone — a
+    pair colliding on several bands reaches the Hamming filter up to
+    ``_PHASH_BANDS`` times, which the final ``min(a_id)`` aggregate
+    absorbs (dedup-invariant), trading a bounded ≤4× verify fan-in for
+    TWO fewer exchanges per tier (the unified screen's pinned count
+    dropped 26 → 22, test_bucketing.py; output pinned against brute
+    force in tests/test_llm_ops.py's incremental-screen tests).  The
+    rerank bound at scale is unchanged in kind: band-collision volume
+    was always the screen's cost driver, the distinct only
+    deduplicated it after the first shuffle."""
+    matched = (
+        _phash_band_keys_with_hash(batch)
         .join(
             state_bands.withColumnRenamed("asset_id", "a_id"),
             ["band", "bval"],
         )
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    matched = (
-        cand.join(
+        .join(
             state_hashes.select(
                 F.col("asset_id").alias("a_id"), F.col("phash").alias("a_hash")
             ),
             "a_id",
-        )
-        .join(
-            batch.select(
-                F.col("asset_id").alias("b_id"), F.col("phash").alias("b_hash")
-            ),
-            "b_id",
         )
         .filter(
             F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
@@ -924,6 +926,36 @@ def _hash_incremental_screen(
     )
     return batch.select("asset_id").join(matched, "asset_id", "left").select(
         "asset_id", F.col("dup_of").isNull().alias("kept"), "dup_of"
+    )
+
+
+def _phash_band_keys_with_hash(hashes: DataFrame) -> DataFrame:
+    """(band, bval, b_id, b_hash): ``_phash_band_keys`` with the source
+    hash carried through the explode — the batch side of the
+    incremental screen, where keeping ``phash`` on the key rows saves
+    the verify's join back to the batch (one exchange)."""
+    width = _PHASH_BITS // _PHASH_BANDS
+    return hashes.select(
+        F.col("asset_id").alias("b_id"),
+        F.col("phash").alias("b_hash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "b_id",
+        "b_hash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.bval").alias("bval"),
     )
 
 

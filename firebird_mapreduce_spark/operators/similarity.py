@@ -2109,7 +2109,15 @@ def _assign_to_centroids_arrays(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     (dist2, cluster) compares exactly like ``F.min(F.struct(...))``.
     Value-identity over every fixture frame is pinned in
     test_llm_ops.py; the squared-diff matrix itself is IEEE float64 on
-    both engines."""
+    both engines.
+
+    r12 (VERDICT r11 items 2/4): the O(n·k·d) interpreted decimal fold
+    is gone — the whole batch's squared-diff tensor and float argmin
+    run vectorized, the input quantize uses an exact float fast path
+    (Decimal only at provable-ambiguity elements), and the exact
+    decimal fold runs ONLY for the float-argmin candidate clusters
+    (a provably over-selecting margin; see inline bounds) — ~k× less
+    interpreted work with bit-identical output, same pin test."""
     spark = vecs.sparkSession
     by_cluster: dict[int, dict[int, float]] = {}
     for r in cent.collect():  # k·d rows — driver-sized index artifact
@@ -2133,34 +2141,79 @@ def _assign_to_centroids_arrays(vecs: DataFrame, cent: DataFrame) -> DataFrame:
         Q6 = Decimal("0.000001")
         Q15 = Decimal("1e-15")
         M = np.array(cmatrix, dtype=np.float64)
-        for pdf in batches:
-            ids, cls, d2s = [], [], []
-            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
-                qv = np.array(
-                    [
-                        float(
-                            Decimal(repr(float(x))).quantize(
-                                Q6, ROUND_HALF_UP
-                            )
+        carr = np.array(clusters, dtype=np.int64)
+
+        def q6_vec(vals: np.ndarray) -> np.ndarray:
+            # vectorized EXACT replica of Decimal(repr(x)).quantize(Q6,
+            # HALF_UP): the float candidate floor(|x|*1e6 + 0.5) is the
+            # true half-up rounding unless |x|*1e6 sits within the
+            # product's error bound of a .5 tie — |x| ≤ ~10 here, so
+            # the float64 product errs by < 1e-8 and repr-vs-exact by
+            # < 1e-8 at this scale; every element within 1e-6 of a tie
+            # (a vastly wider net) re-runs the exact Decimal path.
+            y = np.abs(vals) * 1e6
+            n = np.floor(y + 0.5)
+            # ambiguous near a .5 tie — or so large that the product's
+            # own ulp outgrows the tie window (|x| > ~1e3 never happens
+            # for embeddings; the guard keeps the fast path provably
+            # exact for any input)
+            amb = (np.abs((y % 1.0) - 0.5) < 1e-6) | (y > 1e9)
+            # divide by the EXACT float 1e6 (one correct rounding of
+            # n/10^6 — identical to float(Decimal) by construction);
+            # multiplying by the inexact 1e-6 would double-round
+            out = np.copysign(n, vals) / 1e6
+            if amb.any():
+                for i in np.nonzero(amb)[0]:
+                    out[i] = float(
+                        Decimal(repr(float(vals[i]))).quantize(
+                            Q6, ROUND_HALF_UP
                         )
-                        for x in emb
-                    ],
-                    dtype=np.float64,
+                    )
+            return out
+
+        def exact_fold(row: np.ndarray) -> int:
+            # the per-term decimal(28,15) cast + exact scaled-int sum —
+            # unchanged semantics, now run for the ARGMIN CANDIDATES
+            # only (usually one cluster) instead of all k
+            s = 0
+            for x in row:
+                s += int(
+                    Decimal(repr(float(x)))
+                    .quantize(Q15, ROUND_HALF_UP)
+                    .scaleb(15)
                 )
-                diff2 = (qv[None, :] - M) ** 2  # IEEE-identical to the JVM
+            return s
+
+        for pdf in batches:
+            n = len(pdf)
+            ids, cls, d2s = [], [], []
+            if n == 0:
+                yield pd.DataFrame(
+                    {"vec_id": ids, "cluster": cls, "dist2": d2s}
+                )
+                continue
+            QV = np.empty((n, M.shape[1]), dtype=np.float64)
+            for i, emb in enumerate(pdf["embedding"]):
+                QV[i] = q6_vec(np.asarray(emb, dtype=np.float64))
+            # (n, k, d) squared diffs — IEEE-identical to the JVM terms
+            D2 = (QV[:, None, :] - M[None, :, :]) ** 2
+            FS = D2.sum(axis=2)  # float argmin candidates
+            # exact-vs-float error bound per sum: ≤ d·(quantize 0.5e-15
+            # + repr ulp/2) + float-summation error — < 1e-10 for d=64,
+            # x ≤ 4; margin 1e-8 provably over-selects, never excludes
+            # the exact argmin
+            for i in range(n):
+                fs = FS[i]
+                # margin widens with magnitude so the candidate set
+                # provably contains the exact argmin at any input scale
+                margin = 1e-8 + abs(float(fs.min())) * 1e-12
+                cand_idx = np.nonzero(fs <= fs.min() + margin)[0]
                 best = None
-                for ci, c in enumerate(clusters):
-                    s = 0
-                    for x in diff2[ci]:
-                        s += int(
-                            Decimal(repr(float(x)))
-                            .quantize(Q15, ROUND_HALF_UP)
-                            .scaleb(15)
-                        )
-                    key = (s, c)
+                for ci in cand_idx:
+                    key = (exact_fold(D2[i, ci]), int(carr[ci]))
                     if best is None or key < best:
                         best = key
-                ids.append(vec_id)
+                ids.append(pdf["vec_id"].iloc[i])
                 cls.append(best[1])
                 d2s.append(Decimal(best[0]).scaleb(-15))
             yield pd.DataFrame({"vec_id": ids, "cluster": cls, "dist2": d2s})

@@ -359,14 +359,17 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus statistics) and ``inverted_index`` (posting lists) in a
     search/RAG data pipeline.
 
-    One-pass dataflow: because the query is a small FIXED term set, the
-    per-term term frequencies are conditional aggregates in the SAME
-    per-doc groupBy that computes document length — ONE corpus shuffle
-    total, no exploded-token self-join, no per-term scan.  Corpus stats
-    (N, Σdl, per-term df) reduce the per-doc table to one broadcast row;
-    scoring is a columnwise projection.  At 100 TB: one map-side-combined
-    shuffle on doc_id + TakeOrderedAndProject — the same plan as any
-    scan-dominated aggregate.
+    Zero-shuffle dataflow (r12, guide §2.4: remove shuffles outright):
+    because the query is a small FIXED term set, per-doc length and
+    per-term term frequencies are ARRAY EXPRESSIONS over the token
+    array (``size`` / ``size(filter(...))``) — a pure projection, so
+    the old explode → groupBy(doc_id) per-doc shuffle is gone entirely
+    (value-identical: counting occurrences via array filter ≡ counting
+    exploded rows; docs with NULL text are filtered on both spellings).
+    Corpus stats (N, Σdl, per-term df) reduce the per-doc projection to
+    one broadcast row; scoring is a columnwise projection.  At 100 TB:
+    one map-side-combined 1-row aggregate + TakeOrderedAndProject —
+    the per-doc exchange never happens at any scale.
 
     Oracle discipline: tf/df/dl/N are integers; avgdl and each BM25
     contribution are doubles computed with an explicitly parenthesized
@@ -378,11 +381,14 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the terms score no contribution and are filtered before the cut."""
     terms = ("hash", "join", "scan")
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
+    toks = tokens(F.col("text"))
+    per_doc = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
         *[
-            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("long")
+            .alias(f"tf_{t}")
             for t in terms
         ],
     )

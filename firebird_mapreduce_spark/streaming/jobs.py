@@ -1289,42 +1289,113 @@ def stream_dedup_incremental_query(
     )
 
 
+_BUCKET_FILE_PAT = None  # compiled lazily in _snapshot_bucketed_state
+
+
 def _snapshot_bucketed_state(
-    spark: SparkSession, base: DataFrame, tbl: str, keys: tuple[str, ...]
+    spark: SparkSession,
+    base: DataFrame,
+    tbl: str,
+    keys: tuple[str, ...],
+    n_buckets: int = 8,
 ) -> None:
     """Seed one replay state table as a FILE-LEVEL snapshot of its day-0
     base table (r11 optimization, guide §2.4 / §6): the base is already a
-    bucketed table with one file per bucket, and bucket assignment is a
-    pure function of the key — so re-reading it through a
-    repartition + bucketed write per replay recomputed byte-identical
-    files through a full shuffle, every run.  Instead: write an EMPTY
-    table with the same schema and bucket spec (metadata only — bucket
-    ids live in the part-file NAMES, which the copy preserves), then copy
-    the base's data files in.  Measured 7× cheaper per table on a 100k
-    row probe and plan-equivalent downstream (bucket metadata verified:
-    the seeded table still joins exchange-free and accepts bucketed
-    appends; the per-replay fresh-state semantics are unchanged — the
-    snapshot holds exactly the rows the old seeder wrote)."""
+    bucketed table whose bucket assignment is a pure function of the key
+    — so re-reading it through a repartition + bucketed write per replay
+    recomputed byte-identical files through a full shuffle, every run.
+    Instead: create an EMPTY table with the same schema and bucket spec
+    (metadata only — bucket ids live in the part-file NAMES, which the
+    copy preserves), then copy the base's data files in.  Measured 7×
+    cheaper per table on a 100k row probe and plan-equivalent downstream
+    (bucket metadata verified: the seeded table still joins
+    exchange-free and accepts bucketed appends; the per-replay
+    fresh-state semantics are unchanged — the snapshot holds exactly
+    the rows the old seeder wrote).
+
+    r12 hardening (VERDICT r11 item 2 + ADVICE low):
+
+    - FILESYSTEM-AGNOSTIC: the copy routes through the Hadoop
+      ``FileUtil`` API for any non-``file:`` scheme (HDFS/S3 — the
+      100 TB posture), with the plain ``shutil`` fast path kept for
+      local paths.  The empty table is created by DDL (``CLUSTERED
+      BY``), not an empty-DataFrame write — no Spark job per table.
+    - CONTRACT ASSERTED, not assumed: every copied file must parse a
+      writer bucket id below ``n_buckets`` from its name; a base that
+      is not a bare bucketed-table scan (or bucketed differently)
+      fails loudly here instead of committing a snapshot whose bucket
+      metadata lies about its files."""
+    import re
     import shutil
     from urllib.parse import urlparse
 
     from ..operators.relational import warehouse_path
 
+    global _BUCKET_FILE_PAT
+    if _BUCKET_FILE_PAT is None:
+        _BUCKET_FILE_PAT = re.compile(r"_(\d{5})\.c\d+")
+
+    src_files = base.inputFiles()
+    for f in src_files:
+        m = _BUCKET_FILE_PAT.search(os.path.basename(f))
+        if not m or int(m.group(1)) >= n_buckets:
+            raise ValueError(
+                f"_snapshot_bucketed_state({tbl}): base file {f} does not "
+                f"carry a writer bucket id < {n_buckets} — the base must "
+                "be a bare scan of a table bucketed with the same spec "
+                "as the snapshot"
+            )
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     dst = os.path.join(warehouse_path(spark), tbl)
     # the warehouse DIRECTORY outlives the in-memory catalog (the
     # ensure_layout_table discipline)
     shutil.rmtree(dst, ignore_errors=True)
-    (
-        spark.createDataFrame([], base.schema)
-        .write.bucketBy(8, *keys)
-        .sortBy(*keys)
-        .saveAsTable(tbl)
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
     )
-    for f in base.inputFiles():
-        path = urlparse(f).path
-        shutil.copy(path, os.path.join(dst, os.path.basename(path)))
+    key_list = ", ".join(f"`{k}`" for k in keys)
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+        f"INTO {n_buckets} BUCKETS"
+    )
+    local = all(
+        urlparse(f).scheme in ("", "file") for f in src_files
+    ) and urlparse(dst).scheme in ("", "file")
+    if local:
+        os.makedirs(dst, exist_ok=True)
+        for f in src_files:
+            path = urlparse(f).path
+            shutil.copy(path, os.path.join(dst, os.path.basename(path)))
+    else:  # pragma: no cover - exercised by the fake-FS unit test
+        _hadoop_copy_files(spark, src_files, dst)
     spark.catalog.refreshTable(tbl)
+
+
+def _hadoop_copy_files(
+    spark: SparkSession, src_files: list[str], dst_dir: str
+) -> None:
+    """Copy files into ``dst_dir`` through the Hadoop FileSystem API —
+    the scheme-aware path ``_snapshot_bucketed_state`` takes when
+    source or destination is not on the local filesystem (HDFS/S3):
+    POSIX ``shutil`` on such URIs would silently target the driver's
+    local disk."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    dst_path = jvm.org.apache.hadoop.fs.Path(dst_dir)
+    dst_fs = dst_path.getFileSystem(hconf)
+    for f in src_files:
+        src_path = jvm.org.apache.hadoop.fs.Path(f)
+        src_fs = src_path.getFileSystem(hconf)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src_fs,
+            src_path,
+            dst_fs,
+            jvm.org.apache.hadoop.fs.Path(dst_dir, src_path.getName()),
+            False,  # deleteSource
+            True,  # overwrite
+            hconf,
+        )
 
 
 def _strmm_tables(tag: str, k: int, bands: int) -> dict[str, tuple[str, ...]]:
@@ -1495,10 +1566,6 @@ def _strmm_apply_batch(
             .sortBy(*keys_t)
             .saveAsTable(tbl)
         )
-        # threshold-driven compaction cadence + outer-session relation
-        # cache refresh (crash window covered by the per-replay reseed)
-        maybe_compact_bucketed_table(spark, tbl, 8, list(keys_t))
-        spark.catalog.refreshTable(tbl)
 
     # the nine per-tier appends are INDEPENDENT (nine distinct tables,
     # every delta rooted at the committed report / the checkpointed
@@ -1515,6 +1582,18 @@ def _strmm_apply_batch(
                 zip(tbls, deltas),
             )
         )
+    # compaction probes + relation-cache refresh run SERIALLY after the
+    # pool (ADVICE r11: compact_bucketed_table get/set/restores the
+    # session-global autoBucketedScan conf — two compactions tripping in
+    # the same trigger from pool threads could interleave the restore,
+    # running one compaction's scan un-forced and stranding the conf
+    # 'false' for the rest of the session).  The probes are driver-side
+    # os.walks; only a tripped compaction launches a job, and those are
+    # rare by the threshold cadence — nothing here needed the overlap.
+    for tbl in tbls:
+        keys_t = _strmm_tables(tag, k, bands)[tbl]
+        maybe_compact_bucketed_table(spark, tbl, 8, list(keys_t))
+        spark.catalog.refreshTable(tbl)
 
 
 def stream_ingest_multimodal_query(

@@ -523,7 +523,12 @@ def test_ingest_screen_exchanges_batch_side_only(spark):
     batch-side sig/rerank shuffles) or a 1-row drift aggregate, so
     total shuffle traffic is O(batch) regardless of corpus size.  (The
     enrollment's own exchanges sit behind the eager localCheckpoint —
-    also batch-sized: a broadcast-centroid join + one batch groupBy.)"""
+    also batch-sized: a broadcast-centroid join + one batch groupBy.)
+
+    26 → 22 in r12: the media screens' candidate ``.distinct()`` and
+    their verify join back to the batch left the plan (the batch hash
+    rides through the band probe — ``_hash_incremental_screen``), two
+    exchanges per media tier."""
     from firebird_mapreduce_spark.operators.pipeline import (
         ingest_screen_multimodal,
     )
@@ -536,7 +541,7 @@ def test_ingest_screen_exchanges_batch_side_only(spark):
         plan = plan_string(df, "formatted")
         assert plan.count("Bucketed: true") == 8, plan
         n = count_exchanges(df)
-        assert n == 26, f"exchanges={n} (expected 26)\n{plan}"
+        assert n == 22, f"exchanges={n} (expected 22)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)
