@@ -545,23 +545,89 @@ def _phash_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
+_FIXTURE_IDS_CACHE: dict[tuple, list[int]] = {}
+
+
 def _fixture_doc_ids(spark: SparkSession, sf_dir: str, below: int) -> list[int]:
     """The document ids a fixture derives its assets from — ONE collect
     loop shared by every fixture builder (PNG, WAV, phash, audio
     fingerprint), so a future change to the id rule cannot silently
     desynchronize a fixture from its oracle's ids CTE.  A tiny driver
-    fetch by construction, never a data path."""
-    return [
-        int(r["doc_id"])
-        for r in load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < below)
-        .select("doc_id")
-        .collect()
-    ]
+    fetch by construction, never a data path.  Memoized per
+    (path, mtime, size, below) — the ``corpus_tag`` stat-signature
+    discipline — so repeated fixture ensures in one process stop
+    paying a Spark job each (r12: every media-query CONSTRUCTION was
+    re-collecting the same id list)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size, below)
+    ids = _FIXTURE_IDS_CACHE.get(key)
+    if ids is None:
+        ids = [
+            int(r["doc_id"])
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < below)
+            .select("doc_id")
+            .collect()
+        ]
+        _FIXTURE_IDS_CACHE[key] = ids
+    return ids
 
 
 def _phash_doc_ids(spark: SparkSession, sf_dir: str) -> list[int]:
     return _fixture_doc_ids(spark, sf_dir, _PHASH_BASE)
+
+
+# fixture dirs whose asset-spec signature this process has already
+# verified — repeated query CONSTRUCTIONS skip even the marker stat
+_FIXTURE_READY: set[tuple[str, str]] = set()
+
+
+def _assets_spec_sig(assets: list, version: str) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        f"{version}|{sorted(assets)!r}".encode()
+    ).hexdigest()
+
+
+def _assets_marker_ok(
+    out_dir: str, suffix: str, expected: set[str], sig: str
+) -> bool:
+    """Fast idempotence path shared by the PNG and WAV asset writers
+    (r12): a ``_marker.json`` recording the asset-SPEC signature plus an
+    exact file-set match short-circuits the per-asset
+    encode-and-compare loop, which was re-deriving every payload on
+    EVERY query construction (measured ~0.5-0.9 s per media-query
+    build at sf0.1).  The slow path still runs — and rewrites the
+    marker — whenever the spec, the encoder version, or the file set
+    changes."""
+    import json
+
+    key = (out_dir, sig)
+    if key in _FIXTURE_READY:
+        return True
+    marker = os.path.join(out_dir, "_marker.json")
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    have = {f for f in os.listdir(out_dir) if f.endswith(f".{suffix}")}
+    if meta.get("sig") == sig and have == expected:
+        _FIXTURE_READY.add(key)
+        return True
+    return False
+
+
+def _assets_marker_write(out_dir: str, sig: str) -> None:
+    import json
+
+    with open(os.path.join(out_dir, "_marker.json"), "w") as fh:
+        json.dump({"sig": sig}, fh)
+    _FIXTURE_READY.add((out_dir, sig))
 
 
 def _write_phash_assets(
@@ -573,6 +639,9 @@ def _write_phash_assets(
 
     os.makedirs(out_dir, exist_ok=True)
     expected = {f"asset_{aid:07d}.png" for aid, _, _, _ in assets}
+    sig = _assets_spec_sig(assets, "png-mixed-v1")
+    if _assets_marker_ok(out_dir, "png", expected, sig):
+        return
     for name in os.listdir(out_dir):
         if name.endswith(".png") and name not in expected:
             os.remove(os.path.join(out_dir, name))
@@ -591,6 +660,7 @@ def _write_phash_assets(
                     continue
         with open(path, "wb") as fh:
             fh.write(payload)
+    _assets_marker_write(out_dir, sig)
 
 
 def phash_hashes(assets: DataFrame, content_col: str = "content") -> DataFrame:
@@ -1176,11 +1246,15 @@ def _write_afp_assets(
     out_dir: str, assets: list[tuple[int, int, int, str]]
 ) -> None:
     """Write one square-wave WAV per (asset_id, doc_id, pert, salt) row,
-    with the shared idempotence + stale-prune discipline."""
+    with the shared idempotence + stale-prune discipline (marker fast
+    path shared with the PNG writer — see ``_assets_marker_ok``)."""
     from ..functions.wav import wav_encode
 
     os.makedirs(out_dir, exist_ok=True)
     expected = {f"asset_{aid:07d}.wav" for aid, _, _, _ in assets}
+    sig = _assets_spec_sig(assets, "wav-v1")
+    if _assets_marker_ok(out_dir, "wav", expected, sig):
+        return
     for name in os.listdir(out_dir):
         if name.endswith(".wav") and name not in expected:
             os.remove(os.path.join(out_dir, name))
@@ -1197,6 +1271,7 @@ def _write_afp_assets(
                     continue
         with open(path, "wb") as fh:
             fh.write(payload)
+    _assets_marker_write(out_dir, sig)
 
 
 def audio_fingerprints(assets: DataFrame, content_col: str = "content") -> DataFrame:

@@ -743,42 +743,35 @@ def _modal_neardup_dropped(
 ) -> DataFrame:
     """Doc ids dropped by ONE modality near-dup stage of the funnel:
     the surviving docs' 56-bit perceptual hashes banded
-    (``_phash_band_keys`` — the blocking rule the image and audio dedup
-    tiers share), band-collision candidates among survivors only, exact
-    Hamming <= ``_PHASH_THRESHOLD`` verify, and any survivor matching a
-    SMALLER surviving doc is dropped.  One function for both modality
-    stages, so neither can drift from the standalone dedup operators
-    whose machinery it reuses."""
-    from .multimodal import _PHASH_THRESHOLD, _phash_band_keys
+    (``_phash_band_keys_with_hash`` — the blocking rule the image and
+    audio dedup tiers share), band-collision candidates among survivors
+    only, exact Hamming <= ``_PHASH_THRESHOLD`` verify, and any
+    survivor matching a SMALLER surviving doc is dropped.  One function
+    for both modality stages, so neither can drift from the standalone
+    dedup operators whose machinery it reuses.
 
-    surv_keys = _phash_band_keys(hashes).join(
-        surviving.select(F.col("doc_id").alias("asset_id")), "asset_id"
+    r12 shape (guide §2.4, the ``_hash_incremental_screen`` rewrite on
+    the self-join form): each side's hash rides THROUGH its band keys,
+    so the verify needs no joins back to the hash table and the
+    candidate ``.distinct()`` is gone — a pair colliding on several
+    bands reaches the Hamming filter up to ``_PHASH_BANDS`` times,
+    which the final per-doc ``distinct`` absorbs.  Three fewer
+    exchanges per modality stage, value-identical output (same
+    stage-count pins in test_pipeline_ops.py)."""
+    from .multimodal import _PHASH_THRESHOLD, _phash_band_keys_with_hash
+
+    surv_keys = _phash_band_keys_with_hash(hashes).join(
+        surviving.select(F.col("doc_id").alias("b_id")), "b_id"
     )
-    cand = (
-        surv_keys.withColumnRenamed("asset_id", "a_id")
-        .join(
-            surv_keys.withColumnRenamed("asset_id", "b_id"),
-            ["band", "bval"],
-        )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    a_side = surv_keys.select(
+        F.col("b_id").alias("a_id"),
+        F.col("b_hash").alias("a_hash"),
+        "band",
+        "bval",
     )
     return (
-        cand.join(
-            hashes.select(
-                F.col("asset_id").alias("a_id"),
-                F.col("phash").alias("a_hash"),
-            ),
-            "a_id",
-        )
-        .join(
-            hashes.select(
-                F.col("asset_id").alias("b_id"),
-                F.col("phash").alias("b_hash"),
-            ),
-            "b_id",
-        )
+        a_side.join(surv_keys, ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
         .filter(
             F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
             <= _PHASH_THRESHOLD
@@ -799,8 +792,74 @@ def _curation_funnel(
     ``semantic_stage`` / ``image_stage`` / ``audio_stage`` optionally
     inserting the SemDeDup, image and audio near-dup screens between
     text near-dedup and decontamination (one body so the declared
-    funnels cannot drift on the text stages)."""
+    funnels cannot drift on the text stages).
+
+    r12 (guide §2.6, VERDICT r11 item 3): the media DECODES are
+    independent of every funnel stage (fixture-only inputs), but the
+    serial stage chain used to materialize them inline — the image
+    decode ran only once the semantic stage finished, the audio decode
+    only after the image stage.  They now materialize EAGERLY from a
+    small thread pool started before the text stages, so the decode
+    jobs back-fill cores while the text/semantic boundaries run; each
+    stage's own survivor logic is unchanged (the stage chain is
+    inherently sequential — each stage's drop set needs the previous
+    stage's survivors)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .dedup import banded_signatures
+
+    def _eager_img_hashes():
+        from ..sources.readers import read_binary_dir
+        from .multimodal import _funnel_image_fixture_dir, phash_hashes
+
+        fixture = _funnel_image_fixture_dir(spark, sf_dir)
+        files = read_binary_dir(spark, fixture, glob="*.png")
+        return phash_hashes(
+            files.select(
+                F.regexp_extract(F.col("path"), r"asset_(\d+)\.png$", 1)
+                .cast("bigint")
+                .alias("asset_id"),
+                "content",
+            )
+        ).localCheckpoint(eager=True)
+
+    def _eager_aud_fps():
+        from ..sources.readers import read_binary_dir
+        from .multimodal import _funnel_audio_fixture_dir, audio_fingerprints
+
+        afixture = _funnel_audio_fixture_dir(spark, sf_dir)
+        afiles = read_binary_dir(spark, afixture, glob="*.wav")
+        return audio_fingerprints(
+            afiles.select(
+                F.regexp_extract(F.col("path"), r"asset_(\d+)\.wav$", 1)
+                .cast("bigint")
+                .alias("asset_id"),
+                "content",
+            )
+        ).localCheckpoint(eager=True)
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    img_fut = pool.submit(_eager_img_hashes) if image_stage else None
+    aud_fut = pool.submit(_eager_aud_fps) if audio_stage else None
+    try:
+        return _curation_funnel_body(
+            spark, sf_dir, image_stage, audio_stage, semantic_stage,
+            banded_signatures, img_fut, aud_fut,
+        )
+    finally:
+        pool.shutdown(wait=True)
+
+
+def _curation_funnel_body(
+    spark: SparkSession,
+    sf_dir: str,
+    image_stage: bool,
+    audio_stage: bool,
+    semantic_stage: bool,
+    banded_signatures,
+    img_fut,
+    aud_fut,
+) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     probe = docs.filter(F.col("doc_id") == 0).select(
@@ -865,42 +924,21 @@ def _curation_funnel(
     else:
         sem = nd
     if image_stage:
-        from ..sources.readers import read_binary_dir
-        from .multimodal import _funnel_image_fixture_dir, phash_hashes
-
-        fixture = _funnel_image_fixture_dir(spark, sf_dir)
-        files = read_binary_dir(spark, fixture, glob="*.png")
-        img_hashes = phash_hashes(
-            files.select(
-                F.regexp_extract(F.col("path"), r"asset_(\d+)\.png$", 1)
-                .cast("bigint")
-                .alias("asset_id"),
-                "content",
-            )
-        ).localCheckpoint(eager=False)  # banding keys AND the verify fetch
-        # banding restricted to SURVIVING docs on both sides — the
-        # dedup_images_phash pair rule over the semantic survivors
+        # decode materialized concurrently with the text stages (the
+        # funnel-head thread pool); banding restricted to SURVIVING
+        # docs on both sides — the dedup_images_phash pair rule over
+        # the semantic survivors
+        img_hashes = img_fut.result()
         img = sem.join(
             _modal_neardup_dropped(img_hashes, sem), "doc_id", "left_anti"
         ).localCheckpoint(eager=False)
     else:
         img = sem
     if audio_stage:
-        from ..sources.readers import read_binary_dir
-        from .multimodal import _funnel_audio_fixture_dir, audio_fingerprints
-
-        afixture = _funnel_audio_fixture_dir(spark, sf_dir)
-        afiles = read_binary_dir(spark, afixture, glob="*.wav")
-        aud_fps = audio_fingerprints(
-            afiles.select(
-                F.regexp_extract(F.col("path"), r"asset_(\d+)\.wav$", 1)
-                .cast("bigint")
-                .alias("asset_id"),
-                "content",
-            )
-        ).localCheckpoint(eager=False)
         # the same drop rule over the image stage's survivors — REAL WAV
-        # decode + the shared banding/Hamming machinery, one stage later
+        # decode (overlapped like the image tier's) + the shared
+        # banding/Hamming machinery, one stage later
+        aud_fps = aud_fut.result()
         aud = img.join(
             _modal_neardup_dropped(aud_fps, img), "doc_id", "left_anti"
         ).localCheckpoint(eager=False)
