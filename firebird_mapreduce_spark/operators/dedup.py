@@ -340,17 +340,25 @@ def dedup_minhash_lsh(
     return minhash_pairs(augmented_documents(spark, sf_dir), k, bands)
 
 
-def banded_signatures(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+def banded_signatures(
+    docs: DataFrame, k: int = 16, bands: int = 4, checkpoint: bool = True
+) -> DataFrame:
     """(doc_id, band, sig): the LSH banding of ``minhash_signatures`` —
     each signature split into ``bands`` groups of ``k/bands`` hashes joined
     into one bucket string.  Shared by the self-join pair miner
     (``minhash_pairs``) and the corpus-vs-batch membership probe
     (``dedup_incremental``) so the bucketing rule cannot drift between
-    them.  The signature table is localCheckpoint-ed: both consumers join
-    it against itself or a filtered view, and the tiny (doc_id, sig[16])
-    materialization beats replaying the shingle explode."""
+    them.  The signature table is localCheckpoint-ed when the caller
+    consumes it MORE THAN ONCE (the pair miner's self-join): the tiny
+    (doc_id, sig[16]) materialization beats replaying the kernel.
+    Single-consumer callers (the membership probes, the fold deltas)
+    pass ``checkpoint=False`` (r12): the boundary there only
+    SERIALIZED the kernel in front of the consuming job — without it
+    the kernel rides that job and overlaps its other stages."""
     rows = k // bands
-    sigs = minhash_signatures(docs, k).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, k)
+    if checkpoint:
+        sigs = sigs.localCheckpoint(eager=False)
     return sigs.select(
         "doc_id",
         F.explode(
@@ -851,7 +859,7 @@ def _screen_batch(
         corpus_hashes.withColumn("exact_hit", F.lit(True)), "h", "left"
     )
     near = (
-        banded_signatures(batch, k, bands)
+        banded_signatures(batch, k, bands, checkpoint=False)
         .join(corpus_bands.select("band", "sig"), ["band", "sig"])
         .select("doc_id")
         .distinct()
@@ -976,7 +984,7 @@ def _text_state_tables(
         tag,
         8,
         ["band", "sig"],
-        lambda: banded_signatures(docs, k, bands)
+        lambda: banded_signatures(docs, k, bands, checkpoint=False)
         .select("band", "sig")
         .distinct(),
     )
@@ -1087,10 +1095,10 @@ def dedup_incremental_tworound(
         tag,
         8,
         ["band", "sig"],
-        lambda: banded_signatures(docs, k, bands)
+        lambda: banded_signatures(docs, k, bands, checkpoint=False)
         .select("band", "sig")
         .distinct(),
-        lambda: banded_signatures(kept1, k, bands)
+        lambda: banded_signatures(kept1, k, bands, checkpoint=False)
         .select("band", "sig")
         .distinct(),
         compact=True,

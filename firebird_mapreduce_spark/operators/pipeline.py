@@ -1576,8 +1576,15 @@ def _crawl_semantic_parts(
         _with_srp_sigs,
     )
 
+    # LAZY checkpoint (r12, guide §2.6): every consumer of the
+    # enrollment — banding keys, the membership screen, the drift
+    # aggregate, the fold deltas — sits inside (or after) the caller's
+    # report job, so materializing the kernel eagerly here only
+    # SERIALIZED it in front of that job; lazy lets the kernel's result
+    # stage overlap the media decodes and text probes inside the same
+    # job, and later consumers reuse the persisted blocks as before.
     assign = _assign_to_centroids_arrays(bvecs, cent).localCheckpoint(
-        eager=True
+        eager=False
     )
     keys = _sig_keys(
         _with_srp_sigs(bvecs, NEARDUP_TABLES).join(
@@ -2057,7 +2064,7 @@ def ingest_tworound_multimodal(
         8,
         ["band", "sig"],
         lambda: tb,
-        lambda: banded_signatures(kept1_docs, k, bands)
+        lambda: banded_signatures(kept1_docs, k, bands, checkpoint=False)
         .select("band", "sig")
         .distinct(),
         compact=True,

@@ -1166,7 +1166,7 @@ def _strinc_apply_batch(
         .saveAsTable(htbl)
     )
     (
-        banded_signatures(kept, k, bands)
+        banded_signatures(kept, k, bands, checkpoint=False)
         .select("band", "sig")
         .repartition(8, "band", "sig")
         .dropDuplicates(["band", "sig"])
@@ -1431,6 +1431,7 @@ def _strmm_apply_batch(
     tag: str,
     k: int,
     bands: int,
+    cent: DataFrame | None = None,
 ) -> None:
     """One micro-batch of the continuous MULTIMODAL crawl: infer which
     delivery this is from the batch's own id range (never from
@@ -1485,8 +1486,12 @@ def _strmm_apply_batch(
     tbls = list(_strmm_tables(tag, k, bands))
     th, tb, ih, ib, ah, ab, sb, sv, ss = (spark.table(t) for t in tbls)
     # the persisted centroid table is a pay-once shared artifact (the
-    # seeder built it); the STATE the screen probes is the loop's own
-    cent = _semantic_state_tables(spark, sf_dir)[2]
+    # seeder built it); the STATE the screen probes is the loop's own.
+    # The query passes the resolved frame in (r12: the per-trigger
+    # ensure chain re-verified five tables per batch); the fallback
+    # keeps the function directly drivable by the retry unit tests.
+    if cent is None:
+        cent = _semantic_state_tables(spark, sf_dir)[2]
     assign, keys, sem_rep = _crawl_semantic_parts(
         bvecs, cent, sb, sv, SEMANTIC_THRESHOLD
     )
@@ -1535,7 +1540,7 @@ def _strmm_apply_batch(
     # discipline); the media/semantic deltas are already key-unique
     deltas = (
         (kept_docs.select(F.md5("text").alias("h")), True),
-        (banded_signatures(kept_docs, k, bands).select("band", "sig"), True),
+        (banded_signatures(kept_docs, k, bands, checkpoint=False).select("band", "sig"), True),
         (img_kept, False),
         (_phash_band_keys(img_kept), False),
         (aud_kept, False),
@@ -1574,8 +1579,11 @@ def _strmm_apply_batch(
     # job is a tiny delta write that leaves most of local[32] (or a
     # cluster) unused, and the retry guarantee is unchanged (a crash
     # mid-folds leaves a subset applied exactly as the serial loop did;
-    # the committed report skips the batch either way)
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    # the committed report skips the batch either way).  Width 6 (r12
+    # A/B at sf0.1: fold-phase 1.80 → 1.45 s/trigger over width 3 —
+    # these jobs are commit-latency-bound, not core-bound, so deeper
+    # overlap keeps paying past the guide's 2-3 rule of thumb)
+    with ThreadPoolExecutor(max_workers=6) as pool:
         list(
             pool.map(
                 lambda item: fold_one(item[0], *item[1]),
@@ -1647,8 +1655,10 @@ def stream_ingest_multimodal_query(
 
     tag = corpus_tag(sf_dir, "documents")
     # the semantic builder also ensures the shared centroid table the
-    # per-batch enrollment reads (pay-once, outside the stream)
-    _, _, _, semb0, semv0, sems0 = _semantic_state_tables(spark, sf_dir)
+    # per-batch enrollment reads (pay-once, outside the stream); the
+    # resolved centroid frame is passed into every trigger so the
+    # per-batch ensure chain is gone (r12)
+    _, _, cent, semb0, semv0, sems0 = _semantic_state_tables(spark, sf_dir)
     day0 = (
         *_text_state_tables(spark, sf_dir, k, bands),
         *_phash_state_tables(spark, sf_dir),
@@ -1669,7 +1679,8 @@ def stream_ingest_multimodal_query(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         _strmm_apply_batch(
-            spark, batch_df, batch_id, report_dir, sf_dir, tag, k, bands
+            spark, batch_df, batch_id, report_dir, sf_dir, tag, k, bands,
+            cent=cent,
         )
 
     sdir = _doc_batches_split_dir(

@@ -183,14 +183,18 @@ def test_dedup_incremental_bucketed_corpus_side_shuffle_free(spark):
         # BOTH corpus tables must be consumed through bucketed scans —
         # a regression that un-buckets either one drops this to 1
         assert plan.count("Bucketed: true") == 2, plan
-        # exchange count pinned EXACTLY, not relatively: 4 = the four
+        # exchange count pinned EXACTLY, not relatively: 5 = the four
         # batch-side shuffles (md5-probe side, banded-probe side, the
-        # near-set distinct, the report join) and NOTHING on the corpus
-        # sides; the plain spelling's 6 includes the two corpus-side
-        # shuffles this layout exists to eliminate.  A reintroduced
-        # corpus-side Exchange fails the == even if still below 6.
+        # near-set distinct, the report join) plus the minhash kernel's
+        # scale-adaptive round-robin spread (r12: visible since the
+        # signature checkpoint left the single-consumer probe path —
+        # batch-sized, and absent entirely on pre-split production
+        # input) and NOTHING on the corpus sides; the plain spelling's
+        # 6 includes the two corpus-side shuffles this layout exists
+        # to eliminate.  A reintroduced corpus-side Exchange fails the
+        # == even if still below 6.
         nb, np_ = count_exchanges(bucketed), count_exchanges(plain)
-        assert nb == 4, f"bucketed={nb} (expected 4)\n{plan}"
+        assert nb == 5, f"bucketed={nb} (expected 5)\n{plan}"
         assert np_ == 6, f"plain={np_} (expected 6)"
     finally:
         if prev is None:
@@ -266,11 +270,13 @@ def test_tworound_fold_appends_delta_and_stays_corpus_shuffle_free(spark):
         df = dedup_incremental_tworound(spark, SF_SMOKE)
         plan = plan_string(df, "formatted")
         assert plan.count("Bucketed: true") == 2, plan
-        # 4 = ingest 2's four batch-side shuffles (md5-probe side,
-        # banded-probe side, near-set distinct, report join); ingest 1
-        # rides its localCheckpoint.  A corpus-side Exchange breaks ==.
+        # 5 = ingest 2's four batch-side shuffles (md5-probe side,
+        # banded-probe side, near-set distinct, report join) plus the
+        # minhash kernel's scale-adaptive spread (see the
+        # dedup_incremental_bucketed pin); ingest 1 rides its
+        # localCheckpoint.  A corpus-side Exchange breaks ==.
         n = count_exchanges(df)
-        assert n == 4, f"exchanges={n} (expected 4)\n{plan}"
+        assert n == 5, f"exchanges={n} (expected 5)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -541,7 +547,11 @@ def test_ingest_screen_exchanges_batch_side_only(spark):
         plan = plan_string(df, "formatted")
         assert plan.count("Bucketed: true") == 8, plan
         n = count_exchanges(df)
-        assert n == 22, f"exchanges={n} (expected 22)\n{plan}"
+        # 22 -> 23 with the r12 single-consumer checkpoint removal:
+        # the text screen's kernel (and its scale-adaptive spread) now
+        # rides the report job inline instead of hiding behind the
+        # signature checkpoint — still batch-side only
+        assert n == 23, f"exchanges={n} (expected 23)\n{plan}"
     finally:
         if prev is None:
             spark.conf.unset(key)
