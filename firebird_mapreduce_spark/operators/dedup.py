@@ -1066,8 +1066,10 @@ def dedup_incremental_tworound(
 
     tag = corpus_tag(sf_dir, "documents")
     v1_hashes, v1_bands = _text_state_tables(spark, sf_dir, k, bands)
+    # lazy (r12): the folds write inc2_* tables, never read by r1's
+    # day-0 probe plan — no hazard, and eager only serialized the job
     r1 = _screen_batch(batch1, v1_hashes, v1_bands, k, bands).localCheckpoint(
-        eager=True
+        eager=False
     )
     kept1 = batch1.join(r1.filter(F.col("kept")).select("doc_id"), "doc_id")
 

@@ -2018,7 +2018,10 @@ def ingest_tworound_multimodal(
         bands,
         600000,
         sem_rep=sem_rep1,
-    ).localCheckpoint(eager=True)
+        # lazy (r12): the folds write mmr2_* tables, never read by r1's
+        # day-0 probe plan — no read-your-own-writes hazard, and eager
+        # only serialized the screen job in front of the fold/union
+    ).localCheckpoint(eager=False)
     kept1_ids = r1.filter(F.col("disposition") == "kept").select("doc_id")
     kept1_docs = b1.join(kept1_ids, "doc_id")
     kept1_vids = kept1_ids.select(F.col("doc_id").alias("vec_id"))

@@ -2444,8 +2444,11 @@ def dedup_semantic_incremental(
         )
         return _sig_keys(tagged, "cluster", NEARDUP_TABLES)
 
+    # lazy (r12, guide §2.6): every consumer — keys1, the screen, the
+    # drift aggregate, the (run-0) fold deltas — runs inside or after
+    # the first consuming job; eager only serialized the kernel
     a1 = _assign_to_centroids_arrays(b1, cent).localCheckpoint(
-        eager=True
+        eager=False
     )
     keys1 = _sig_keys(
         _with_srp_sigs(b1, NEARDUP_TABLES).join(
@@ -2454,9 +2457,12 @@ def dedup_semantic_incremental(
         "cluster",
         NEARDUP_TABLES,
     )
+    # lazy for the same reason: the folds write semvf_* tables, which
+    # r1's plan never reads (it probes the day-0 semv_* state), so
+    # there is no read-your-own-writes hazard to pin against
     r1 = _semantic_screen(
         keys1, a1, v1_bands, v1_vecs, b1, threshold
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     kept_ids = r1.filter(F.col("kept")).select("vec_id")
     kept1 = b1.join(kept_ids, "vec_id")
 
