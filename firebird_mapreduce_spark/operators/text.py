@@ -359,17 +359,27 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus statistics) and ``inverted_index`` (posting lists) in a
     search/RAG data pipeline.
 
-    Zero-shuffle dataflow (r12, guide §2.4: remove shuffles outright):
-    because the query is a small FIXED term set, per-doc length and
-    per-term term frequencies are ARRAY EXPRESSIONS over the token
-    array (``size`` / ``size(filter(...))``) — a pure projection, so
-    the old explode → groupBy(doc_id) per-doc shuffle is gone entirely
-    (value-identical: counting occurrences via array filter ≡ counting
-    exploded rows; docs with NULL text are filtered on both spellings).
-    Corpus stats (N, Σdl, per-term df) reduce the per-doc projection to
-    one broadcast row; scoring is a columnwise projection.  At 100 TB:
-    one map-side-combined 1-row aggregate + TakeOrderedAndProject —
-    the per-doc exchange never happens at any scale.
+    One-pass dataflow: because the query is a small FIXED term set, the
+    per-term term frequencies are conditional aggregates in the SAME
+    per-doc groupBy that computes document length — ONE corpus shuffle
+    total, no exploded-token self-join, no per-term scan.  Corpus stats
+    (N, Σdl, per-term df) reduce the per-doc table to one broadcast row;
+    scoring is a columnwise projection.  At 100 TB: one map-side-combined
+    shuffle on doc_id + TakeOrderedAndProject — the same plan as any
+    scan-dominated aggregate.
+
+    r12 NEGATIVE RESULT (guide §1.1 — the "ideal" plan was slower):
+    a zero-shuffle spelling (per-doc dl/tf as array expressions,
+    ``size(filter(tokens, ...))``) removed the exchange but LOST the
+    plan's one reuse point — the stats aggregate and the scoring
+    projection each re-evaluated the interpreted-HOF corpus scan, and
+    the consumers (bm25_topk 0.53→0.66 s, hybrid_retrieval_rrf
+    0.91→1.56 s at matched swing) regressed; an added lazy checkpoint
+    only tied this spelling (A/B min-of-5: 0.638 vs 0.652 s) while
+    trading the shuffle's fault-tolerant lineage for corpus-sized
+    block persistence.  The explode + map-side-combined groupBy stays:
+    the exchange carries per-doc rows (post partial-agg), and AQE
+    reuses the materialized subtree across both consumers.
 
     Oracle discipline: tf/df/dl/N are integers; avgdl and each BM25
     contribution are doubles computed with an explicitly parenthesized
@@ -381,14 +391,11 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the terms score no contribution and are filtered before the cut."""
     terms = ("hash", "join", "scan")
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    per_doc = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
         *[
-            F.size(F.filter(toks, lambda x: x == F.lit(t)))
-            .cast("long")
-            .alias(f"tf_{t}")
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{t}")
             for t in terms
         ],
     )
